@@ -1,0 +1,88 @@
+"""verde_spark — a PySpark-native spatial gridding + tiling engine.
+
+A from-scratch distributed re-expression of the capabilities of
+fatiando/verde (reference: /root/reference, BSD-3): block aggregation
+(BlockReduce/BlockMean), biharmonic-spline and kNN gridding, region
+predicates and masks, blocked train/test splitting and cross-validation —
+plus the web-scale layer (hierarchical cell index, geotag extraction,
+dedup / similarity / text-quality operators) needed to run the same
+pipelines over Common-Crawl-style page tables at 10^12-row scale.
+
+Design: everything is a DataFrame-in / DataFrame-out operator built on
+pyspark.sql builtin expressions (Catalyst-optimizable, whole-stage
+codegen); NumPy enters only inside Arrow-vectorized pandas UDFs for the
+dense per-tile solves. No RDDs, no per-row Python.
+"""
+
+from .geometry import (
+    check_region,
+    get_region,
+    inside,
+    pad_region,
+    project_region,
+    shape_to_spacing,
+    spacing_to_size,
+)
+from .coordinates import (
+    BlockGrid,
+    block_split,
+    grid_coordinates,
+    line_coordinates,
+    longitude_continuity,
+    profile_coordinates,
+    scatter_points,
+)
+from .synthetic import CheckerBoard, checkerboard_expr
+from .operators.blockreduce import BlockReduce, block_mean, block_reduce, variance_to_weights
+from .operators.trend import Trend, trend_fit, trend_predict_expr
+from .operators.spline import Spline
+from .operators.neighbors import KNeighbors, knn_join
+from .operators.masks import convex_hull, convexhull_mask, distance_mask, inside_hull_expr
+from .operators.chain import Chain
+from .model_selection import (
+    BlockKFold,
+    BlockShuffleSplit,
+    cross_val_score,
+    r2_score,
+    train_test_split,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BlockGrid",
+    "BlockKFold",
+    "BlockReduce",
+    "BlockShuffleSplit",
+    "Chain",
+    "CheckerBoard",
+    "KNeighbors",
+    "Spline",
+    "Trend",
+    "block_mean",
+    "block_reduce",
+    "block_split",
+    "check_region",
+    "checkerboard_expr",
+    "convex_hull",
+    "convexhull_mask",
+    "cross_val_score",
+    "distance_mask",
+    "get_region",
+    "grid_coordinates",
+    "inside",
+    "inside_hull_expr",
+    "knn_join",
+    "line_coordinates",
+    "longitude_continuity",
+    "pad_region",
+    "profile_coordinates",
+    "project_region",
+    "r2_score",
+    "scatter_points",
+    "shape_to_spacing",
+    "spacing_to_size",
+    "train_test_split",
+    "trend_fit",
+    "trend_predict_expr",
+]

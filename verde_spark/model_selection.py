@@ -1,0 +1,358 @@
+"""Blocked model selection — splits, folds, scoring (verde model_selection.py).
+
+Split *decisions* operate on the tiny table of distinct block ids and
+per-block point counts (thousands of rows however big the input), so they
+run driver-side with seeded NumPy exactly like the reference runs sklearn;
+fold *membership* goes back into the cluster as an ``isin`` predicate on
+the block-label column — a broadcast filter, no shuffle. Scoring (R²) is
+two aggregates.
+
+RNG note: the reference delegates to sklearn's ShuffleSplit/KFold; we
+reimplement their exact permutation algorithms over
+``np.random.RandomState`` (the same generator sklearn uses), so seeded
+splits match sklearn's where the reference's tests pin them.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .coordinates import BlockGrid
+from .geometry import get_region
+
+
+# ---------------------------------------------------------------------------
+# scoring
+# ---------------------------------------------------------------------------
+
+
+def r2_score(
+    df: DataFrame,
+    data_col: str,
+    pred_col: str,
+    weight_col: Optional[str] = None,
+) -> float:
+    """Weighted R² (sklearn definition, used by verde base/utils.py:15-66):
+    ``1 − Σw(d−p)² / Σw(d−d̄_w)²`` — one aggregate pass."""
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    d, p = F.col(data_col), F.col(pred_col)
+    row = df.agg(
+        F.sum(w * (d - p) * (d - p)).alias("ss_res"),
+        F.sum(w * d).alias("swd"),
+        F.sum(w * d * d).alias("swd2"),
+        F.sum(w).alias("sw"),
+    ).first()
+    ss_tot = row["swd2"] - row["swd"] ** 2 / row["sw"]
+    if ss_tot == 0:
+        return 1.0 if row["ss_res"] == 0 else 0.0
+    return 1.0 - row["ss_res"] / ss_tot
+
+
+# ---------------------------------------------------------------------------
+# sklearn-equivalent driver-side shufflers (no sklearn in this environment)
+# ---------------------------------------------------------------------------
+
+
+def _validate_shuffle_split(n: int, test_size, train_size) -> Tuple[int, int]:
+    """sklearn model_selection._split._validate_shuffle_split semantics."""
+    if test_size is None and train_size is None:
+        test_size = 0.1
+    if test_size is not None:
+        n_test = int(np.ceil(test_size * n)) if isinstance(test_size, float) else int(test_size)
+    if train_size is not None:
+        n_train = int(np.floor(train_size * n)) if isinstance(train_size, float) else int(train_size)
+    if test_size is None:
+        n_test = n - n_train
+    if train_size is None:
+        n_train = n - n_test
+    if n_train + n_test > n:
+        raise ValueError(f"train_size + test_size exceed n={n}")
+    if n_test < 1 or n_train < 1:
+        raise ValueError("Resulting train/test set is empty.")
+    return n_train, n_test
+
+
+def shuffle_split_indices(
+    n: int, n_splits: int, test_size=None, train_size=None, random_state=None
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """sklearn ShuffleSplit._iter_indices: per split a fresh permutation;
+    test = perm[:n_test], train = perm[n_test:n_test+n_train]."""
+    n_train, n_test = _validate_shuffle_split(n, test_size, train_size)
+    rng = (
+        random_state
+        if isinstance(random_state, np.random.RandomState)
+        else np.random.RandomState(random_state)
+    )
+    for _ in range(n_splits):
+        permutation = rng.permutation(n)
+        yield permutation[n_test : (n_test + n_train)], permutation[:n_test]
+
+
+def kfold_indices(
+    n: int, n_splits: int, shuffle: bool = False, random_state=None
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """sklearn KFold: contiguous folds of size n//k (+1 for first n%k),
+    over an optional seeded permutation."""
+    indices = np.arange(n)
+    if shuffle:
+        rng = (
+            random_state
+            if isinstance(random_state, np.random.RandomState)
+            else np.random.RandomState(random_state)
+        )
+        rng.shuffle(indices)
+    fold_sizes = np.full(n_splits, n // n_splits, dtype=int)
+    fold_sizes[: n % n_splits] += 1
+    current = 0
+    for size in fold_sizes:
+        test = indices[current : current + size]
+        train = np.concatenate([indices[:current], indices[current + size :]])
+        yield np.sort(train), np.sort(test)
+        current += size
+
+
+def partition_by_sum(array, parts: int) -> np.ndarray:
+    """Split points so contiguous chunks have ~equal sum — exact port of
+    verde utils.py:855-970 (cumsum + right-searchsorted on ideal sums)."""
+    array = np.atleast_1d(array).ravel()
+    if parts > array.size:
+        raise ValueError(
+            f"Cannot partition an array of size {array.size} into {parts} parts of equal sum."
+        )
+    cumulative_sum = array.cumsum()
+    ideal_sum = cumulative_sum[-1] // parts
+    ideal_cumsum = np.arange(1, parts) * ideal_sum
+    indices = np.searchsorted(cumulative_sum, ideal_cumsum, side="right")
+    if np.unique(indices).size != indices.size:
+        raise ValueError(
+            f"Could not find partition points to split the array into {parts} parts of equal sum."
+        )
+    return indices
+
+
+# ---------------------------------------------------------------------------
+# block cross-validators
+# ---------------------------------------------------------------------------
+
+
+def _block_counts(
+    df: DataFrame, grid: BlockGrid, easting: str, northing: str
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(sorted distinct block ids, per-block point counts) — one groupBy,
+    tiny driver-side result (≤ n_blocks rows)."""
+    pdf = (
+        df.groupBy(grid.label_expr(easting, northing))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("block")
+        .toPandas()
+    )
+    return pdf["block"].to_numpy(), pdf["cnt"].to_numpy()
+
+
+class BlockShuffleSplit:
+    """verde BlockShuffleSplit (model_selection.py:23-215): shuffle blocks
+    into train/test; generate ``balancing`` candidate shuffles per split and
+    keep the one whose point ratio best matches the block ratio."""
+
+    def __init__(
+        self,
+        spacing=None,
+        shape=None,
+        n_splits: int = 10,
+        test_size=0.1,
+        train_size=None,
+        random_state=None,
+        balancing: int = 10,
+    ):
+        if balancing < 1:
+            raise ValueError("The *balancing* argument must be >= 1. To disable balancing, use 1.")
+        self.spacing = spacing
+        self.shape = shape
+        self.n_splits = n_splits
+        self.test_size = test_size
+        self.train_size = train_size
+        self.random_state = random_state
+        self.balancing = balancing
+
+    def split_blocks(
+        self, df: DataFrame, easting: str = "easting", northing: str = "northing"
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield (train_block_ids, test_block_ids) per split."""
+        region = get_region(df, easting, northing)
+        grid = BlockGrid.from_region(region, spacing=self.spacing, shape=self.shape)
+        block_ids, counts = _block_counts(df, grid, easting, northing)
+        count_of = dict(zip(block_ids.tolist(), counts.tolist()))
+        shuffle = shuffle_split_indices(
+            len(block_ids),
+            self.n_splits * self.balancing,
+            self.test_size,
+            self.train_size,
+            self.random_state,
+        )
+        for _ in range(self.n_splits):
+            candidates, balance = [], []
+            for _ in range(self.balancing):
+                train_idx, test_idx = next(shuffle)
+                train_blocks = block_ids[train_idx]
+                test_blocks = block_ids[test_idx]
+                train_pts = sum(count_of[b] for b in train_blocks.tolist())
+                test_pts = sum(count_of[b] for b in test_blocks.tolist())
+                balance.append(abs(train_pts / test_pts - train_idx.size / test_idx.size))
+                candidates.append((train_blocks, test_blocks))
+            yield candidates[int(np.argmin(balance))]
+
+    def split(
+        self, df: DataFrame, easting: str = "easting", northing: str = "northing"
+    ) -> Iterator[Tuple[DataFrame, DataFrame]]:
+        region = get_region(df, easting, northing)
+        grid = BlockGrid.from_region(region, spacing=self.spacing, shape=self.shape)
+        labeled = df.withColumn("__block", grid.label_expr(easting, northing))
+        for train_blocks, test_blocks in self.split_blocks(df, easting, northing):
+            test_set = [int(b) for b in test_blocks]
+            yield (
+                labeled.filter(~F.col("__block").isin(test_set)).drop("__block"),
+                labeled.filter(F.col("__block").isin(test_set)).drop("__block"),
+            )
+
+
+class BlockKFold:
+    """verde BlockKFold (model_selection.py:218-423): K folds over blocks,
+    optionally shuffled and balanced by per-block point counts via
+    :func:`partition_by_sum`."""
+
+    def __init__(
+        self,
+        spacing=None,
+        shape=None,
+        n_splits: int = 5,
+        shuffle: bool = False,
+        random_state=None,
+        balance: bool = True,
+    ):
+        if n_splits < 2:
+            raise ValueError(f"Number of splits must be >=2 for BlockKFold. Given {n_splits}.")
+        self.spacing = spacing
+        self.shape = shape
+        self.n_splits = n_splits
+        self.shuffle = shuffle
+        self.random_state = random_state
+        self.balance = balance
+
+    def fold_blocks(
+        self, df: DataFrame, easting: str = "easting", northing: str = "northing"
+    ) -> List[np.ndarray]:
+        """List of test-block-id arrays, one per fold."""
+        region = get_region(df, easting, northing)
+        grid = BlockGrid.from_region(region, spacing=self.spacing, shape=self.shape)
+        block_ids, counts = _block_counts(df, grid, easting, northing)
+        if self.n_splits > block_ids.size:
+            raise ValueError(
+                f"Number of k-fold splits ({self.n_splits}) cannot be greater than "
+                f"the number of blocks ({block_ids.size})."
+            )
+        if self.shuffle:
+            rng = (
+                self.random_state
+                if isinstance(self.random_state, np.random.RandomState)
+                else np.random.RandomState(self.random_state)
+            )
+            order = rng.permutation(block_ids.size)
+            block_ids = block_ids[order]
+            counts = counts[order]
+        if self.balance:
+            try:
+                split_points = partition_by_sum(counts, parts=self.n_splits)
+                folds = np.split(np.arange(block_ids.size), split_points)
+            except ValueError:
+                warnings.warn(
+                    "Could not balance folds to have approximately the same "
+                    "number of data points. Dividing into folds with equal "
+                    "number of blocks instead.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+                folds = [test for _, test in kfold_indices(block_ids.size, self.n_splits)]
+        else:
+            folds = [test for _, test in kfold_indices(block_ids.size, self.n_splits)]
+        return [block_ids[f] for f in folds]
+
+    def split(
+        self, df: DataFrame, easting: str = "easting", northing: str = "northing"
+    ) -> Iterator[Tuple[DataFrame, DataFrame]]:
+        region = get_region(df, easting, northing)
+        grid = BlockGrid.from_region(region, spacing=self.spacing, shape=self.shape)
+        labeled = df.withColumn("__block", grid.label_expr(easting, northing))
+        for test_blocks in self.fold_blocks(df, easting, northing):
+            test_set = [int(b) for b in test_blocks]
+            yield (
+                labeled.filter(~F.col("__block").isin(test_set)).drop("__block"),
+                labeled.filter(F.col("__block").isin(test_set)).drop("__block"),
+            )
+
+
+def train_test_split(
+    df: DataFrame,
+    spacing=None,
+    shape=None,
+    test_size=None,
+    train_size=None,
+    random_state=None,
+    balancing: int = 10,
+    easting: str = "easting",
+    northing: str = "northing",
+) -> Tuple[DataFrame, DataFrame]:
+    """verde train_test_split (model_selection.py:426-579): blocked single
+    split when spacing/shape given, plain random row split otherwise."""
+    if spacing is None and shape is None:
+        frac_test = test_size if test_size is not None else 0.1
+        if train_size is None:
+            train_frac = 1.0 - frac_test
+        else:
+            train_frac = train_size
+        # distributed row split: seeded hash split (sklearn's exact row
+        # permutation is not reproducible distributively; decisions on rows,
+        # unlike blocks, can't go driver-side at scale).
+        train, test = df.randomSplit([train_frac, frac_test], seed=random_state or 0)
+        return train, test
+    splitter = BlockShuffleSplit(
+        spacing=spacing,
+        shape=shape,
+        n_splits=1,
+        test_size=test_size if test_size is not None else 0.1,
+        train_size=train_size,
+        random_state=random_state,
+        balancing=balancing,
+    )
+    return next(splitter.split(df, easting, northing))
+
+
+def cross_val_score(
+    make_estimator,
+    df: DataFrame,
+    cv=None,
+    data_col: str = "scalars",
+    weight_col: Optional[str] = None,
+    easting: str = "easting",
+    northing: str = "northing",
+) -> List[float]:
+    """verde cross_val_score (model_selection.py:582-788): per fold, fit a
+    fresh estimator on train and R²-score on test. *make_estimator* is a
+    zero-arg factory (the reference clones; factories are the Spark-safe
+    equivalent). Default cv = 5-fold blocked KFold is NOT used here to match
+    verde's default of shuffled KFold(5, seed 0) over rows — pass a
+    BlockKFold/BlockShuffleSplit for the blocked variants.
+    """
+    if cv is None:
+        cv = BlockKFold(shape=(5, 5), n_splits=5, shuffle=True, random_state=0)
+    scores = []
+    for train, test in cv.split(df, easting, northing):
+        est = make_estimator()
+        est.fit(train, data_col=data_col, weight_col=weight_col, easting=easting, northing=northing)
+        pred = est.predict(test, "__pred", easting=easting, northing=northing)
+        scores.append(r2_score(pred, data_col, "__pred", weight_col))
+    return scores

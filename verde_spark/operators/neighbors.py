@@ -1,0 +1,212 @@
+"""kNN interpolation as a distributed cell join (verde neighbors.py:20-140).
+
+The reference builds one KD-tree over all data and queries k neighbors per
+prediction point. Distributed form: both sides get an (unclamped) square
+cell index; each query point is exploded into its ring-r candidate cells
+and **equi-joined** on the cell key (shuffle-hash join, AQE skew-split
+eligible — never a cartesian/range join), then
+``row_number() over (partition by query order by distance, id)`` keeps the
+top k. Ring-r completeness: every data point outside ring r is at
+Euclidean distance ≥ r·cell_size from the query, so a query whose kth
+candidate distance is ≤ r·cell_size is final; unfinished queries (sparse
+regions) escalate with a doubled ring in a driver-side loop — at most
+``max_rounds`` geometric rounds, each a bounded join over only the
+stragglers, with a brute-force cross join as the final fallback.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..geometry import get_region
+
+
+def _cell_index(coord, origin: float, cell_size: float):
+    """Unclamped integer cell index (floor division from a fixed origin)."""
+    return F.floor((coord - F.lit(origin)) / F.lit(cell_size)).cast("long")
+
+
+def _topk(cand: DataFrame, query_id: str, k: int) -> DataFrame:
+    win = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col("__did").asc())
+    return cand.withColumn("rank", F.row_number().over(win)).filter(F.col("rank") <= k)
+
+
+def knn_join(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    cell_size: Optional[float] = None,
+    data_easting: str = "easting",
+    data_northing: str = "northing",
+    query_easting: str = "easting",
+    query_northing: str = "northing",
+    query_id: str = "__qid",
+    max_rounds: int = 5,
+) -> DataFrame:
+    """Top-k nearest data points per query point.
+
+    Returns ``query columns + neighbor data columns (prefixed 'nb_') +
+    distance + rank``. Distance ties break by data row id so the result is
+    deterministic (verde's reductions are order-insensitive over the k-set;
+    only set membership matters — neighbors.py:111-140).
+
+    Supply a stable ``query_id`` column when one exists; otherwise a
+    monotonic id is generated (deterministic for deterministic sources).
+    """
+    if query_id not in queries.columns:
+        queries = queries.withColumn(query_id, F.monotonically_increasing_id())
+    data = data.withColumn("__did", F.monotonically_increasing_id())
+
+    w, e, s, n = get_region(data, data_easting, data_northing)
+    if cell_size is None:
+        cnt = data.count()
+        extent = max(e - w, n - s) or 1.0
+        cells = max(1, int(np.sqrt(max(cnt, 1) / 64.0)))
+        cell_size = extent / cells
+    cell_size = float(cell_size)
+
+    d = data.withColumn("dix", _cell_index(F.col(data_easting), w, cell_size)).withColumn(
+        "diy", _cell_index(F.col(data_northing), s, cell_size)
+    )
+    d = d.select(
+        "__did",
+        "dix",
+        "diy",
+        *[F.col(c).alias(f"nb_{c}") for c in data.columns if c != "__did"],
+    )
+    de, dn = F.col(f"nb_{data_easting}"), F.col(f"nb_{data_northing}")
+
+    q = queries.withColumn("qix", _cell_index(F.col(query_easting), w, cell_size)).withColumn(
+        "qiy", _cell_index(F.col(query_northing), s, cell_size)
+    )
+
+    def dist_col():
+        return F.sqrt(
+            (de - F.col(query_easting)) * (de - F.col(query_easting))
+            + (dn - F.col(query_northing)) * (dn - F.col(query_northing))
+        )
+
+    remaining = q
+    finished = []
+    ring = 1
+    for _ in range(max_rounds):
+        # explode the query into its (2r+1)^2 candidate cells → equi-join.
+        cand_cells = remaining.withColumn(
+            "cix", F.explode(F.sequence(F.col("qix") - ring, F.col("qix") + ring))
+        ).withColumn("ciy", F.explode(F.sequence(F.col("qiy") - ring, F.col("qiy") + ring)))
+        cand = cand_cells.join(
+            d, (F.col("cix") == F.col("dix")) & (F.col("ciy") == F.col("diy"))
+        ).withColumn("distance", dist_col())
+        topk = _topk(cand, query_id, k)
+        stats = topk.groupBy(query_id).agg(
+            F.count(F.lit(1)).alias("__nk"), F.max("distance").alias("__kdist")
+        )
+        done_ids = stats.filter(
+            (F.col("__nk") >= k) & (F.col("__kdist") <= F.lit(float(ring) * cell_size))
+        ).select(query_id)
+        finished.append(topk.join(done_ids, query_id, "left_semi"))
+        remaining = remaining.join(done_ids, query_id, "left_anti")
+        if remaining.isEmpty():
+            remaining = None
+            break
+        ring *= 2
+    if remaining is not None:
+        cand = remaining.crossJoin(d).withColumn("distance", dist_col())
+        finished.append(_topk(cand, query_id, k))
+
+    out = finished[0]
+    for f in finished[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    drop = [c for c in ("qix", "qiy", "cix", "ciy", "dix", "diy", "__did", "nb___did",
+                        "nb_dix", "nb_diy") if c in out.columns]
+    return out.drop(*drop)
+
+
+class KNeighbors:
+    """verde ``KNeighbors`` gridder (neighbors.py:20-140): mean/median of the
+    k nearest data values at each prediction point."""
+
+    def __init__(self, k: int = 1, reduction: str = "mean"):
+        self.k = k
+        self.reduction = reduction
+        self.data_: Optional[DataFrame] = None
+        self.region_: Optional[Tuple[float, float, float, float]] = None
+        self._names: Tuple[str, str, str] = ("easting", "northing", "scalars")
+
+    def fit(
+        self,
+        df: DataFrame,
+        data_col: str = "scalars",
+        easting: str = "easting",
+        northing: str = "northing",
+    ) -> "KNeighbors":
+        self._names = (easting, northing, data_col)
+        self.data_ = df.select(easting, northing, data_col)
+        self.region_ = get_region(self.data_, easting, northing)
+        return self
+
+    def predict(
+        self,
+        df: DataFrame,
+        output_col: str = "prediction",
+        easting: str = "easting",
+        northing: str = "northing",
+    ) -> DataFrame:
+        if self.data_ is None:
+            raise RuntimeError("KNeighbors is not fitted.")
+        de, dn, dv = self._names
+        qid = "__qid"
+        queries = df.withColumn(qid, F.monotonically_increasing_id())
+        joined = knn_join(
+            self.data_,
+            queries,
+            k=self.k,
+            data_easting=de,
+            data_northing=dn,
+            query_easting=easting,
+            query_northing=northing,
+            query_id=qid,
+        )
+        red = {"mean": F.avg, "median": F.median, "min": F.min, "max": F.max}[self.reduction]
+        # single pass: carry the query columns through the agg (no join back,
+        # so the generated qid is only ever used inside one lineage).
+        aggs = [F.first(F.col(c)).alias(c) for c in df.columns] + [
+            red(F.col(f"nb_{dv}")).alias(output_col)
+        ]
+        return joined.groupBy(qid).agg(*aggs).drop(qid)
+
+    def grid(self, spark, region=None, shape=None, spacing=None, output_col: str = "scalars"):
+        from ..coordinates import grid_coordinates
+
+        nodes = grid_coordinates(spark, region or self.region_, shape=shape, spacing=spacing)
+        return self.predict(nodes, output_col)
+
+
+def median_distance(
+    df: DataFrame,
+    k: int = 1,
+    easting: str = "easting",
+    northing: str = "northing",
+) -> DataFrame:
+    """Per-point median distance to its k nearest neighbors, excluding self
+    (verde distances.py:16-111: queries k+1 and drops the zero self-hit)."""
+    pts = df.withColumn("__qid", F.monotonically_increasing_id())
+    joined = knn_join(
+        pts.select(easting, northing),
+        pts,
+        k=k + 1,
+        data_easting=easting,
+        data_northing=northing,
+        query_easting=easting,
+        query_northing=northing,
+        query_id="__qid",
+    )
+    no_self = joined.filter(F.col("rank") > 1)
+    aggs = [F.first(F.col(c)).alias(c) for c in df.columns] + [
+        F.median("distance").alias("median_distance")
+    ]
+    return no_self.groupBy("__qid").agg(*aggs).drop("__qid")
