@@ -1,0 +1,100 @@
+"""kNN interpolation + mask goldens from verde tests/test_neighbors.py and
+tests/test_mask.py."""
+
+import numpy as np
+import numpy.testing as npt
+import pandas as pd
+from pyspark.sql import functions as F
+
+from verde_spark import CheckerBoard, KNeighbors, convexhull_mask, distance_mask
+from verde_spark.coordinates import grid_coordinates
+from verde_spark.operators.neighbors import knn_join
+
+
+def test_neighbors_same_points(spark):
+    # verde tests/test_neighbors.py:21-32: exact recovery at the data points
+    region = (1000, 5000, -8000, -7000)
+    synth = CheckerBoard(region=region)
+    data = synth.scatter(spark, size=1000, random_state=0).cache()
+    gridder = KNeighbors().fit(data)
+    pred = gridder.predict(data, "pred").toPandas()
+    npt.assert_allclose(pred["pred"], pred["scalars"])
+
+
+def test_neighbors_grid_tolerance(spark):
+    # verde tests/test_neighbors.py:35-62: 100x100 data grid → 95x95 queries,
+    # atol=100 for k in {1, 2, 10} and median
+    region = (1000, 5000, -8000, -6000)
+    synth = CheckerBoard(region=region)
+    data = synth.grid(spark, shape=(100, 100)).drop("ix", "iy").cache()
+    queries = grid_coordinates(spark, region, shape=(95, 95)).cache()
+    for k, reduction in [(1, "mean"), (2, "mean"), (10, "mean"), (1, "median")]:
+        gridder = KNeighbors(k=k, reduction=reduction).fit(data)
+        got = gridder.predict(queries, "pred").toPandas()
+        truth = synth.predict_numpy(got["easting"].to_numpy(), got["northing"].to_numpy())
+        npt.assert_allclose(got["pred"], truth, rtol=0, atol=100)
+
+
+def test_knn_join_exact_small(spark):
+    # brute-force cross-check of the cell join on a small scatter
+    rng = np.random.RandomState(42)
+    de, dn = rng.uniform(0, 10, 200), rng.uniform(0, 10, 200)
+    qe, qn = rng.uniform(0, 10, 50), rng.uniform(0, 10, 50)
+    data = spark.createDataFrame(pd.DataFrame({"easting": de, "northing": dn}))
+    queries = spark.createDataFrame(pd.DataFrame({"easting": qe, "northing": qn, "qid": range(50)}))
+    got = knn_join(data, queries, k=3, query_id="qid").toPandas()
+    for qid in range(50):
+        d2 = (de - qe[qid]) ** 2 + (dn - qn[qid]) ** 2
+        expected = np.sort(np.sqrt(d2))[:3]
+        mine = np.sort(got[got["qid"] == qid]["distance"].to_numpy())
+        npt.assert_allclose(mine, expected)
+
+
+def _mask_grid(spark):
+    return grid_coordinates(spark, (0, 5, -10, -4), spacing=1).cache()
+
+
+def test_distance_mask_golden(spark):
+    # verde tests/test_mask.py:61-75 / mask.py doctest
+    coords = _mask_grid(spark)
+    got = (
+        distance_mask(((2.5,), (-7.5,)), coords, maxdist=2)
+        .orderBy("northing", "easting")
+        .toPandas()
+    )
+    true = [
+        [False, False, False, False, False, False],
+        [False, False, True, True, False, False],
+        [False, True, True, True, True, False],
+        [False, True, True, True, True, False],
+        [False, False, True, True, False, False],
+        [False, False, False, False, False, False],
+        [False, False, False, False, False, False],
+    ]
+    # row 0 = southmost northing, matching verde meshgrid row order
+    got_mat = got["in_range"].to_numpy().reshape(7, 6)
+    npt.assert_array_equal(got_mat, np.array(true))
+
+
+def test_convexhull_mask_golden(spark):
+    # verde tests/test_mask.py:19-34
+    coords = _mask_grid(spark)
+    data = spark.createDataFrame(
+        pd.DataFrame({"easting": [2.0, 3.0, 2.0, 3.0], "northing": [-9.0, -9.0, -6.0, -6.0]})
+    )
+    got = (
+        convexhull_mask(data, coords)
+        .orderBy("northing", "easting")
+        .toPandas()
+    )
+    true = [
+        [False, False, False, False, False, False],
+        [False, False, True, True, False, False],
+        [False, False, True, True, False, False],
+        [False, False, True, True, False, False],
+        [False, False, True, True, False, False],
+        [False, False, False, False, False, False],
+        [False, False, False, False, False, False],
+    ]
+    got_mat = got["in_hull"].to_numpy().reshape(7, 6)
+    npt.assert_array_equal(got_mat, np.array(true))

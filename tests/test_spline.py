@@ -1,0 +1,59 @@
+"""Spline gridding goldens ported from verde tests/test_spline.py."""
+
+import numpy as np
+import numpy.testing as npt
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from verde_spark import CheckerBoard, Spline, r2_score
+from verde_spark.coordinates import grid_coordinates
+
+
+def test_spline_exact(spark):
+    # verde tests/test_spline.py:77-98: exact interpolation at data points
+    region = (100, 500, -800, -700)
+    synth = CheckerBoard(region=region)
+    data = synth.scatter(spark, size=1500, random_state=1).cache()
+    spline = Spline().fit(data)
+    pred = spline.predict(data, "pred").toPandas()
+    npt.assert_allclose(pred["pred"], pred["scalars"], rtol=1e-5)
+    # score ~ 1
+    scored = spline.predict(data, "pred")
+    assert r2_score(scored, "scalars", "pred") > 0.99999
+    # interior grid matches the truth to rtol 5e-2
+    grid_region, shape = (270, 320, -770, -720), (5, 5)
+    got = spline.grid(spark, region=grid_region, shape=shape, output_col="pred").toPandas()
+    truth = synth.predict_numpy(got["easting"].to_numpy(), got["northing"].to_numpy())
+    npt.assert_allclose(got["pred"], truth, rtol=5e-2)
+
+
+def test_spline_weights_outlier(spark):
+    # verde tests/test_spline.py:120-136: damped weighted fit ignores outlier
+    synth = CheckerBoard()
+    east, north, scalars = synth.scatter_numpy(size=2000, random_state=1)
+    data_outlier = scalars.copy()
+    data_outlier[500] += 100e3
+    weights = np.ones_like(scalars)
+    weights[500] = 1e-10
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"easting": east, "northing": north, "scalars": data_outlier, "weight": weights}
+        )
+    ).cache()
+    spline = Spline(damping=1e-8).fit(df, weight_col="weight")
+    pred = spline.predict(df, "pred").toPandas().sort_values("easting")
+    truth = synth.predict_numpy(pred["easting"].to_numpy(), pred["northing"].to_numpy())
+    npt.assert_allclose(pred["pred"], truth, rtol=1e-2, atol=10)
+
+
+def test_spline_tiled_matches_global(spark):
+    # distributed seams check: tiled solve with halo ≈ single global solve
+    region = (100, 500, -800, -700)
+    synth = CheckerBoard(region=region)
+    data = synth.scatter(spark, size=1500, random_state=0).cache()
+    tiled = Spline(damping=1e-10, tile_spacing=200.0, halo=100.0).fit(data)
+    grid_region, shape = (270, 320, -770, -720), (8, 8)
+    got = tiled.grid(spark, region=grid_region, shape=shape, output_col="pred").toPandas()
+    truth = synth.predict_numpy(got["easting"].to_numpy(), got["northing"].to_numpy())
+    npt.assert_allclose(got["pred"], truth, rtol=8e-2)
