@@ -1,0 +1,297 @@
+"""Web-scale layer: pages table, geotag parse, cell index, dedup,
+similarity, multimodal plumbing, grid IO."""
+
+import numpy as np
+import numpy.testing as npt
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from verde_spark.functions.cells import (
+    cell_center,
+    cell_disk,
+    cell_encode,
+    cell_encode_sql,
+    cell_parent,
+    cell_resolution,
+)
+from verde_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    geotag_lat,
+    geotag_lon,
+    lang_id_expr,
+    quality_score,
+    shingles,
+    token_count,
+)
+from verde_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash,
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash_near_duplicates,
+)
+from verde_spark.operators.multimodal import extract_features, payload_metadata
+from verde_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+from verde_spark.sources.pages import geotagged, synthesize_pages
+from verde_spark.sources.grid_io import grid_to_table, load_surfer, table_to_grid
+
+
+# --- pages + geotag ---------------------------------------------------------
+
+
+def test_pages_deterministic_and_geotag_roundtrip(spark):
+    pages = synthesize_pages(spark, 500, region=(-5, 0, 5, 10), seed=42).cache()
+    assert pages.count() == 500
+    # deterministic across partitionings
+    again = synthesize_pages(spark, 500, region=(-5, 0, 5, 10), seed=42, num_partitions=7)
+    assert pages.exceptAll(again).count() == 0
+    tagged = geotagged(pages)
+    row = tagged.agg(
+        F.min("lon"), F.max("lon"), F.min("lat"), F.max("lat"), F.count("lon")
+    ).first()
+    assert row[4] == 500
+    assert -5 <= row[0] <= row[1] <= 0
+    assert 5 <= row[2] <= row[3] <= 10
+    # text passes through byte-identically (geotagging never rewrites it)
+    assert tagged.select("url", "text").exceptAll(pages.select("url", "text")).count() == 0
+
+
+def test_geotag_parse_golden(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["page 7 geo:6.123456,-3.250000 lang:en", "no geotag here"]})
+    )
+    got = df.select(
+        geotag_lat("text").alias("lat"), geotag_lon("text").alias("lon")
+    ).toPandas()
+    assert got["lat"][0] == pytest.approx(6.123456)
+    assert got["lon"][0] == pytest.approx(-3.25)
+    assert np.isnan(got["lat"][1])
+
+
+# --- cell index ---------------------------------------------------------------
+
+
+def test_cell_encode_roundtrip_and_parent(spark):
+    pages = geotagged(synthesize_pages(spark, 200, seed=1)).cache()
+    res = 12
+    cells = pages.select(
+        "lon", "lat", cell_encode("lon", "lat", res).alias("cell")
+    ).cache()
+    # resolution recovered; center within half a cell of the point
+    n = 1 << res
+    lon_c, lat_c = cell_center("cell", res)
+    check = cells.select(
+        cell_resolution("cell").alias("r"),
+        (F.abs(lon_c - F.col("lon")) <= 180.0 / n).alias("lon_ok"),
+        (F.abs(lat_c - F.col("lat")) <= 90.0 / n).alias("lat_ok"),
+    ).toPandas()
+    assert (check["r"] == res).all()
+    assert check["lon_ok"].all()
+    assert check["lat_ok"].all()
+    # parent contains child center
+    parents = cells.select(
+        "lon", "lat", cell_parent("cell", res, res - 4).alias("p"),
+        cell_encode("lon", "lat", res - 4).alias("direct"),
+    ).toPandas()
+    npt.assert_array_equal(parents["p"], parents["direct"])
+
+
+def test_cell_encode_matches_sql_oracle(spark):
+    import duckdb
+
+    pages = geotagged(synthesize_pages(spark, 300, seed=2)).select("lon", "lat")
+    got = pages.select(cell_encode("lon", "lat", 10).alias("cell")).toPandas()
+    pdf = pages.toPandas()
+    sql = cell_encode_sql("lon", "lat", 10)
+    exp = duckdb.sql(f"SELECT {sql} AS cell FROM pdf").df()
+    npt.assert_array_equal(np.sort(got["cell"]), np.sort(exp["cell"]))
+
+
+def test_cell_disk(spark):
+    df = spark.createDataFrame(pd.DataFrame({"lon": [0.0], "lat": [0.0]}))
+    res = 8
+    out = df.select(
+        F.explode(cell_disk(cell_encode("lon", "lat", res), res)).alias("c")
+    ).toPandas()
+    assert len(out) == 9  # interior cell: full 3x3
+    # pole clamp: fewer distinct neighbors
+    df2 = spark.createDataFrame(pd.DataFrame({"lon": [0.0], "lat": [89.9]}))
+    out2 = df2.select(
+        F.explode(cell_disk(cell_encode("lon", "lat", res), res)).alias("c")
+    ).toPandas()
+    assert len(out2) == 6
+
+
+# --- text functions -----------------------------------------------------------
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    "the cat and the dog of the house is big",
+                    "der Hund und die Katze das ist gut",
+                    "",
+                    "x",
+                ]
+            }
+        )
+    )
+    got = df.select(
+        token_count("text").alias("tokens"),
+        bpe_ish_token_count("text").alias("bpe"),
+        lang_id_expr("text").alias("lang"),
+        quality_score("text").alias("q"),
+        fingerprint("text").alias("fp"),
+    ).toPandas()
+    assert got["tokens"].tolist() == [10, 8, 0, 1]
+    assert got["lang"].tolist()[:2] == ["en", "de"]
+    assert got["lang"][2] == "und"
+    assert (got["q"] >= 0).all() and (got["q"] <= 1).all()
+    assert got["fp"].nunique() == 4
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": ["a b c d", "a b", ""]}))
+    got = df.select(F.size(shingles("text", 3)).alias("n")).toPandas()
+    assert got["n"].tolist() == [2, 0, 0]
+
+
+# --- dedup ---------------------------------------------------------------------
+
+
+def _docs(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog tonight",  # exact dup of 0
+        "the quick brown fox jumps over the lazy dog today",  # near dup of 0
+        "completely different text about distributed spark engines",
+        "yet another unrelated document mentioning warehouse analytics",
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ).cache()
+
+
+def test_exact_dedup(spark):
+    docs = _docs(spark)
+    dups = exact_duplicates(docs).toPandas()
+    assert len(dups) == 1 and dups["n_copies"][0] == 2 and dups["keep_id"][0] == 0
+    kept = dedup_exact(docs).toPandas()
+    assert sorted(kept["doc_id"]) == [0, 2, 3, 4]
+
+
+def test_minhash_lsh(spark):
+    docs = _docs(spark)
+    cand = lsh_candidate_pairs(docs, num_hashes=32, bands=16)
+    jac = jaccard_pairs(docs, cand).toPandas()
+    pairs = {(a, b): j for a, b, j in jac.itertuples(index=False)}
+    assert pairs[(0, 1)] == pytest.approx(1.0)  # exact dup always collides
+    # near dup (0,2) shares most shingles
+    if (0, 2) in pairs:
+        assert pairs[(0, 2)] > 0.5
+    kept = dedup_minhash(docs, threshold=0.8, num_hashes=32, bands=16).toPandas()
+    assert 0 in set(kept["doc_id"]) and 1 not in set(kept["doc_id"])
+
+
+def test_simhash(spark):
+    docs = _docs(spark)
+    pairs = simhash_near_duplicates(docs, max_hamming=6).toPandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got  # identical text → hamming 0
+    assert pairs.set_index(["id_a", "id_b"]).loc[(0, 1), "hamming"] == 0
+
+
+def test_dedup_on_documents_table(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    kept = dedup_exact(docs, id_col="doc_id", text_col="text")
+    n_distinct = docs.select("text").distinct().count()
+    assert kept.count() == n_distinct
+
+
+# --- similarity ------------------------------------------------------------------
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    got = cosine_topk(emb, queries, k=3).toPandas()
+    #每 query has exactly 3 neighbors, self is rank 1 with cosine ~1
+    assert len(got) == 15
+    top1 = got[got["rank"] == 1]
+    npt.assert_array_equal(np.sort(top1["neighbor_id"]), np.sort(top1["query_id"]))
+    npt.assert_allclose(top1["cosine"], 1.0, rtol=1e-9)
+    # cross-check one query against NumPy brute force
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qid = int(got["query_id"].iloc[0])
+    qrow = np.where(pdf["vec_id"].to_numpy() == qid)[0][0]
+    sims = mat @ mat[qrow]
+    expected_top3 = set(pdf["vec_id"].to_numpy()[np.argsort(-sims)[:3]].tolist())
+    mine = set(got[got["query_id"] == qid]["neighbor_id"].tolist())
+    assert mine == expected_top3
+
+
+def test_lsh_bucketed_topk_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    queries = emb.limit(10).select(F.col("vec_id").alias("query_id"), F.col("embedding"))
+    exact = cosine_topk(emb, queries, k=1).toPandas()
+    approx = lsh_bucketed_topk(emb, queries, k=1, num_planes=6).toPandas()
+    # self-match must always be found (same bucket by construction)
+    merged = exact.merge(approx, on="query_id", suffixes=("_e", "_a"))
+    assert (merged["neighbor_id_a"] == merged["query_id"]).all()
+
+
+# --- multimodal -------------------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark):
+    pages = synthesize_pages(spark, 50, seed=3)
+    feats = extract_features(pages, payload_col="html", feature_dim=4)
+    pdf = feats.toPandas()
+    assert all(len(v) == 4 for v in pdf["features"])
+    # deterministic: same payload → same features
+    again = extract_features(pages, payload_col="html", feature_dim=4).toPandas()
+    a = np.stack(pdf.sort_values("url")["features"].to_numpy())
+    b = np.stack(again.sort_values("url")["features"].to_numpy())
+    npt.assert_array_equal(a, b)
+    meta = payload_metadata(pages).toPandas()
+    assert (meta["payload_kind"] == "html").all()
+    assert (meta["payload_bytes"] > 0).all()
+
+
+# --- grid io ------------------------------------------------------------------------
+
+
+def test_grid_roundtrip(spark):
+    values = np.arange(12, dtype="float64").reshape(3, 4)
+    df = grid_to_table(values, (0, 3, 0, 2), spark)
+    east, north, got = table_to_grid(df)
+    npt.assert_allclose(east, np.linspace(0, 3, 4))
+    npt.assert_allclose(north, np.linspace(0, 2, 3))
+    npt.assert_allclose(got, values)
+
+
+def test_load_surfer(spark, tmp_path):
+    grd = tmp_path / "test.grd"
+    grd.write_text(
+        "DSAA\n4 3\n0 3\n0 2\n0 11\n"
+        "0 1 2 3\n4 5 1.70141e38 7\n8 9 10 11\n"
+    )
+    values, region = load_surfer(str(grd))
+    assert region == (0, 3, 0, 2)
+    assert values.shape == (3, 4)
+    assert np.isnan(values[1, 2])
+    assert np.nanmax(values) == 11
+    # corrupted header → integrity error (verde io.py:117-134)
+    bad = tmp_path / "bad.grd"
+    bad.write_text("DSAA\n4 3\n0 3\n0 2\n0 99\n0 1 2 3\n4 5 6 7\n8 9 10 11\n")
+    with pytest.raises(ValueError):
+        load_surfer(str(bad))

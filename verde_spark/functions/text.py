@@ -1,0 +1,131 @@
+"""Text-layer functions for the web-page table: geotag extraction,
+language-ID, quality scoring, token counting, fingerprinting.
+
+Everything here is either a builtin column expression (regexp/hash —
+JVM-side, codegen) or an Arrow-vectorized pandas UDF; never per-row
+Python. The ``text`` column itself is only ever *read* — the
+byte-identical-text-per-url invariant (BASELINE.json input_hint) means no
+operator may rewrite it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: geotag embedded in page text by the fixture generator (FIXTURES.md §1):
+#: ``geo:<lat>,<lon>`` with fixed-precision decimals.
+GEO_PATTERN = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
+
+
+def geotag_lat(text: Column | str = "text") -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    # try_cast: regexp_extract yields '' on no match (null under ANSI cast)
+    return F.regexp_extract(text, GEO_PATTERN, 1).try_cast("double")
+
+
+def geotag_lon(text: Column | str = "text") -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract(text, GEO_PATTERN, 2).try_cast("double")
+
+
+def geotag_sql(col: str, group: int) -> str:
+    """DuckDB SQL equivalent of the geotag extraction (oracle parity)."""
+    return (
+        f"TRY_CAST(regexp_extract({col}, 'geo:(-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', {group}) AS DOUBLE)"
+    )
+
+
+def token_count(text: Column | str = "text") -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    text = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column | str = "text") -> Column:
+    """BPE-ish token estimate: count of word/number/punctuation pieces.
+
+    ``regexp_count`` of ``\\w+|[^\\w\\s]`` — a cheap stand-in for a real
+    tokenizer with the same monotonicity properties, entirely JVM-side.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(text, F.lit(r"\w+|[^\w\s]"))
+
+
+#: Tiny per-language stopword markers for the n-gram/stopword heuristic.
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " die ", " und ", " das ", " ist "],
+    "fr": [" le ", " la ", " les ", " et ", " est "],
+    "es": [" el ", " los ", " que ", " y ", " es "],
+    "pt": [" o ", " os ", " que ", " e ", " um "],
+}
+
+
+def lang_id_expr(text: Column | str = "text") -> Column:
+    """Heuristic language-ID: argmax of per-language stopword hit counts.
+
+    Pure column expressions (one ``regexp_count`` per language + a
+    ``greatest``-based argmax); returns 'und' when nothing matches.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = {
+        lang: sum(
+            (F.regexp_count(padded, F.lit(m.replace(" ", r"\s"))) for m in markers),
+            start=F.lit(0),
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang, score in reversed(list(scores.items())):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column | str = "text") -> Column:
+    """Cheap document-quality score in [0, 1]: blends length, alpha ratio,
+    punctuation ratio and mean word length — all JVM-side expressions."""
+    text = F.col(text) if isinstance(text, str) else text
+    n = F.length(text).cast("double")
+    safe_n = F.greatest(n, F.lit(1.0))
+    alpha = F.regexp_count(text, F.lit(r"[A-Za-z]")).cast("double") / safe_n
+    punct = F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double") / safe_n
+    words = F.greatest(token_count(text).cast("double"), F.lit(1.0))
+    mean_word = n / words
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 10), F.lit(1.0)).otherwise(F.lit(0.3))
+    punct_score = F.when(punct <= 0.2, F.lit(1.0)).otherwise(F.greatest(F.lit(0.0), 1.0 - punct))
+    return (0.3 * len_score + 0.3 * alpha + 0.2 * word_score + 0.2 * punct_score).alias(
+        "quality"
+    )
+
+
+def fingerprint(text: Column | str = "text") -> Column:
+    """Deterministic 64-bit document fingerprint (xxhash64 of the text) —
+    the exact-dedup key."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.xxhash64(text)
+
+
+def shingles(text: Column | str = "text", n: int = 3) -> Column:
+    """Array of word n-gram shingle hashes (for MinHash/Jaccard dedup).
+
+    ``split`` → ``transform(sequence)`` over sliding windows → xxhash64 of
+    the joined n-gram. Pure Catalyst; yields an empty array for texts
+    shorter than n words.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), n_sh - 1)
+    gram = lambda i: F.xxhash64(  # noqa: E731
+        F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)])
+    )
+    return F.when(n_sh > 0, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<bigint>")
+    )

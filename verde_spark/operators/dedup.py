@@ -1,0 +1,291 @@
+"""Deduplication operators for web-scale document tables.
+
+Four families, all shuffle-conscious:
+
+* **exact** — hash-groupBy on ``xxhash64(text)``; map-side partial
+  ``min(doc_id)`` keeps the shuffle at one row per distinct hash.
+* **MinHash + LSH** — word-shingle hashes → P permutations of minhash
+  (pure ``aggregate``/``transform`` array expressions, no UDF) → bands of
+  R rows hashed to buckets → self-join per bucket → candidate pairs →
+  exact Jaccard verify. The only shuffle keys are (band, bucket) — bounded
+  by construction; identical docs collide in every band.
+* **SimHash** — 64-bit signature from per-token hash bit votes
+  (Arrow pandas UDF, vectorized bit arithmetic in NumPy) → near-dups =
+  signatures at Hamming distance ≤ d found by 4-way table splits.
+* **n-gram Jaccard** — direct pairwise verify for candidate pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(hash, n_copies, keep_id) per duplicated text — one groupBy, partial
+    count/min map-side."""
+    return (
+        df.select(fingerprint(text_col).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of each distinct text.
+
+    ``row_number`` over the hash (single shuffle) rather than a self-join;
+    AQE handles hash skew (a viral duplicated page = one hot key) and the
+    window sorts only within each hash group.
+    """
+    win = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn", F.row_number().over(win)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# MinHash / LSH
+# ---------------------------------------------------------------------------
+
+# Mersenne prime 2^31-1: (a·x + b) mod p stays under 2^62, so the universal
+# hash never overflows a signed long (ANSI mode errors on overflow).
+_MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_signature(
+    shingle_col: Column | str, num_hashes: int = 64, seed: int = 7
+) -> Column:
+    """Array of *num_hashes* minhash values from a shingle-hash array.
+
+    Each permutation is ``min((a_i * h + b_i) mod M)`` computed with
+    ``transform`` + ``array_min`` — pure Catalyst, no Python. Empty shingle
+    arrays yield nulls (docs too short to compare).
+    """
+    sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    rng = np.random.RandomState(seed)
+    coeffs = [
+        (int(rng.randint(1, _MINHASH_PRIME)), int(rng.randint(0, _MINHASH_PRIME)))
+        for _ in range(num_hashes)
+    ]
+    def _perm(a, b):
+        return lambda h: F.pmod(
+            F.lit(a) * F.pmod(h, F.lit(_MINHASH_PRIME)) + F.lit(b), F.lit(_MINHASH_PRIME)
+        )
+
+    perms = [F.array_min(F.transform(sh, _perm(a, b))) for a, b in coeffs]
+    return F.when(F.size(sh) > 0, F.array(*perms))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
+
+    Signature → ``bands`` slices of ``num_hashes/bands`` rows; each slice
+    hashes to a bucket key; a self-join **per (band, bucket)** finds pairs.
+    The join is an equi-join on (band, bucket) — never a global cartesian
+    — and pairs colliding in several bands are deduplicated by distinct.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(shingles(text_col, shingle_size), num_hashes, seed).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: two broadcast-eligible
+    joins to attach shingle sets, then pure array intersection math."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_size)).alias("sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return out.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Drop near-duplicates: LSH candidates → exact Jaccard ≥ threshold →
+    keep the min-id member of each duplicate pair chain (single-link by
+    direct edge; full connected components would need iteration)."""
+    cand = lsh_candidate_pairs(df, id_col, text_col, shingle_size, num_hashes, bands)
+    dups = jaccard_pairs(df, cand, id_col, text_col, shingle_size).filter(
+        F.col("jaccard") >= threshold
+    )
+    to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_expr_udf():
+    """Vectorized SimHash-64: per-token 64-bit hashes vote per bit.
+
+    NumPy bit unpacking per Arrow batch (no per-row Python loops except the
+    token split, which pandas vectorizes at the C level via str.split).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        for i, t in enumerate(text):
+            if not t:
+                continue
+            toks = t.lower().split()
+            if not toks:
+                continue
+            hashes = np.array(
+                [np.int64(hash(tok) & 0x7FFFFFFFFFFFFFFF) for tok in toks], dtype=np.uint64
+            )
+            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            votes = bits.sum(axis=0) * 2 - len(toks)  # +1 / -1 votes
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) — python ``hash`` is salted per-process, so this uses a
+    deterministic xxhash64-per-token formulation in pure Spark instead:
+    64 bit-vote columns from the token hash array."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok_hash = F.transform(words, lambda t: F.xxhash64(t))
+    # vote for bit b: sum over tokens of (bit set ? 1 : -1) > 0
+    def _vote(b):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for b in range(64):
+        vote = F.aggregate(tok_hash, F.lit(0), _vote(b))
+        bits.append(F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")))
+    sig = bits[0]
+    for bexpr in bits[1:]:
+        sig = sig.bitwiseOR(bexpr)
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming via 4-block table split:
+    if two 64-bit signatures differ in ≤ 3 bits, at least one of the four
+    16-bit blocks matches exactly → equi-join per block, verify with
+    bit_count (pigeonhole; no cartesian)."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    blocks = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.blk", "bb.key")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
