@@ -1,0 +1,161 @@
+"""Vector gridders, SplineCV, projections, checkpoint/resume."""
+
+import numpy as np
+import numpy.testing as npt
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from verde_spark import CheckerBoard, KNeighbors, Spline, Trend, r2_score
+from verde_spark.checkpoint import TileCheckpoint, run_resumable
+from verde_spark.operators.projections import project_grid, project_points
+from verde_spark.operators.splinecv import SplineCV
+from verde_spark.operators.vector import Vector, VectorSpline2D, greens_func_2d
+
+
+def _vector_scatter(spark, size=600, seed=2):
+    # smooth coupled vector field over the default CheckerBoard region
+    synth = CheckerBoard(region=(0, 5000, -5000, 0))
+    east, north, val = synth.scatter_numpy(size=size, random_state=seed)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "easting": east,
+                "northing": north,
+                "east_component": val,
+                "north_component": 0.5 * val,
+            }
+        )
+    ).cache()
+
+
+def test_vector_independent_components(spark):
+    df = _vector_scatter(spark)
+    vec = Vector(
+        [
+            ("east_component", lambda: Spline()),
+            ("north_component", lambda: Spline()),
+        ]
+    ).fit(df)
+    pred = vec.predict(df).toPandas()
+    npt.assert_allclose(pred["east_component_pred"], pred["east_component"], rtol=1e-4, atol=1e-6)
+    npt.assert_allclose(pred["north_component_pred"], pred["north_component"], rtol=1e-4, atol=1e-6)
+
+
+def test_vector_spline2d_exact_at_data(spark):
+    # verde tests/test_vector.py semantics: coupled spline recovers the data
+    df = _vector_scatter(spark, size=400)
+    vs = VectorSpline2D(mindist=10e3, damping=None).fit(df)
+    pred = vs.predict(df).toPandas()
+    npt.assert_allclose(pred["east_component_pred"], pred["east_component"], rtol=1e-3, atol=0.5)
+    npt.assert_allclose(pred["north_component_pred"], pred["north_component"], rtol=1e-3, atol=0.5)
+
+
+def test_greens_func_2d_uncoupled_at_poisson_minus1():
+    # poisson = -1 → over_r2 term vanishes → g_ne = 0 (uncoupled)
+    g_ee, g_nn, g_ne = greens_func_2d(np.array([1.0, 2.0]), np.array([2.0, 1.0]), 0.0, -1.0)
+    npt.assert_allclose(g_ne, 0.0)
+    npt.assert_allclose(g_ee, g_nn[::-1])
+
+
+def test_splinecv_grid_search(spark):
+    # with blocked CV, held-out blocks are spatially disjoint from train —
+    # the winner is whichever damping generalizes, and the refit must score
+    # well on the data. (verde's own test uses row-wise ShuffleSplit, where
+    # exact interpolation wins; blocked CV legitimately prefers damping.)
+    synth = CheckerBoard(region=(100, 500, -800, -700))
+    data = synth.scatter(spark, size=400, random_state=0).cache()
+    cv = SplineCV(dampings=[1e-12, 1e4], parallel_candidates=2).fit(data)
+    assert len(cv.scores_) == 2
+    assert cv.damping_ == [1e-12, 1e4][int(np.argmax(cv.scores_))]
+    # refitting with the exact (undamped) spline reproduces the data
+    exact = SplineCV(dampings=[None], parallel_candidates=1).fit(data)
+    pred = exact.predict(data, "pred")
+    assert r2_score(pred, "scalars", "pred") > 0.999
+
+
+def test_project_points_linear(spark):
+    df = spark.createDataFrame(pd.DataFrame({"easting": [1.0, 2.0], "northing": [3.0, 4.0]}))
+    out = project_points(df, lambda e, n: (10 * e, 10 * n)).toPandas()
+    npt.assert_allclose(sorted(out["easting"]), [10.0, 20.0])
+    npt.assert_allclose(sorted(out["northing"]), [30.0, 40.0])
+
+
+def test_project_grid_linear_roundtrip(spark):
+    # linear projection of a smooth grid re-interpolated with kNN stays close
+    synth = CheckerBoard(region=(0, 10, -10, 0), w_east=10, w_north=10)
+    table = synth.grid(spark, shape=(40, 40)).select("easting", "northing", "scalars")
+    out = project_grid(
+        table,
+        lambda e, n: (2 * e, 2 * n),
+        KNeighbors(k=1),
+        spacing=0.5,
+        antialias=False,
+    ).toPandas()
+    inner = out[
+        (out["easting"] > 2) & (out["easting"] < 18)
+        & (out["northing"] > -18) & (out["northing"] < -2)
+    ]
+    truth = synth.predict_numpy(
+        inner["easting"].to_numpy() / 2, inner["northing"].to_numpy() / 2
+    )
+    npt.assert_allclose(inner["scalars"], truth, atol=120)
+    # extrapolated corners are masked to null inside the hull mask
+    assert out["scalars"].notna().sum() > 0
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    path = str(tmp_path / "ckpt")
+    pdf = pd.DataFrame({"tile": [0, 0, 1, 1, 2], "x": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    inputs = spark.createDataFrame(pdf)
+
+    calls = []
+
+    def stage(df):
+        calls.append(df.select("tile").distinct().count())
+        return df.groupBy("tile").agg(F.sum("x").alias("total"))
+
+    out1 = run_resumable(spark, inputs, stage, path)
+    assert sorted(r["tile"] for r in out1.select("tile").collect()) == [0, 1, 2]
+    assert calls == [3]
+
+    # resume: nothing left to do → stage not called again
+    out2 = run_resumable(spark, inputs, stage, path)
+    assert calls == [3]
+    got = {r["tile"]: r["total"] for r in out2.collect()}
+    assert got == {0: 3.0, 1: 7.0, 2: 5.0}
+
+    # new tile arrives → only that tile recomputes
+    more = spark.createDataFrame(
+        pd.DataFrame({"tile": [0, 3], "x": [99.0, 9.0]})
+    )
+    out3 = run_resumable(spark, inputs.unionByName(more), stage, path)
+    assert calls == [3, 1]  # one new tile only
+    got3 = {r["tile"]: r["total"] for r in out3.collect()}
+    assert got3[3] == 9.0 and got3[0] == 3.0  # tile 0 kept its checkpoint
+
+    # manifest carries lineage + metrics
+    man = TileCheckpoint(path).manifest(spark).toPandas()
+    assert set(man.columns) >= {"tile", "rows_in", "rows_out", "checksum", "stage_seconds", "status"}
+
+
+def test_chain_decimate_detrend_spline(spark):
+    # EP2 integration (verde tests/test_minimal.py shape): BlockMean →
+    # Trend → Spline chain scores ≈ 1 on a smooth field + trend
+    from verde_spark import BlockReduce, Chain
+
+    synth = CheckerBoard(region=(0, 5000, -5000, 0))
+    east, north, val = synth.scatter_numpy(size=3000, random_state=5)
+    data = val + 10.0 + 0.05 * east - 0.02 * north
+    df = spark.createDataFrame(
+        pd.DataFrame({"easting": east, "northing": north, "scalars": data})
+    ).cache()
+    chain = Chain(
+        [
+            ("mean", BlockReduce("mean", spacing=250.0)),
+            ("trend", Trend(degree=1)),
+            ("spline", Spline(damping=1e-10)),
+        ]
+    ).fit(df)
+    score = chain.score(df)
+    assert score > 0.97

@@ -39,6 +39,10 @@ from .operators.spline import Spline
 from .operators.neighbors import KNeighbors, knn_join
 from .operators.masks import convex_hull, convexhull_mask, distance_mask, inside_hull_expr
 from .operators.chain import Chain
+from .operators.vector import Vector, VectorSpline2D
+from .operators.splinecv import SplineCV
+from .operators.projections import project_grid, project_points
+from .checkpoint import TileCheckpoint, run_resumable
 from .model_selection import (
     BlockKFold,
     BlockShuffleSplit,
@@ -58,7 +62,11 @@ __all__ = [
     "CheckerBoard",
     "KNeighbors",
     "Spline",
+    "SplineCV",
+    "TileCheckpoint",
     "Trend",
+    "Vector",
+    "VectorSpline2D",
     "block_mean",
     "block_reduce",
     "block_split",

@@ -1,0 +1,140 @@
+"""Resumable per-partition checkpointing with lineage + metrics.
+
+The north rule requires pipelines over 10^12-row tables to be *resumable
+from checkpoint with per-partition lineage + metrics*. The unit of
+checkpointing here is the spatial partition (tile/cell id): a pipeline
+stage writes its per-tile results as parquet partitioned by the tile
+column plus a **manifest** row per tile (tile id, row counts in/out,
+value checksum, wall time, status). On resume, completed tile ids are
+anti-joined away so only missing/failed tiles recompute.
+
+Everything is plain DataFrame mechanics — the manifest is itself a tiny
+parquet table, so lineage queries ("which tiles are stale?", "rows per
+tile over time") are just Spark SQL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_DIR = "_manifest"
+DATA_DIR = "data"
+
+
+class TileCheckpoint:
+    """Checkpointed, tile-partitioned output of one pipeline stage.
+
+    >>> ckpt = TileCheckpoint("/tmp/stage1", tile_col="tile")
+    >>> done = ckpt.completed_tiles(spark)          # tiny DataFrame of ids
+    >>> todo = inputs.join(done, "tile", "left_anti")  # resume = anti-join
+    >>> ckpt.write(result_of(todo))                  # appends data + manifest
+    >>> full = ckpt.load(spark)                      # all completed tiles
+    """
+
+    def __init__(self, path: str, tile_col: str = "tile"):
+        self.path = path
+        self.tile_col = tile_col
+        self.data_path = os.path.join(path, DATA_DIR)
+        self.manifest_path = os.path.join(path, MANIFEST_DIR)
+
+    # -- reading ---------------------------------------------------------------
+
+    def manifest(self, spark: SparkSession) -> Optional[DataFrame]:
+        try:
+            return spark.read.parquet(self.manifest_path)
+        except Exception:
+            return None
+
+    def completed_tiles(self, spark: SparkSession) -> DataFrame:
+        """Distinct tile ids marked ok in the manifest (empty DF if none)."""
+        man = self.manifest(spark)
+        if man is None:
+            return spark.createDataFrame([], f"{self.tile_col} long")
+        return (
+            man.filter(F.col("status") == "ok")
+            .select(F.col("tile").alias(self.tile_col))
+            .distinct()
+        )
+
+    def remaining(self, inputs: DataFrame) -> DataFrame:
+        """Input rows whose tile has not completed yet (the resume set)."""
+        done = self.completed_tiles(inputs.sparkSession)
+        return inputs.join(done, self.tile_col, "left_anti")
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        """All checkpointed output rows (completed tiles only)."""
+        out = spark.read.parquet(self.data_path)
+        return out.join(self.completed_tiles(spark), self.tile_col, "left_semi")
+
+    # -- writing ---------------------------------------------------------------
+
+    def write(self, result: DataFrame, input_counts: Optional[DataFrame] = None) -> DataFrame:
+        """Append *result* partitioned by tile and record the manifest.
+
+        Metrics per tile: rows_out, value checksum (xor of row hashes —
+        order-insensitive), duration of the stage write, wall-clock stamp.
+        ``input_counts`` (tile, rows_in) joins lineage from the stage input.
+        Returns the manifest rows written.
+        """
+        spark = result.sparkSession
+        t0 = time.time()
+        (
+            result.write.partitionBy(self.tile_col)
+            .mode("append")
+            .parquet(self.data_path)
+        )
+        duration = time.time() - t0
+        hash_cols = [c for c in result.columns if c != self.tile_col]
+        stats = (
+            spark.read.parquet(self.data_path)
+            .groupBy(F.col(self.tile_col).alias("tile"))
+            .agg(
+                F.count(F.lit(1)).alias("rows_out"),
+                # xor-fold of row hashes: order-insensitive content checksum
+                F.sum(F.xxhash64(*hash_cols) % F.lit(1 << 31)).alias("checksum"),
+            )
+        )
+        if input_counts is not None:
+            stats = stats.join(
+                input_counts.select(
+                    F.col(self.tile_col).alias("tile"), F.col("rows_in")
+                ),
+                "tile",
+                "left",
+            )
+        else:
+            stats = stats.withColumn("rows_in", F.lit(None).cast("long"))
+        manifest = stats.select(
+            "tile",
+            "rows_in",
+            "rows_out",
+            "checksum",
+            F.lit(round(duration, 3)).alias("stage_seconds"),
+            F.current_timestamp().alias("completed_at"),
+            F.lit("ok").alias("status"),
+        )
+        manifest.write.mode("overwrite").parquet(self.manifest_path)
+        return manifest
+
+
+def run_resumable(
+    spark: SparkSession,
+    inputs: DataFrame,
+    stage: Callable[[DataFrame], DataFrame],
+    checkpoint_path: str,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Run ``stage`` over only the tiles not yet completed, checkpoint the
+    new results, and return the full (old + new) output."""
+    ckpt = TileCheckpoint(checkpoint_path, tile_col)
+    todo = ckpt.remaining(inputs)
+    if not todo.isEmpty():
+        counts = todo.groupBy(tile_col).agg(F.count(F.lit(1)).alias("rows_in"))
+        ckpt.write(stage(todo), input_counts=counts)
+    return ckpt.load(spark)
