@@ -89,15 +89,18 @@ def _center_sql() -> tuple[str, str]:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geotagged pages → cell block-mean → tiled spline → grid."""
+    from verde_spark.operators.spline import spline_solve_grid
+
     sf_dir = "/root/testdata/sf0.001"
     pts = _points(spark, sf_dir)
-    # decimate (one shuffle, algebraic agg), fit per-tile spline with halo,
-    # evaluate on a 20x20 regular grid
-    dec, _ = block_mean(pts, spacing=0.5, region=REGION)
-    spline = Spline(damping=1e-8, tile_spacing=2.5, halo=1.25).fit(
-        dec.cache(), weight_col="weight_scalars"
+    # decimate (one shuffle, algebraic agg), then the fused per-tile
+    # solve+evaluate cogroup (one Python stage, tested exactly equal to the
+    # two-pass fit().grid() path)
+    dec, _ = block_mean(pts, spacing=0.5, region=REGION, sort=False)
+    return spline_solve_grid(
+        dec, region=REGION, shape=(20, 20), tile_spacing=2.5, halo=1.25,
+        damping=1e-8, weight_col="weight_scalars", output_col="prediction",
     )
-    return spline.grid(spark, region=REGION, shape=(20, 20), output_col="prediction")
 
 
 # ---------------------------------------------------------------------------
@@ -381,12 +384,14 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_spline_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-SQL-expressible (iterative dense solve): rows-only check.
+    from verde_spark.operators.spline import spline_solve_grid
+
     pts = _points(spark, sf_dir)
-    dec, _ = block_mean(pts, spacing=0.5, region=REGION)
-    spline = Spline(damping=1e-8, tile_spacing=2.5, halo=1.25).fit(
-        dec, weight_col="weight_scalars"
+    dec, _ = block_mean(pts, spacing=0.5, region=REGION, sort=False)
+    return spline_solve_grid(
+        dec, region=REGION, shape=(20, 20), tile_spacing=2.5, halo=1.25,
+        damping=1e-8, weight_col="weight_scalars", output_col="prediction",
     )
-    return spline.grid(spark, region=REGION, shape=(20, 20), output_col="prediction")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -47,6 +47,31 @@ def test_spline_weights_outlier(spark):
     npt.assert_allclose(pred["pred"], truth, rtol=1e-2, atol=10)
 
 
+def test_spline_solve_grid_fused_matches_two_pass(spark):
+    # the fused single-cogroup path must equal fit().grid() exactly
+    from verde_spark.operators.spline import spline_solve_grid
+
+    region = (100, 500, -800, -700)
+    synth = CheckerBoard(region=region)
+    data = synth.scatter(spark, size=800, random_state=2).cache()
+    two_pass = (
+        Spline(damping=1e-8, tile_spacing=200.0, halo=100.0)
+        .fit(data, region=region)
+        .grid(spark, region=region, shape=(12, 12), output_col="pred")
+        .orderBy("iy", "ix")
+        .toPandas()
+    )
+    fused = (
+        spline_solve_grid(
+            data, region=region, shape=(12, 12), tile_spacing=200.0, halo=100.0,
+            damping=1e-8, output_col="pred",
+        )
+        .orderBy("iy", "ix")
+        .toPandas()
+    )
+    npt.assert_allclose(fused["pred"], two_pass["pred"], rtol=1e-12)
+
+
 def test_spline_tiled_matches_global(spark):
     # distributed seams check: tiled solve with halo ≈ single global solve
     region = (100, 500, -800, -700)

@@ -1,0 +1,55 @@
+"""Streaming forms agree with the batch plans on identical input."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from verde_spark.functions.cells import cell_encode
+from verde_spark.functions.text import geotag_lat, geotag_lon, quality_score
+from verde_spark.sources.pages import synthesize_pages
+from verde_spark.streaming import (
+    run_to_memory,
+    stream_pages,
+    streaming_cell_blockmean,
+    streaming_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pages_stream"))
+    # two "arrivals" = two files
+    synthesize_pages(spark, 400, seed=42).write.mode("append").parquet(path)
+    synthesize_pages(spark, 400, seed=43).write.mode("append").parquet(path)
+    return path
+
+
+def test_streaming_cell_blockmean_matches_batch(spark, pages_dir):
+    stream = streaming_cell_blockmean(
+        stream_pages(spark, pages_dir), resolution=6, window_duration="10 minutes"
+    )
+    run_to_memory(stream, "cellmeans", mode="update")
+    got = spark.sql("select cell, n_pages, mean_value from cellmeans").toPandas()
+
+    batch = spark.read.parquet(pages_dir)
+    tagged = batch.withColumn("lon", geotag_lon("text")).withColumn("lat", geotag_lat("text"))
+    expected = (
+        tagged.filter(F.col("lon").isNotNull())
+        .groupBy(cell_encode("lon", "lat", 6).alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.avg(quality_score("text")).alias("mean_value"))
+        .toPandas()
+    )
+    g = got.groupby("cell")[["n_pages"]].sum().sort_index()
+    e = expected.set_index("cell")[["n_pages"]].sort_index()
+    # all pages share one 10-min window (warc_ts spans ~400s) → counts match
+    assert g["n_pages"].sum() == e["n_pages"].sum() == 800
+    pd.testing.assert_frame_equal(g, e)
+
+
+def test_streaming_dedup(spark, pages_dir):
+    # seeds 42/43 produce disjoint texts; duplicate file contents would drop
+    stream = streaming_dedup(stream_pages(spark, pages_dir), watermark="1 hour")
+    run_to_memory(stream, "dedup", mode="append")
+    n = spark.sql("select count(*) c from dedup").first()["c"]
+    batch_distinct = spark.read.parquet(pages_dir).select("text").distinct().count()
+    assert n == batch_distinct

@@ -39,6 +39,7 @@ from .operators.spline import Spline
 from .operators.neighbors import KNeighbors, knn_join
 from .operators.masks import convex_hull, convexhull_mask, distance_mask, inside_hull_expr
 from .operators.chain import Chain
+from .operators.linear import Linear
 from .operators.vector import Vector, VectorSpline2D
 from .operators.splinecv import SplineCV
 from .operators.projections import project_grid, project_points
@@ -61,6 +62,7 @@ __all__ = [
     "Chain",
     "CheckerBoard",
     "KNeighbors",
+    "Linear",
     "Spline",
     "SplineCV",
     "TileCheckpoint",

@@ -85,6 +85,7 @@ def block_reduce(
     weight_cols: Optional[Sequence[str]] = None,
     extra_coord_cols: Sequence[str] = (),
     grid: Optional[BlockGrid] = None,
+    sort: bool = True,
 ) -> Tuple[DataFrame, BlockGrid]:
     """verde ``BlockReduce.filter`` (blockreduce.py:117-243) as one groupBy.
 
@@ -122,7 +123,11 @@ def block_reduce(
         ce, cn = grid.center_exprs("block")
         out = out.withColumn(easting, ce).withColumn(northing, cn)
     cols = ["block", easting, northing, *extra_coord_cols, *data_cols]
-    return out.select(*cols).orderBy("block"), grid
+    out = out.select(*cols)
+    # ordering by label is verde's output contract (pandas groupby sorts
+    # keys); sort=False skips the range-partition exchange when the caller
+    # doesn't need it (pipelines keyed on block downstream)
+    return (out.orderBy("block") if sort else out), grid
 
 
 def variance_to_weights(
@@ -164,6 +169,7 @@ def block_mean(
     data_cols: Sequence[str] = ("scalars",),
     weight_cols: Optional[Sequence[str]] = None,
     grid: Optional[BlockGrid] = None,
+    sort: bool = True,
 ) -> Tuple[DataFrame, BlockGrid]:
     """verde ``BlockMean.filter`` (blockreduce.py:246-506): blocked mean +
     output weights, three modes.
@@ -236,7 +242,8 @@ def block_mean(
         out = variance_to_weights(out, variance_col=var_names[col], weight_col=wname)
         weight_names.append(wname)
     cols = ["block", easting, northing, *data_cols, *weight_names]
-    return out.select(*cols).orderBy("block"), grid
+    out = out.select(*cols)
+    return (out.orderBy("block") if sort else out), grid
 
 
 class BlockReduce:

@@ -169,8 +169,12 @@ class Spline:
         weight_col: Optional[str] = None,
         easting: str = "easting",
         northing: str = "northing",
+        region=None,
     ) -> "Spline":
-        self.region_ = get_region(df, easting, northing)
+        # passing region explicitly skips the min/max aggregation job —
+        # worth it when the caller already knows the bounds (verde also
+        # accepts a region through grid()/CV paths)
+        self.region_ = region if region is not None else get_region(df, easting, northing)
         if self.tile_spacing is None:
             # One tile covering everything: grid with a single block.
             self.tile_grid_ = BlockGrid.from_region(self.region_, shape=(1, 1))
@@ -292,3 +296,85 @@ class Spline:
 
         nodes = grid_coordinates(spark, region or self.region_, shape=shape, spacing=spacing)
         return self.predict(nodes, output_col)
+
+
+def spline_solve_grid(
+    df: DataFrame,
+    region: Sequence[float],
+    shape,
+    tile_spacing: float,
+    halo: Optional[float] = None,
+    damping: Optional[float] = None,
+    mindist: float = 0.0,
+    data_col: str = "scalars",
+    weight_col: Optional[str] = None,
+    easting: str = "easting",
+    northing: str = "northing",
+    output_col: str = "prediction",
+) -> DataFrame:
+    """Fused per-tile solve + grid evaluation in ONE cogroup pass.
+
+    ``Spline.fit().grid()`` materializes the force table between two Python
+    stages; when the forces aren't reused, solving and predicting inside
+    the same ``applyInPandas`` halves the Python-stage count and drops a
+    shuffle — the plan is scan → blockagg exchange → cogroup(points, nodes)
+    → output, with every stage embarrassingly parallel across tiles. This
+    is the throughput path the benchmark exercises.
+    """
+    from ..coordinates import grid_coordinates
+
+    spark = df.sparkSession
+    grid = BlockGrid.from_region(region, spacing=tile_spacing)
+    pad = halo if halo is not None else tile_spacing / 2
+    pts = df.select(
+        F.col(easting).alias("easting"),
+        F.col(northing).alias("northing"),
+        F.col(data_col).alias("data"),
+        (F.col(weight_col) if weight_col else F.lit(None).cast("double")).alias("weight"),
+    )
+    exploded = _halo_explode(pts, grid, pad, "easting", "northing").select(
+        "tile", "easting", "northing", "data", "weight"
+    )
+    nodes = grid_coordinates(spark, region, shape=shape).withColumn(
+        "tile", grid.label_expr(easting, northing)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("iy", T.LongType()),
+            T.StructField("ix", T.LongType()),
+            T.StructField(northing, T.DoubleType()),
+            T.StructField(easting, T.DoubleType()),
+            T.StructField(output_col, T.DoubleType()),
+        ]
+    )
+
+    def solve_and_eval(key, points: pd.DataFrame, nds: pd.DataFrame) -> pd.DataFrame:
+        nds = nds.drop(columns=["tile"]).copy()
+        if len(nds) == 0:
+            nds[output_col] = pd.Series(dtype="float64")
+            return nds
+        if len(points) == 0:
+            nds[output_col] = np.nan
+            return nds
+        east = points["easting"].to_numpy("float64")
+        north = points["northing"].to_numpy("float64")
+        data = points["data"].to_numpy("float64")
+        w = points["weight"].to_numpy("float64")
+        weights = None if np.isnan(w).all() else np.nan_to_num(w, nan=1.0)
+        jac = spline_jacobian(east, north, east, north, mindist)
+        forces = least_squares(jac, data, weights, damping)
+        nds[output_col] = spline_predict(
+            nds[easting].to_numpy("float64"),
+            nds[northing].to_numpy("float64"),
+            east,
+            north,
+            forces,
+            mindist,
+        )
+        return nds
+
+    return (
+        exploded.groupBy("tile")
+        .cogroup(nodes.groupBy("tile"))
+        .applyInPandas(solve_and_eval, schema)
+    )

@@ -1,0 +1,95 @@
+"""Structured Streaming ingestion of page tables.
+
+The reference is batch-only (SURVEY §2.10), but a Common-Crawl-scale
+deployment ingests WARC batches continuously; this module provides the
+streaming forms of the entry-point operators:
+
+* ``stream_pages`` — ``readStream`` over a parquet page directory (the
+  same schema as sources.pages; new files = new micro-batches).
+* ``streaming_cell_blockmean`` — geotag → cell index → per-cell running
+  mean/count over event-time windows with a watermark for late pages.
+  Means are algebraic, so state per (window, cell) is O(1) — the
+  streaming agg state stays bounded by (windows in flight × occupied
+  cells), independent of row count.
+* ``streaming_dedup`` — drop exact duplicates across micro-batches with
+  ``dropDuplicatesWithinWatermark`` on the text fingerprint.
+
+Everything is expression-level (no UDFs), so the streaming plans use the
+same codegen'd kernels as the batch plans.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGE_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def stream_pages(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over a parquet directory of pages (one file = one batch)."""
+    return spark.readStream.schema(PAGE_SCHEMA).parquet(path)
+
+
+def streaming_cell_blockmean(
+    pages: DataFrame,
+    resolution: int = 8,
+    window_duration: str = "10 minutes",
+    watermark: str = "5 minutes",
+    value_col: Optional[str] = None,
+) -> DataFrame:
+    """Per-(event-time window, cell) running mean of a value column.
+
+    value defaults to the page quality score; the geotag parse and cell
+    encode are the same column expressions as the batch path, so batch
+    and streaming results agree on identical input.
+    """
+    from .functions.cells import cell_encode
+    from .functions.text import geotag_lat, geotag_lon, quality_score
+
+    tagged = pages.withColumn("lon", geotag_lon("text")).withColumn("lat", geotag_lat("text"))
+    value = F.col(value_col) if value_col else quality_score("text")
+    cells = tagged.filter(F.col("lon").isNotNull()).select(
+        F.col("warc_ts"),
+        cell_encode("lon", "lat", resolution).alias("cell"),
+        value.alias("value"),
+    )
+    return (
+        cells.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window_duration).alias("win"), F.col("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.avg("value").alias("mean_value"),
+        )
+    )
+
+
+def streaming_dedup(pages: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Exact dedup across micro-batches: fingerprint the text and drop
+    duplicates within the watermark horizon (bounded state)."""
+    from .functions.text import fingerprint
+
+    return (
+        pages.withColumn("text_hash", fingerprint("text"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update"):
+    """availableNow trigger → in-memory table; returns the finished query.
+
+    Test/demo helper: processes everything currently in the source and
+    stops (the batch-equivalence harness).
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
