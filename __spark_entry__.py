@@ -75,6 +75,25 @@ _POINTS_SQL = """
 _LABEL_SQL = GRID.label_sql("easting", "northing")
 
 
+def _rolling_centers_values() -> str:
+    """VALUES rows for the rolling-window centers (same axes the operator
+    computes: region shrunk by size/2, grid-line registered)."""
+    from verde_spark.coordinates import _resolve_axes
+
+    half = 1.0
+    w, e, s, n = REGION
+    east_ax, north_ax = _resolve_axes(
+        (w + half, e - half, s + half, n - half), spacing=2.0, adjust="spacing"
+    )
+    rows = []
+    for iy in range(north_ax.size):
+        for ix in range(east_ax.size):
+            rows.append(
+                f"({iy * east_ax.size + ix}, {east_ax.value(ix)!r}, {north_ax.value(iy)!r})"
+            )
+    return ", ".join(rows)
+
+
 def _center_sql() -> tuple[str, str]:
     ex, nx = GRID.east, GRID.north
     ce = f"({ex.start!r} + (block % {GRID.n_east}) * {ex.step!r})"
@@ -382,6 +401,33 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verde_spark.operators.windows import rolling_window
+
+    pts = _points(spark, sf_dir)
+    out, _ = rolling_window(pts, size=2.0, spacing=2.0, region=REGION)
+    return (
+        out.groupBy(
+            F.col("window").alias("win_id"), "center_easting", "center_northing"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("scalars").alias("sum_val"))
+        .orderBy("win_id")
+    )
+
+
+def _q_expanding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verde_spark.operators.windows import expanding_window
+
+    pts = _points(spark, sf_dir)
+    out = expanding_window(pts, center=(-2.5, 7.5), sizes=[1.0, 2.0, 4.0])
+    return (
+        out.filter(F.col("min_size_idx").isNotNull())
+        .groupBy(F.col("min_size_idx").cast("long").alias("min_size_idx"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("min_size_idx")
+    )
+
+
 def _q_spline_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-SQL-expressible (iterative dense solve): rows-only check.
     from verde_spark.operators.spline import spline_solve_grid
@@ -406,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_nodes": _q_grid_nodes,
         "checkerboard": _q_checkerboard,
         "knn_join": _q_knn,
+        "rolling_window": _q_rolling_window,
+        "expanding_window": _q_expanding_window,
         "distance_mask": _q_distance_mask,
         "convexhull_mask": _q_convexhull,
         "cell_counts": _q_cell_counts,
@@ -529,6 +577,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(distance, 9) AS distance
             FROM cand WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "rolling_window": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            centers AS (
+              SELECT * FROM (VALUES {_rolling_centers_values()})
+                AS t(win_id, center_easting, center_northing)
+            )
+            SELECT c.win_id, c.center_easting, c.center_northing,
+                   count(*) AS n, sum(p.scalars) AS sum_val
+            FROM centers c JOIN pts p
+              ON abs(p.easting - c.center_easting) <= 1.0
+             AND abs(p.northing - c.center_northing) <= 1.0
+            GROUP BY 1, 2, 3 ORDER BY c.win_id
+        """,
+        "expanding_window": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            cheb AS (
+              SELECT scalars,
+                     greatest(abs(easting - (-2.5)), abs(northing - 7.5)) AS d
+              FROM pts
+            )
+            SELECT CAST(CASE WHEN d <= 0.5 THEN 0 WHEN d <= 1.0 THEN 1
+                        WHEN d <= 2.0 THEN 2 END AS BIGINT) AS min_size_idx,
+                   count(*) AS n
+            FROM cheb WHERE d <= 2.0
+            GROUP BY 1 ORDER BY min_size_idx
         """,
         "distance_mask": f"""
             WITH pts AS ({_POINTS_SQL}),
