@@ -135,20 +135,36 @@ def variance_to_weights(
     variance_col: str = "variance",
     weight_col: str = "weight",
     tol: float = 1e-15,
+    min_strategy: str = "window",
 ) -> DataFrame:
     """verde ``variance_to_weights`` (utils.py:122-180) as a DataFrame op.
 
     ``w = min(var[var>tol]) / var``, w=1 where ``var<=tol`` (NaN/null → 0 →
-    1). The global min is a genuine barrier: computed as a 1-row aggregate
-    broadcast-cross-joined back (stays lazy, no collect, no single-partition
-    window).
+    1). The global min is a genuine barrier; two strategies:
+
+    * ``"window"`` (default): ``min() over ()`` on *df* itself — df here is
+      a per-block aggregate (≪ input rows), and keeping the min downstream
+      of the same subtree means **one scan of the raw input**. A separate
+      broadcast branch looks cheaper but Catalyst's column pruning makes
+      the two agg subtrees differ, defeating exchange reuse → the raw
+      table gets scanned twice (observed on the 16M-row bench plan).
+    * ``"broadcast"``: 1-row aggregate broadcast-cross-joined back — no
+      single-partition exchange of the block table; use when the block
+      table itself is huge **and** persisted (so the branch doesn't
+      recompute the input scan).
     """
+    from pyspark.sql import Window
+
     var = F.coalesce(F.nanvl(F.col(variance_col), F.lit(0.0)), F.lit(0.0))
     clean = df.withColumn("__var", var)
-    minvar = clean.agg(
-        F.min(F.when(F.col("__var") > tol, F.col("__var"))).alias("__minvar")
-    )
-    out = clean.crossJoin(F.broadcast(minvar))
+    nonzero_min = F.min(F.when(F.col("__var") > tol, F.col("__var")))
+    if min_strategy == "window":
+        out = clean.withColumn("__minvar", nonzero_min.over(Window.partitionBy()))
+    elif min_strategy == "broadcast":
+        minvar = clean.agg(nonzero_min.alias("__minvar"))
+        out = clean.crossJoin(F.broadcast(minvar))
+    else:
+        raise ValueError(f"Unknown min_strategy '{min_strategy}'")
     w = (
         F.when((F.col("__var") > tol) & F.col("__minvar").isNotNull(), F.col("__minvar") / F.col("__var"))
         .otherwise(F.lit(1.0))
