@@ -440,6 +440,65 @@ def _q_spline_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# concave polygon inside REGION; no horizontal edges (keeps the crossing
+# division well-defined in both engines without CASE-guard differences)
+_POLY = [(-4.5, 5.5), (-0.5, 6.2), (-2.5, 7.8), (-0.2, 9.3), (-3.8, 9.6), (-4.8, 7.1)]
+
+
+def _poly_crossing_sql() -> str:
+    """Even-odd crossing count as SQL with the same operation order as
+    ``point_in_polygon_expr`` (IEEE-exact parity)."""
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        ax, ay = _POLY[i]
+        bx, by = _POLY[(i + 1) % n]
+        terms.append(
+            f"CASE WHEN (({ay!r} > northing) <> ({by!r} > northing)) AND "
+            f"(easting < {ax!r} + ({bx!r} - {ax!r}) * (northing - {ay!r}) / ({by!r} - {ay!r})) "
+            "THEN 1 ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verde_spark.operators.polygons import point_in_polygon
+
+    pts = _points(spark, sf_dir)
+    return (
+        point_in_polygon(pts, _POLY, col_name="inside")
+        .groupBy("inside")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("inside")
+    )
+
+
+def _q_linear_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # non-SQL-expressible (Delaunay triangulation): rows-only check.
+    from verde_spark import Linear
+
+    pts = _points(spark, sf_dir)
+    dec, _ = block_mean(pts, spacing=0.5, region=REGION, sort=False)
+    return (
+        Linear(tile_spacing=2.5, halo=1.5)
+        .fit(dec, region=REGION)
+        .grid(spark, region=REGION, shape=(20, 20), output_col="prediction")
+    )
+
+
+def _q_cubic_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # non-SQL-expressible (Clough-Tocher C1 patches): rows-only check.
+    from verde_spark import Cubic
+
+    pts = _points(spark, sf_dir)
+    dec, _ = block_mean(pts, spacing=0.5, region=REGION, sort=False)
+    return (
+        Cubic(tile_spacing=2.5, halo=1.5)
+        .fit(dec, region=REGION)
+        .grid(spark, region=REGION, shape=(20, 20), output_col="prediction")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "block_mean": _q_block_mean,
@@ -467,6 +526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "simhash_exact_pairs": _q_simhash_pairs,
         "spline_grid": _q_spline_grid,
+        "linear_grid": _q_linear_grid,
+        "cubic_grid": _q_cubic_grid,
+        "point_in_polygon": _q_point_in_polygon,
     }
 
 
@@ -717,6 +779,15 @@ def oracle_sql() -> dict[str, str]:
             FROM toks a JOIN toks b ON a.t = b.t AND a.doc_id < b.doc_id
             ORDER BY id_a, id_b
         """,
-        # spline_grid: iterative dense solve — intentionally no SQL oracle
-        # (driver records the weaker rows-only check).
+        "point_in_polygon": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            flags AS (
+              SELECT (({_poly_crossing_sql()}) % 2) = 1 AS inside FROM pts
+            )
+            SELECT inside, count(*) AS n FROM flags
+            GROUP BY inside ORDER BY inside
+        """,
+        # spline_grid / linear_grid / cubic_grid: iterative dense solve /
+        # Delaunay triangulation — intentionally no SQL oracle (driver
+        # records the weaker rows-only check).
     }

@@ -1,0 +1,153 @@
+"""Point-in-polygon predicate + join — north-rule capability with no verde
+counterpart (verde only has the convex hull special case).  Checked
+against an independent NumPy PNPOLY implementation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from verde_spark.operators.polygons import (
+    point_in_polygon,
+    point_in_polygon_expr,
+    polygon_join,
+    polygon_literal,
+)
+
+# concave "arrow" polygon, no horizontal edges
+ARROW = [(0.0, 0.1), (4.0, 1.1), (2.0, 3.2), (5.0, 5.3), (1.0, 6.4), (-1.0, 3.3)]
+
+
+def pnpoly(x, y, verts):
+    """Classic even-odd ray crossing (independent reference)."""
+    inside = np.zeros_like(x, dtype=bool)
+    n = len(verts)
+    for i in range(n):
+        ax, ay = verts[i]
+        bx, by = verts[(i + 1) % n]
+        straddles = (ay > y) != (by > y)
+        xcross = ax + (bx - ax) * (y - ay) / np.where(by == ay, np.inf, by - ay)
+        inside ^= straddles & (x < xcross)
+    return inside
+
+
+def test_point_in_polygon_matches_reference(spark):
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-2, 6, 500)
+    y = rng.uniform(-1, 7, 500)
+    want = pnpoly(x, y, ARROW)
+    assert 50 < want.sum() < 450  # the fixture actually discriminates
+    df = spark.createDataFrame(pd.DataFrame({"easting": x, "northing": y}))
+    got = (
+        point_in_polygon(df, ARROW)
+        .orderBy("easting")
+        .select("inside")
+        .toPandas()["inside"]
+        .to_numpy()
+    )
+    order = np.argsort(x)
+    np.testing.assert_array_equal(got, want[order])
+
+
+def test_polygon_join_methods_agree(spark):
+    rng = np.random.RandomState(1)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": np.arange(400),
+                "easting": rng.uniform(-2, 12, 400),
+                "northing": rng.uniform(-2, 12, 400),
+            }
+        )
+    )
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": ["arrow", "diamond"],
+                "vertices": [
+                    [{"x": float(x), "y": float(y)} for x, y in ARROW],
+                    [
+                        {"x": 8.0, "y": 5.1},
+                        {"x": 11.0, "y": 8.2},
+                        {"x": 8.0, "y": 11.3},
+                        {"x": 5.0, "y": 8.4},
+                    ],
+                ],
+            }
+        ),
+        schema="poly_id string, vertices array<struct<x:double,y:double>>",
+    )
+    a = (
+        polygon_join(pts, polys, method="bbox")
+        .select("pid", "poly_id")
+        .toPandas()
+        .sort_values(["pid", "poly_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        polygon_join(pts, polys, method="cells")
+        .select("pid", "poly_id")
+        .toPandas()
+        .sort_values(["pid", "poly_id"])
+        .reset_index(drop=True)
+    )
+    assert len(a) > 10
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_polygon_join_semi_anti_partition(spark):
+    rng = np.random.RandomState(2)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": np.arange(300),
+                "easting": rng.uniform(-2, 6, 300),
+                "northing": rng.uniform(-1, 7, 300),
+            }
+        )
+    )
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": ["arrow"],
+                "vertices": [[{"x": float(x), "y": float(y)} for x, y in ARROW]],
+            }
+        ),
+        schema="poly_id string, vertices array<struct<x:double,y:double>>",
+    )
+    semi = polygon_join(pts, polys, how="semi").select("pid").toPandas()["pid"]
+    anti = polygon_join(pts, polys, how="anti").select("pid").toPandas()["pid"]
+    assert len(semi) + len(anti) == 300
+    assert set(semi) & set(anti) == set()
+    assert len(semi) > 30
+
+
+def test_zonal_stats(spark):
+    from verde_spark.operators.polygons import zonal_stats
+
+    rng = np.random.RandomState(3)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "easting": rng.uniform(-2, 6, 800),
+                "northing": rng.uniform(-1, 7, 800),
+                "value": rng.uniform(0, 10, 800),
+            }
+        )
+    )
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": ["arrow"],
+                "vertices": [[{"x": float(x), "y": float(y)} for x, y in ARROW]],
+            }
+        ),
+        schema="poly_id string, vertices array<struct<x:double,y:double>>",
+    )
+    got = zonal_stats(pts, polys, "value", stats=("count", "mean", "sum")).toPandas()
+    # reference via pnpoly
+    pdf = pts.toPandas()
+    mask = pnpoly(pdf["easting"].to_numpy(), pdf["northing"].to_numpy(), ARROW)
+    assert got.loc[0, "count_value"] == mask.sum()
+    np.testing.assert_allclose(got.loc[0, "mean_value"], pdf["value"][mask].mean())
+    np.testing.assert_allclose(got.loc[0, "sum_value"], pdf["value"][mask].sum())

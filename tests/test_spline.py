@@ -82,3 +82,37 @@ def test_spline_tiled_matches_global(spark):
     got = tiled.grid(spark, region=grid_region, shape=shape, output_col="pred").toPandas()
     truth = synth.predict_numpy(got["easting"].to_numpy(), got["northing"].to_numpy())
     npt.assert_allclose(got["pred"], truth, rtol=8e-2)
+
+
+def test_spline_solve_grid_resumable(spark, tmp_path):
+    # checkpointed fused solve == plain fused solve; resume skips all tiles
+    from verde_spark.checkpoint import TileCheckpoint
+    from verde_spark.operators.spline import spline_solve_grid, spline_solve_grid_resumable
+
+    region = (100, 500, -800, -700)
+    synth = CheckerBoard(region=region)
+    data = synth.scatter(spark, size=600, random_state=3).cache()
+    kwargs = dict(
+        region=region, shape=(10, 10), tile_spacing=200.0, halo=100.0,
+        damping=1e-8, output_col="pred",
+    )
+    plain = spline_solve_grid(data, **kwargs).orderBy("iy", "ix").toPandas()
+    path = str(tmp_path / "ckpt")
+    out1 = spline_solve_grid_resumable(data, checkpoint_path=path, **kwargs)
+    got1 = out1.orderBy("iy", "ix").toPandas()
+    npt.assert_allclose(got1["pred"], plain["pred"], rtol=1e-12)
+    # lineage manifest: one completed row per tile with metrics
+    man = TileCheckpoint(path).manifest(spark).toPandas()
+    assert set(man["status"]) == {"ok"}
+    assert (man["rows_in"] > 0).all() and (man["rows_out"] > 0).all()
+    n_tiles = man["tile"].nunique()
+    # resume: nothing left -> same result, manifest unchanged
+    got2 = (
+        spline_solve_grid_resumable(data, checkpoint_path=path, **kwargs)
+        .orderBy("iy", "ix")
+        .toPandas()
+    )
+    npt.assert_allclose(got2["pred"], plain["pred"], rtol=1e-12)
+    man2 = TileCheckpoint(path).manifest(spark).toPandas()
+    assert man2["tile"].nunique() == n_tiles
+    assert len(man2) == len(man)

@@ -295,3 +295,39 @@ def test_load_surfer(spark, tmp_path):
     bad.write_text("DSAA\n4 3\n0 3\n0 2\n0 99\n0 1 2 3\n4 5 6 7\n8 9 10 11\n")
     with pytest.raises(ValueError):
         load_surfer(str(bad))
+
+
+def test_main_entrypoint(spark, tmp_path, capsys):
+    # the spark-submit entrypoint end-to-end: synthesize -> grid parquet
+    import json
+
+    from verde_spark.__main__ import main
+
+    out = str(tmp_path / "grid_out")
+    rc = main([
+        "--synthesize", "5000", "--output", out,
+        "--region=-5,0,5,10", "--spacing", "0.5",
+        "--tile", "2.5", "--halo", "1.25", "--shape", "12x12",
+    ])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["grid_nodes"] == 144
+    grid = spark.read.parquet(out)
+    assert grid.count() == 144
+    assert {"iy", "ix", "northing", "easting", "prediction"} <= set(grid.columns)
+
+    # checkpointed variant resumes to the same result
+    out2 = str(tmp_path / "grid_ckpt")
+    ckpt = str(tmp_path / "ckpt")
+    rc = main([
+        "--synthesize", "5000", "--output", out2,
+        "--region=-5,0,5,10", "--spacing", "0.5",
+        "--tile", "2.5", "--halo", "1.25", "--shape", "12x12",
+        "--checkpoint", ckpt,
+    ])
+    assert rc == 0
+    a = spark.read.parquet(out).orderBy("iy", "ix").select("prediction").toPandas()
+    b = spark.read.parquet(out2).orderBy("iy", "ix").select("prediction").toPandas()
+    import numpy.testing as npt
+
+    npt.assert_allclose(a["prediction"], b["prediction"], rtol=1e-12)

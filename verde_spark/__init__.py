@@ -39,9 +39,11 @@ from .operators.spline import Spline
 from .operators.neighbors import KNeighbors, knn_join
 from .operators.masks import convex_hull, convexhull_mask, distance_mask, inside_hull_expr
 from .operators.chain import Chain
+from .operators.cubic import Cubic
 from .operators.linear import Linear
 from .operators.vector import Vector, VectorSpline2D
 from .operators.splinecv import SplineCV
+from .operators.polygons import point_in_polygon, polygon_join, zonal_stats
 from .operators.projections import project_grid, project_points
 from .checkpoint import TileCheckpoint, run_resumable
 from .model_selection import (
@@ -54,7 +56,11 @@ from .model_selection import (
 
 __version__ = "0.1.0"
 
+from .session import RECOMMENDED_CONF, make_session
+
 __all__ = [
+    "RECOMMENDED_CONF",
+    "make_session",
     "BlockGrid",
     "BlockKFold",
     "BlockReduce",
@@ -62,7 +68,11 @@ __all__ = [
     "Chain",
     "CheckerBoard",
     "KNeighbors",
+    "Cubic",
     "Linear",
+    "point_in_polygon",
+    "polygon_join",
+    "zonal_stats",
     "Spline",
     "SplineCV",
     "TileCheckpoint",

@@ -1,0 +1,201 @@
+"""Point-in-polygon predicates and the point↔polygon spatial join.
+
+The north rule names "point-in-polygon" as a first-class capability next
+to kNN and the cell index.  Verde itself only has the convex special case
+(``convexhull_mask``, mask.py:116-219); general polygons are designed
+fresh, Spark-first:
+
+* The membership test is the even-odd ray-crossing rule expressed as a
+  **pure Catalyst expression**: polygon vertices live in an
+  ``array<struct<x,y>>`` column, edges come from ``arrays_zip`` with the
+  rotated array, and the crossing count is ``F.aggregate`` over the edge
+  array — whole-stage-codegen'd, no Python anywhere, works per-row
+  against *different* polygons (unlike a broadcast closure).
+* ``polygon_join`` pairs a huge point table with a polygon table.  Two
+  physical strategies:
+  - ``method="bbox"``: broadcast the polygons, join on the bounding-box
+    range predicate, then the exact crossing test.  Right when polygons
+    are few (BroadcastNestedLoopJoin over a tiny build side).
+  - ``method="cells"``: cover each polygon's bbox with coarse cells
+    (``functions.cells`` quadtree), explode the cover, equi-join on the
+    point's cell id, then the exact test.  This is the 100 TB path: an
+    AQE/skew-manageable shuffled **equi-join** whose candidate set is
+    proportional to polygon area, never a cartesian.
+
+Boundary semantics: even-odd with the half-open rule — a point exactly on
+a horizontal-upper edge counts per the ``(y1>y) != (y2>y)`` strictness;
+vertices are counted once.  This matches the classic PNPOLY contract.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def polygon_literal(vertices: Sequence[Tuple[float, float]]) -> Column:
+    """A driver-side vertex list as an ``array<struct<x,y>>`` literal."""
+    return F.array(
+        *[
+            F.struct(F.lit(float(x)).alias("x"), F.lit(float(y)).alias("y"))
+            for x, y in vertices
+        ]
+    )
+
+
+def _edges(verts: Column) -> Column:
+    """array of (a, b) vertex pairs for each polygon edge (closing wrap)."""
+    n = F.size(verts)
+    rotated = F.concat(F.slice(verts, 2, n - 1), F.slice(verts, 1, 1))
+    return F.arrays_zip(verts.alias("a"), rotated.alias("b"))
+
+
+def point_in_polygon_expr(x: Column, y: Column, verts: Column) -> Column:
+    """Even-odd ray-crossing membership as a boolean Column.
+
+    ``aggregate`` accumulates, per edge (a→b), whether a rightward ray
+    from (x, y) crosses it:
+      (a.y > y) != (b.y > y)  AND  x < a.x + (b.x−a.x)·(y−a.y)/(b.y−a.y)
+    Odd total ⇒ inside.
+    """
+    def cross(acc, e):
+        ax, ay = e["a"]["x"], e["a"]["y"]
+        bx, by = e["b"]["x"], e["b"]["y"]
+        straddles = (ay > y) != (by > y)
+        xcross = ax + (bx - ax) * (y - ay) / (by - ay)
+        return acc + F.when(straddles & (x < xcross), 1).otherwise(0)
+
+    return F.aggregate(_edges(verts), F.lit(0), cross) % 2 == 1
+
+
+def point_in_polygon(
+    df: DataFrame,
+    vertices: Sequence[Tuple[float, float]],
+    easting: str = "easting",
+    northing: str = "northing",
+    col_name: str = "inside",
+) -> DataFrame:
+    """Add a boolean membership column for one fixed polygon."""
+    return df.withColumn(
+        col_name,
+        point_in_polygon_expr(F.col(easting), F.col(northing), polygon_literal(vertices)),
+    )
+
+
+def _poly_bbox(polys: DataFrame, verts_col: str) -> DataFrame:
+    v = F.col(verts_col)
+    return polys.withColumn("__xmin", F.array_min(v.getField("x"))) \
+        .withColumn("__xmax", F.array_max(v.getField("x"))) \
+        .withColumn("__ymin", F.array_min(v.getField("y"))) \
+        .withColumn("__ymax", F.array_max(v.getField("y")))
+
+
+def polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    verts_col: str = "vertices",
+    easting: str = "easting",
+    northing: str = "northing",
+    method: str = "cells",
+    cell_spacing: Optional[float] = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points to the polygons that contain them.
+
+    ``polygons`` must carry ``verts_col: array<struct<x,y>>`` plus any id
+    columns.  ``how``:
+      - ``"inner"`` (default): one row per (point, containing polygon);
+      - ``"semi"``: the point rows inside at least one polygon;
+      - ``"anti"``: the point rows outside every polygon.
+
+    ``method="cells"`` covers each polygon bbox with square cells of
+    ``cell_spacing`` (default: median bbox width/4 computed driver-side
+    from the polygon table — cheap, it's the small side) and equi-joins
+    on the point's cell id.  ``method="bbox"`` broadcasts the polygons
+    and joins on the bbox range predicate.
+    """
+    x, y = F.col(easting), F.col(northing)
+    polys = _poly_bbox(polygons, verts_col)
+    exact = point_in_polygon_expr(x, y, F.col(verts_col))
+
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"unknown how: {how!r}")
+    if method == "bbox":
+        cond = (
+            (x >= F.col("__xmin")) & (x <= F.col("__xmax"))
+            & (y >= F.col("__ymin")) & (y <= F.col("__ymax"))
+        )
+        joined = points.join(F.broadcast(polys), cond, "inner")
+    elif method == "cells":
+        if cell_spacing is None:
+            widths = polys.select(
+                F.expr("percentile(__xmax - __xmin, 0.5)").alias("w")
+            ).collect()[0]["w"]
+            cell_spacing = max(float(widths) / 4.0, 1e-12)
+        s = float(cell_spacing)
+        # polygon side: explode the integer cell cover of the bbox
+        cover = polys.withColumn(
+            "__cx", F.explode(F.sequence(
+                F.floor(F.col("__xmin") / s).cast("long"),
+                F.floor(F.col("__xmax") / s).cast("long"),
+            ))
+        ).withColumn(
+            "__cy", F.explode(F.sequence(
+                F.floor(F.col("__ymin") / s).cast("long"),
+                F.floor(F.col("__ymax") / s).cast("long"),
+            ))
+        )
+        pts = points.withColumn("__cx", F.floor(x / s).cast("long")).withColumn(
+            "__cy", F.floor(y / s).cast("long")
+        )
+        joined = pts.join(cover, ["__cx", "__cy"], "inner").drop("__cx", "__cy")
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+
+    pairs = joined.filter(exact).drop("__xmin", "__xmax", "__ymin", "__ymax")
+    if how == "inner":
+        return pairs
+    inside_pts = pairs.select(*points.columns).dropDuplicates()
+    if how == "semi":
+        return inside_pts
+    return points.join(inside_pts, on=list(points.columns), how="left_anti")
+
+
+def zonal_stats(
+    nodes: DataFrame,
+    polygons: DataFrame,
+    value_col: str,
+    verts_col: str = "vertices",
+    easting: str = "easting",
+    northing: str = "northing",
+    stats: Sequence[str] = ("count", "mean", "min", "max"),
+    method: str = "cells",
+) -> DataFrame:
+    """Raster→vector zonal statistics: aggregate a grid-node (or point)
+    table per containing polygon.
+
+    Composition of ``polygon_join`` (cell-cover equi-join) with algebraic
+    aggregates — map-side combinable, AQE-skew-splittable; the classic
+    raster↔vector operator the north rule names.  ``stats`` ⊆
+    {count, mean, min, max, sum, stddev}.
+    """
+    fns = {
+        "count": lambda c: F.count(c),
+        "mean": lambda c: F.avg(c),
+        "min": lambda c: F.min(c),
+        "max": lambda c: F.max(c),
+        "sum": lambda c: F.sum(c),
+        "stddev": lambda c: F.stddev_samp(c),
+    }
+    unknown = set(stats) - set(fns)
+    if unknown:
+        raise ValueError(f"unknown stats: {sorted(unknown)}")
+    pairs = polygon_join(
+        nodes, polygons, verts_col=verts_col, easting=easting,
+        northing=northing, method=method, how="inner",
+    )
+    keys = [c for c in polygons.columns if c != verts_col]
+    aggs = [fns[s](F.col(value_col)).alias(f"{s}_{value_col}") for s in stats]
+    return pairs.groupBy(*keys).agg(*aggs)

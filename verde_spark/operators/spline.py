@@ -298,29 +298,23 @@ class Spline:
         return self.predict(nodes, output_col)
 
 
-def spline_solve_grid(
+def _solve_grid_parts(
     df: DataFrame,
     region: Sequence[float],
     shape,
     tile_spacing: float,
-    halo: Optional[float] = None,
-    damping: Optional[float] = None,
-    mindist: float = 0.0,
-    data_col: str = "scalars",
-    weight_col: Optional[str] = None,
-    easting: str = "easting",
-    northing: str = "northing",
-    output_col: str = "prediction",
-) -> DataFrame:
-    """Fused per-tile solve + grid evaluation in ONE cogroup pass.
-
-    ``Spline.fit().grid()`` materializes the force table between two Python
-    stages; when the forces aren't reused, solving and predicting inside
-    the same ``applyInPandas`` halves the Python-stage count and drops a
-    shuffle — the plan is scan → blockagg exchange → cogroup(points, nodes)
-    → output, with every stage embarrassingly parallel across tiles. This
-    is the throughput path the benchmark exercises.
-    """
+    halo: Optional[float],
+    damping: Optional[float],
+    mindist: float,
+    data_col: str,
+    weight_col: Optional[str],
+    easting: str,
+    northing: str,
+    output_col: str,
+    keep_tile: bool,
+):
+    """Shared setup of the fused solve+grid: (exploded points, labeled
+    nodes, cogroup body, output schema)."""
     from ..coordinates import grid_coordinates
 
     spark = df.sparkSession
@@ -338,18 +332,22 @@ def spline_solve_grid(
     nodes = grid_coordinates(spark, region, shape=shape).withColumn(
         "tile", grid.label_expr(easting, northing)
     )
-    schema = T.StructType(
-        [
-            T.StructField("iy", T.LongType()),
-            T.StructField("ix", T.LongType()),
-            T.StructField(northing, T.DoubleType()),
-            T.StructField(easting, T.DoubleType()),
-            T.StructField(output_col, T.DoubleType()),
-        ]
-    )
+    fields = [
+        T.StructField("iy", T.LongType()),
+        T.StructField("ix", T.LongType()),
+        T.StructField(northing, T.DoubleType()),
+        T.StructField(easting, T.DoubleType()),
+        T.StructField(output_col, T.DoubleType()),
+    ]
+    if keep_tile:
+        fields.insert(0, T.StructField("tile", T.LongType()))
+    schema = T.StructType(fields)
 
     def solve_and_eval(key, points: pd.DataFrame, nds: pd.DataFrame) -> pd.DataFrame:
-        nds = nds.drop(columns=["tile"]).copy()
+        if keep_tile:
+            nds = nds.copy()
+        else:
+            nds = nds.drop(columns=["tile"]).copy()
         if len(nds) == 0:
             nds[output_col] = pd.Series(dtype="float64")
             return nds
@@ -373,8 +371,82 @@ def spline_solve_grid(
         )
         return nds
 
+    return exploded, nodes, solve_and_eval, schema
+
+
+def spline_solve_grid(
+    df: DataFrame,
+    region: Sequence[float],
+    shape,
+    tile_spacing: float,
+    halo: Optional[float] = None,
+    damping: Optional[float] = None,
+    mindist: float = 0.0,
+    data_col: str = "scalars",
+    weight_col: Optional[str] = None,
+    easting: str = "easting",
+    northing: str = "northing",
+    output_col: str = "prediction",
+) -> DataFrame:
+    """Fused per-tile solve + grid evaluation in ONE cogroup pass.
+
+    ``Spline.fit().grid()`` materializes the force table between two Python
+    stages; when the forces aren't reused, solving and predicting inside
+    the same ``applyInPandas`` halves the Python-stage count and drops a
+    shuffle — the plan is scan → blockagg exchange → cogroup(points, nodes)
+    → output, with every stage embarrassingly parallel across tiles. This
+    is the throughput path the benchmark exercises.
+    """
+    exploded, nodes, solve_and_eval, schema = _solve_grid_parts(
+        df, region, shape, tile_spacing, halo, damping, mindist,
+        data_col, weight_col, easting, northing, output_col, keep_tile=False,
+    )
     return (
         exploded.groupBy("tile")
         .cogroup(nodes.groupBy("tile"))
         .applyInPandas(solve_and_eval, schema)
     )
+
+
+def spline_solve_grid_resumable(
+    df: DataFrame,
+    region: Sequence[float],
+    shape,
+    tile_spacing: float,
+    checkpoint_path: str,
+    halo: Optional[float] = None,
+    damping: Optional[float] = None,
+    mindist: float = 0.0,
+    data_col: str = "scalars",
+    weight_col: Optional[str] = None,
+    easting: str = "easting",
+    northing: str = "northing",
+    output_col: str = "prediction",
+) -> DataFrame:
+    """``spline_solve_grid`` with per-tile checkpoint/resume (north rule:
+    "resumable from checkpoint with per-partition lineage + metrics").
+
+    The halo-exploded point table is the checkpoint unit: each tile's
+    group is self-contained (its halo rows are duplicated into it), so
+    anti-joining completed tiles away loses nothing.  Completed tiles are
+    read back from the checkpoint; only remaining tiles solve.  Output
+    carries the ``tile`` column (= the partition value of the checkpoint
+    layout, pruning-friendly).
+    """
+    from ..checkpoint import run_resumable
+
+    exploded, nodes, solve_and_eval, schema = _solve_grid_parts(
+        df, region, shape, tile_spacing, halo, damping, mindist,
+        data_col, weight_col, easting, northing, output_col, keep_tile=True,
+    )
+
+    def stage(remaining: DataFrame) -> DataFrame:
+        todo_tiles = remaining.select("tile").distinct()
+        nds = nodes.join(F.broadcast(todo_tiles), "tile", "semi")
+        return (
+            remaining.groupBy("tile")
+            .cogroup(nds.groupBy("tile"))
+            .applyInPandas(solve_and_eval, schema)
+        )
+
+    return run_resumable(df.sparkSession, exploded, stage, checkpoint_path)
