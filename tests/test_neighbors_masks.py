@@ -98,3 +98,27 @@ def test_convexhull_mask_golden(spark):
     ]
     got_mat = got["in_hull"].to_numpy().reshape(7, 6)
     npt.assert_array_equal(got_mat, np.array(true))
+
+
+def test_median_distance_golden(spark):
+    # verde distances.py:16-111 — per-point median of k nearest distances,
+    # self excluded; cross-checked against a NumPy brute force
+    import numpy as np
+    import pandas as pd
+
+    from verde_spark.operators.neighbors import median_distance
+
+    rng = np.random.RandomState(7)
+    e = rng.uniform(0, 10, 60)
+    n = rng.uniform(0, 10, 60)
+    df = spark.createDataFrame(pd.DataFrame({"easting": e, "northing": n}))
+    got = (
+        median_distance(df, k=3)
+        .orderBy("easting")
+        .toPandas()
+    )
+    d = np.hypot(e[:, None] - e[None, :], n[:, None] - n[None, :])
+    np.fill_diagonal(d, np.inf)
+    want = np.median(np.sort(d, axis=1)[:, :3], axis=1)
+    order = np.argsort(e)
+    np.testing.assert_allclose(got["median_distance"], want[order], rtol=1e-12)

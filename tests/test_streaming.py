@@ -53,3 +53,37 @@ def test_streaming_dedup(spark, pages_dir):
     n = spark.sql("select count(*) c from dedup").first()["c"]
     batch_distinct = spark.read.parquet(pages_dir).select("text").distinct().count()
     assert n == batch_distinct
+
+
+def test_streaming_cell_reservoir_stateful(spark, pages_dir):
+    # custom stateful operator: bounded per-cell reservoir across batches
+    from verde_spark.streaming import streaming_cell_reservoir
+
+    k = 5
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).option("maxFilesPerTrigger", 1).parquet(pages_dir)  # force >=2 micro-batches
+    res = streaming_cell_reservoir(stream, k=k, resolution=4)
+    run_to_memory(res, "reservoir", mode="update")
+    got = spark.sql(
+        "select * from (select *, row_number() over (partition by cell, slot order by seen desc) rn"
+        " from reservoir) where rn = 1"
+    ).toPandas()
+
+    batch = spark.read.parquet(pages_dir)
+    tagged = batch.withColumn("lon", geotag_lon("text")).withColumn("lat", geotag_lat("text"))
+    per_cell = (
+        tagged.filter(F.col("lon").isNotNull())
+        .groupBy(cell_encode("lon", "lat", 4).alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_set("lon").alias("lons"))
+        .toPandas()
+        .set_index("cell")
+    )
+    final = got.groupby("cell").agg(n_slots=("slot", "count"), seen=("seen", "max"))
+    for cell, row in final.iterrows():
+        assert row["seen"] == per_cell.loc[cell, "n"]          # state survived batches
+        assert row["n_slots"] == min(k, per_cell.loc[cell, "n"])  # bounded reservoir
+    # every sampled point is a real point of its cell
+    # (zip, not iterrows: iterrows would upcast the int64 cell id to float)
+    for cell_id, lon in zip(got["cell"], got["lon"]):
+        assert lon in set(per_cell.loc[cell_id, "lons"])

@@ -93,3 +93,78 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update"):
     )
     q.awaitTermination()
     return q
+
+
+def streaming_cell_reservoir(
+    pages: DataFrame,
+    k: int = 32,
+    resolution: int = 8,
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): a bounded
+    per-cell reservoir sample of geotagged points across micro-batches.
+
+    This is the streaming form of decimation-for-gridding: downstream
+    spline/kNN fits need a *bounded, representative* point set per cell,
+    and "keep k representative points forever" is not expressible with
+    built-in streaming aggregates — it needs explicit keyed state.  State
+    per cell is O(k) (arrays of lon/lat/value + a row counter), so total
+    state is bounded by (occupied cells × k) regardless of stream length.
+
+    Replacement uses Algorithm R with a *deterministic* per-row hash of
+    the url as the randomness source, so results are reproducible and
+    independent of micro-batch partitioning given the same arrival order.
+
+    Output (update semantics): one row per (cell, slot) holding the
+    current reservoir contents after each batch.
+    """
+    import zlib
+
+    import pandas as pd
+
+    from .functions.cells import cell_encode
+    from .functions.text import geotag_lat, geotag_lon, quality_score
+
+    tagged = pages.withColumn("lon", geotag_lon("text")).withColumn("lat", geotag_lat("text"))
+    cells = tagged.filter(F.col("lon").isNotNull()).select(
+        cell_encode("lon", "lat", resolution).alias("cell"),
+        F.col("url"),
+        F.col("lon"),
+        F.col("lat"),
+        quality_score("text").alias("value"),
+    )
+
+    out_schema = "cell long, slot int, lon double, lat double, value double, seen long"
+    state_schema = "seen long, lons array<double>, lats array<double>, vals array<double>"
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            seen, lons, lats, vals = state.get
+            lons, lats, vals = list(lons), list(lats), list(vals)
+        else:
+            seen, lons, lats, vals = 0, [], [], []
+        for pdf in pdf_iter:
+            for url, lon, lat, val in zip(pdf["url"], pdf["lon"], pdf["lat"], pdf["value"]):
+                if seen < k:
+                    lons.append(lon); lats.append(lat); vals.append(val)
+                else:
+                    j = zlib.crc32(url.encode()) % (seen + 1)
+                    if j < k:
+                        lons[j] = lon; lats[j] = lat; vals[j] = val
+                seen += 1
+        state.update((seen, lons, lats, vals))
+        yield pd.DataFrame(
+            {
+                "cell": [key[0]] * len(lons),
+                "slot": range(len(lons)),
+                "lon": lons,
+                "lat": lats,
+                "value": vals,
+                "seen": [seen] * len(lons),
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return cells.groupBy("cell").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
