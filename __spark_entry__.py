@@ -473,6 +473,19 @@ def _q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verde_spark.operators.polygons import zonal_stats
+
+    pts = _points(spark, sf_dir)
+    polys = spark.createDataFrame(
+        [("p1", [{"x": float(x), "y": float(y)} for x, y in _POLY])],
+        schema="poly_id string, vertices array<struct<x:double,y:double>>",
+    )
+    # count + sum only: scalars are integer-valued, so sums are exact in
+    # both engines (no float rounding concerns)
+    return zonal_stats(pts, polys, "scalars", stats=("count", "sum"), method="bbox")
+
+
 def _q_linear_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-SQL-expressible (Delaunay triangulation): rows-only check.
     from verde_spark import Linear
@@ -529,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_grid": _q_linear_grid,
         "cubic_grid": _q_cubic_grid,
         "point_in_polygon": _q_point_in_polygon,
+        "zonal_stats": _q_zonal_stats,
     }
 
 
@@ -786,6 +800,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT inside, count(*) AS n FROM flags
             GROUP BY inside ORDER BY inside
+        """,
+        "zonal_stats": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            flags AS (
+              SELECT scalars, (({_poly_crossing_sql()}) % 2) = 1 AS ins FROM pts
+            )
+            SELECT 'p1' AS poly_id, count(*) AS count_scalars,
+                   sum(scalars) AS sum_scalars
+            FROM flags WHERE ins
         """,
         # spline_grid / linear_grid / cubic_grid: iterative dense solve /
         # Delaunay triangulation — intentionally no SQL oracle (driver

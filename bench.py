@@ -163,6 +163,8 @@ def bench_queries(spark):
         "dedup_exact",
         "token_counts",
         "cosine_topk",
+        "point_in_polygon",
+        "zonal_stats",
         "spline_grid",
     ]
     times = {}

@@ -111,14 +111,16 @@ def streaming_cell_reservoir(
     state is bounded by (occupied cells × k) regardless of stream length.
 
     Replacement uses Algorithm R with a *deterministic* per-row hash of
-    the url as the randomness source, so results are reproducible and
-    independent of micro-batch partitioning given the same arrival order.
+    the url (computed JVM-side via ``xxhash64`` — the Python body only
+    does NumPy array work, honoring the no-per-row-Python contract: the
+    fill phase is a slice, and the replacement phase touches only the
+    ~k·ln(n/k) accepted rows) so results are reproducible and independent
+    of micro-batch partitioning given the same arrival order.
 
     Output (update semantics): one row per (cell, slot) holding the
     current reservoir contents after each batch.
     """
-    import zlib
-
+    import numpy as np
     import pandas as pd
 
     from .functions.cells import cell_encode
@@ -127,7 +129,7 @@ def streaming_cell_reservoir(
     tagged = pages.withColumn("lon", geotag_lon("text")).withColumn("lat", geotag_lat("text"))
     cells = tagged.filter(F.col("lon").isNotNull()).select(
         cell_encode("lon", "lat", resolution).alias("cell"),
-        F.col("url"),
+        (F.abs(F.xxhash64("url")) % F.lit(2**62)).alias("h"),
         F.col("lon"),
         F.col("lat"),
         quality_score("text").alias("value"),
@@ -143,14 +145,26 @@ def streaming_cell_reservoir(
         else:
             seen, lons, lats, vals = 0, [], [], []
         for pdf in pdf_iter:
-            for url, lon, lat, val in zip(pdf["url"], pdf["lon"], pdf["lat"], pdf["value"]):
-                if seen < k:
-                    lons.append(lon); lats.append(lat); vals.append(val)
-                else:
-                    j = zlib.crc32(url.encode()) % (seen + 1)
-                    if j < k:
-                        lons[j] = lon; lats[j] = lat; vals[j] = val
-                seen += 1
+            h = pdf["h"].to_numpy("int64")
+            lon = pdf["lon"].to_numpy("float64")
+            lat = pdf["lat"].to_numpy("float64")
+            val = pdf["value"].to_numpy("float64")
+            n = len(h)
+            fill = max(0, min(k - seen, n))
+            # .tolist(): state must hold plain python floats (JVM pickler)
+            lons.extend(lon[:fill].tolist())
+            lats.extend(lat[:fill].tolist())
+            vals.extend(val[:fill].tolist())
+            if fill < n:
+                idx = seen + np.arange(fill, n)          # global per-cell index
+                j = h[fill:] % (idx + 1)                 # Algorithm R draw
+                accept = np.nonzero(j < k)[0]            # ~k·ln growth, tiny
+                for a in accept:                         # order matters
+                    s = int(j[a])
+                    lons[s] = float(lon[fill + a])
+                    lats[s] = float(lat[fill + a])
+                    vals[s] = float(val[fill + a])
+            seen += n
         state.update((seen, lons, lats, vals))
         yield pd.DataFrame(
             {
