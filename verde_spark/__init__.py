@@ -33,7 +33,13 @@ from .coordinates import (
     scatter_points,
 )
 from .synthetic import CheckerBoard, checkerboard_expr
-from .operators.blockreduce import BlockReduce, block_mean, block_reduce, variance_to_weights
+from .operators.blockreduce import (
+    BlockMean,
+    BlockReduce,
+    block_mean,
+    block_reduce,
+    variance_to_weights,
+)
 from .operators.trend import Trend, trend_fit, trend_predict_expr
 from .operators.spline import Spline
 from .operators.neighbors import KNeighbors, knn_join
@@ -63,6 +69,7 @@ __all__ = [
     "make_session",
     "BlockGrid",
     "BlockKFold",
+    "BlockMean",
     "BlockReduce",
     "BlockShuffleSplit",
     "Chain",

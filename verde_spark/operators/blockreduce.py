@@ -294,3 +294,42 @@ class BlockReduce:
             **kwargs,
         )
         return out
+
+
+class BlockMean:
+    """Estimator-style wrapper mirroring verde's ``BlockMean`` class API
+    (blockreduce.py:246-506) over :func:`block_mean` — blocked mean with
+    output weights in all three weight modes.
+
+    ``filter`` emits ``weight_<col>`` columns (variance_to_weights of the
+    per-block variance) that downstream Chain steps consume.
+    """
+
+    def __init__(
+        self,
+        spacing=None,
+        region=None,
+        adjust: str = "spacing",
+        center_coordinates: bool = False,
+        uncertainty: bool = False,
+        shape=None,
+    ):
+        self.spacing = spacing
+        self.region = region
+        self.adjust = adjust
+        self.center_coordinates = center_coordinates
+        self.uncertainty = uncertainty
+        self.shape = shape
+
+    def filter(self, df: DataFrame, **kwargs) -> DataFrame:
+        out, _ = block_mean(
+            df,
+            spacing=self.spacing,
+            shape=self.shape,
+            region=self.region,
+            adjust=self.adjust,
+            center_coordinates=self.center_coordinates,
+            uncertainty=self.uncertainty,
+            **kwargs,
+        )
+        return out

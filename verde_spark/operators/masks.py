@@ -163,9 +163,10 @@ def distance_mask(
         de = np.atleast_1d(np.asarray(data[0], dtype="float64")).ravel()
         dn = np.atleast_1d(np.asarray(data[1], dtype="float64")).ravel()
         return _distance_mask_broadcast(targets, de, dn, maxdist, mask_col, easting, northing)
-    n_data = data.count()
-    if n_data <= broadcast_threshold:
-        pdf = data.select(data_easting, data_northing).toPandas()
+    # one limited collect decides the strategy AND fetches the broadcast
+    # coords (count + toPandas would scan the data twice)
+    pdf = data.select(data_easting, data_northing).limit(broadcast_threshold + 1).toPandas()
+    if len(pdf) <= broadcast_threshold:
         return _distance_mask_broadcast(
             targets,
             pdf[data_easting].to_numpy("float64"),

@@ -61,9 +61,14 @@ def knn_join(
         queries = queries.withColumn(query_id, F.monotonically_increasing_id())
     data = data.withColumn("__did", F.monotonically_increasing_id())
 
-    w, e, s, n = get_region(data, data_easting, data_northing)
+    # one scan for bbox + count (two separate jobs would scan data twice)
+    row = data.agg(
+        F.min(data_easting).alias("w"), F.max(data_easting).alias("e"),
+        F.min(data_northing).alias("s"), F.max(data_northing).alias("n"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).first()
+    w, e, s, n, cnt = row["w"], row["e"], row["s"], row["n"], row["cnt"]
     if cell_size is None:
-        cnt = data.count()
         extent = max(e - w, n - s) or 1.0
         cells = max(1, int(np.sqrt(max(cnt, 1) / 64.0)))
         cell_size = extent / cells
