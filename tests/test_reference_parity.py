@@ -365,3 +365,59 @@ def test_ref_chain_end_to_end(spark):
     # the BlockMean weights amplify to ~1e-4 relative in the grid values —
     # same behavior the reference shows across BLAS builds
     npt.assert_allclose(got, want, rtol=2e-3, atol=1e-5 * np.abs(want).max())
+
+
+def test_ref_block_shuffle_split(spark, fixture):
+    e, n, d, _ = fixture
+    X = np.column_stack([e, n])
+    kwargs = dict(spacing=2.5, n_splits=3, test_size=0.2, random_state=5, balancing=5)
+    ref_splits = [(set(tr), set(te)) for tr, te in vd.BlockShuffleSplit(**kwargs).split(X)]
+
+    df = _scatter_df(spark, e, n, d)
+    labeled, _ = block_split(df, spacing=2.5)
+    pdf = labeled.toPandas()
+    pos = {v: i for i, v in enumerate(e)}
+    pt_block = {pos[ee]: b for ee, b in zip(pdf["easting"], pdf["block"])}
+    for (rtr, rte), (btr, bte) in zip(
+        ref_splits, vs.BlockShuffleSplit(**kwargs).split_blocks(df)
+    ):
+        te_blocks = set(int(b) for b in bte)
+        got_te = {i for i, b in pt_block.items() if b in te_blocks}
+        got_tr = {i for i, b in pt_block.items() if b not in te_blocks}
+        assert got_te == rte and got_tr == rtr
+
+
+def test_ref_block_kfold(spark, fixture):
+    e, n, d, _ = fixture
+    X = np.column_stack([e, n])
+    df = _scatter_df(spark, e, n, d)
+    labeled, _ = block_split(df, spacing=2.5)
+    pdf = labeled.toPandas()
+    pos = {v: i for i, v in enumerate(e)}
+    pt_block = {pos[ee]: b for ee, b in zip(pdf["easting"], pdf["block"])}
+    for kwargs in [
+        dict(spacing=2.5, n_splits=4, shuffle=True, random_state=0, balance=True),
+        dict(spacing=2.5, n_splits=4, shuffle=True, random_state=3, balance=False),
+        dict(spacing=2.5, n_splits=3, shuffle=False, balance=False),
+    ]:
+        ref_folds = [set(te) for _, te in vd.BlockKFold(**kwargs).split(X)]
+        our_folds = vs.BlockKFold(**kwargs).fold_blocks(df)
+        got = [
+            {i for i, b in pt_block.items() if b in set(int(x) for x in fold)}
+            for fold in our_folds
+        ]
+        assert got == ref_folds
+
+
+def test_ref_train_test_split_blocked(spark, fixture):
+    e, n, d, _ = fixture
+    train_ref, test_ref = vd.train_test_split(
+        (e, n), d, spacing=2.5, random_state=1, test_size=0.25
+    )
+    train_df, test_df = vs.train_test_split(
+        _scatter_df(spark, e, n, d), spacing=2.5, random_state=1, test_size=0.25
+    )
+    got_tr = set(train_df.toPandas()["easting"])
+    got_te = set(test_df.toPandas()["easting"])
+    assert got_tr == set(train_ref[0][0])
+    assert got_te == set(test_ref[0][0])

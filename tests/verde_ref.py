@@ -10,12 +10,16 @@ module installs the *minimal* stand-ins the reference imports:
   scipy's return conventions (fixture sizes are hundreds of points);
 * ``sklearn`` pieces — ``BaseEstimator/clone/check_is_fitted/
   check_random_state`` plus ``LinearRegression/Ridge/StandardScaler``
-  backed by ``numpy.linalg`` (the same LAPACK routines sklearn drives).
+  backed by ``numpy.linalg`` (the same LAPACK routines sklearn drives),
+  and ``ShuffleSplit/KFold/BaseCrossValidator`` reproducing sklearn's
+  exact permutation/fold algorithms (one RandomState, full permutation
+  per split; shuffled arange + contiguous folds) so the reference's
+  blocked CV logic runs with its real RNG decisions.
 
 What the stubs DO NOT make runnable: ``scipy.interpolate`` gridders
-(Linear/Cubic/Delaunay masks) and sklearn CV splitters — those raise on
-use, and no parity test touches them.  Everything else (coordinates,
-block reductions, spline/trend/vector numerics, kNN, distance mask)
+(Linear/Cubic/Delaunay masks) — those raise on use, and no parity test
+touches them.  Everything else (coordinates, block reductions,
+spline/trend/vector numerics, kNN, distance mask, blocked CV splits)
 executes the reference's own code paths, so test_reference_parity.py
 compares our Spark operators against genuine reference outputs.
 
@@ -173,9 +177,75 @@ def _install_stubs():
             if not attrs:
                 raise RuntimeError(f"{type(est).__name__} is not fitted")
 
-        class _NotAvailable:
-            def __init__(self, *a, **k):
-                raise NotImplementedError("sklearn CV not available (stub)")
+        class BaseCrossValidator:
+            """sklearn's split machinery: masks from _iter_test_indices."""
+
+            def split(self, X, y=None, groups=None):
+                n = X.shape[0] if hasattr(X, "shape") else len(X)
+                indices = np.arange(n)
+                for test_mask in self._iter_test_masks(X, y, groups):
+                    yield indices[~test_mask], indices[test_mask]
+
+            def _iter_test_masks(self, X=None, y=None, groups=None):
+                n = X.shape[0] if hasattr(X, "shape") else len(X)
+                for test_index in self._iter_test_indices(X, y, groups):
+                    mask = np.zeros(n, dtype=bool)
+                    mask[test_index] = True
+                    yield mask
+
+        class ShuffleSplit:
+            """sklearn's exact algorithm: one RandomState, per split a full
+            permutation; test = perm[:n_test], train = next n_train."""
+
+            def __init__(self, n_splits=10, test_size=None, train_size=None,
+                         random_state=None):
+                self.n_splits = n_splits
+                self.test_size = test_size
+                self.train_size = train_size
+                self.random_state = random_state
+
+            def _sizes(self, n):
+                test = 0.1 if self.test_size is None else self.test_size
+                n_test = int(np.ceil(test * n)) if isinstance(test, float) else int(test)
+                if self.train_size is None:
+                    n_train = n - n_test
+                elif isinstance(self.train_size, float):
+                    n_train = int(np.floor(self.train_size * n))
+                else:
+                    n_train = int(self.train_size)
+                return n_train, n_test
+
+            def split(self, X, y=None, groups=None):
+                n = X.shape[0] if hasattr(X, "shape") else len(X)
+                n_train, n_test = self._sizes(n)
+                rng = check_random_state(self.random_state)
+                for _ in range(self.n_splits):
+                    perm = rng.permutation(n)
+                    yield perm[n_test:(n_test + n_train)], perm[:n_test]
+
+            def get_n_splits(self, *a, **k):
+                return self.n_splits
+
+        class KFold(BaseCrossValidator):
+            def __init__(self, n_splits=5, shuffle=False, random_state=None):
+                self.n_splits = n_splits
+                self.shuffle = shuffle
+                self.random_state = random_state
+
+            def _iter_test_indices(self, X=None, y=None, groups=None):
+                n = X.shape[0] if hasattr(X, "shape") else len(X)
+                indices = np.arange(n)
+                if self.shuffle:
+                    check_random_state(self.random_state).shuffle(indices)
+                fold_sizes = np.full(self.n_splits, n // self.n_splits, dtype=int)
+                fold_sizes[: n % self.n_splits] += 1
+                current = 0
+                for size in fold_sizes:
+                    yield indices[current:current + size]
+                    current += size
+
+            def get_n_splits(self, *a, **k):
+                return self.n_splits
 
         def _weighted(jac, data, sample_weight):
             if sample_weight is None:
@@ -234,9 +304,9 @@ def _install_stubs():
 
         base.BaseEstimator = BaseEstimator
         base.clone = clone
-        model_selection.BaseCrossValidator = object
-        model_selection.KFold = _NotAvailable
-        model_selection.ShuffleSplit = _NotAvailable
+        model_selection.BaseCrossValidator = BaseCrossValidator
+        model_selection.KFold = KFold
+        model_selection.ShuffleSplit = ShuffleSplit
         linear_model.LinearRegression = LinearRegression
         linear_model.Ridge = Ridge
         preprocessing.StandardScaler = StandardScaler
