@@ -421,3 +421,44 @@ def test_ref_train_test_split_blocked(spark, fixture):
     got_te = set(test_df.toPandas()["easting"])
     assert got_tr == set(train_ref[0][0])
     assert got_te == set(test_ref[0][0])
+
+
+def test_ref_partition_by_sum_and_project_region():
+    from verde.utils import partition_by_sum as ref_pbs
+
+    from verde_spark.model_selection import partition_by_sum
+
+    rng = np.random.RandomState(8)
+    arr = rng.randint(1, 50, 60)
+    npt.assert_array_equal(partition_by_sum(arr, 4), ref_pbs(arr, 4))
+
+    proj = lambda e, n: (e * 2 + n, n - e / 2)
+    want = vd.project_region((0, 10, -5, 5), proj)
+    got = vs.project_region((0, 10, -5, 5), proj)
+    npt.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_ref_score_and_cross_val_score(spark, fixture):
+    e, n, d, w = fixture
+    # R² score parity: fitted estimator scored on held-out points
+    ref_est = vd.Trend(degree=1).fit((e[:200], n[:200]), d[:200])
+    want = ref_est.score((e[200:], n[200:]), d[200:], weights=w[200:])
+    ours = vs.Trend(degree=1).fit(_scatter_df(spark, e[:200], n[:200], d[:200]))
+    pred = ours.predict(
+        _scatter_df(spark, e[200:], n[200:], d[200:], w[200:]), "__p"
+    )
+    got = vs.r2_score(pred, "scalars", "__p", "weight")
+    npt.assert_allclose(got, want, rtol=1e-10)
+
+    # cross_val_score with identical blocked folds through both engines
+    X = np.column_stack([e, n])
+    cv_kwargs = dict(spacing=2.5, n_splits=3, shuffle=True, random_state=0, balance=False)
+    ref_scores = vd.cross_val_score(
+        vd.Trend(degree=2), (e, n), d, cv=vd.BlockKFold(**cv_kwargs)
+    )
+    our_scores = vs.cross_val_score(
+        lambda: vs.Trend(degree=2),
+        _scatter_df(spark, e, n, d),
+        cv=vs.BlockKFold(**cv_kwargs),
+    )
+    npt.assert_allclose(our_scores, ref_scores, rtol=1e-8)

@@ -300,7 +300,19 @@ def _install_stubs():
                 return out
 
         def check_scoring(estimator, scoring=None, **k):
-            raise NotImplementedError("sklearn scorers not available (stub)")
+            """sklearn semantics for the scorers verde requests ('r2')."""
+            if scoring in (None, "r2"):
+                def scorer(est, X, y_true, sample_weight=None):
+                    y_pred = np.asarray(est.predict(X), dtype="float64").ravel()
+                    y_true = np.asarray(y_true, dtype="float64").ravel()
+                    w = (np.ones_like(y_true) if sample_weight is None
+                         else np.asarray(sample_weight, dtype="float64").ravel())
+                    ybar = np.average(y_true, weights=w)
+                    ss_res = np.sum(w * (y_true - y_pred) ** 2)
+                    ss_tot = np.sum(w * (y_true - ybar) ** 2)
+                    return 1.0 - ss_res / ss_tot
+                return scorer
+            raise NotImplementedError(f"scorer {scoring!r} not available (stub)")
 
         base.BaseEstimator = BaseEstimator
         base.clone = clone
