@@ -151,3 +151,56 @@ def test_zonal_stats(spark):
     assert got.loc[0, "count_value"] == mask.sum()
     np.testing.assert_allclose(got.loc[0, "mean_value"], pdf["value"][mask].mean())
     np.testing.assert_allclose(got.loc[0, "sum_value"], pdf["value"][mask].sum())
+
+
+def test_point_in_polygon_random_star_polygons(spark):
+    # randomized robustness: 20 random star-shaped (simple) polygons with
+    # 5-12 vertices, all tested against the independent PNPOLY reference in
+    # ONE Spark job (rows = polygon x point pairs)
+    rng = np.random.RandomState(11)
+    polys = []
+    for pid in range(20):
+        nv = rng.randint(5, 13)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(0.5, 3.0, nv)
+        cx, cy = rng.uniform(-5, 5, 2)
+        verts = [(cx + r * np.cos(a), cy + r * np.sin(a)) for a, r in zip(ang, rad)]
+        polys.append((pid, verts))
+    pts = rng.uniform(-8, 8, (200, 2))
+
+    rows = []
+    for pid, verts in polys:
+        for i, (x, y) in enumerate(pts):
+            rows.append((pid, i, float(x), float(y)))
+    pair_df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["pid", "qid", "easting", "northing"])
+    )
+    poly_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": [pid for pid, _ in polys],
+                "vertices": [
+                    [{"x": float(x), "y": float(y)} for x, y in verts]
+                    for _, verts in polys
+                ],
+            }
+        ),
+        schema="pid bigint, vertices array<struct<x:double,y:double>>",
+    )
+    got = (
+        pair_df.join(poly_df, "pid")
+        .withColumn(
+            "inside",
+            point_in_polygon_expr(
+                F.col("easting"), F.col("northing"), F.col("vertices")
+            ),
+        )
+        .select("pid", "qid", "inside")
+        .toPandas()
+        .sort_values(["pid", "qid"])
+        .reset_index(drop=True)
+    )
+    want = np.concatenate(
+        [pnpoly(pts[:, 0], pts[:, 1], verts) for _, verts in polys]
+    )
+    np.testing.assert_array_equal(got["inside"].to_numpy(), want)

@@ -462,3 +462,19 @@ def test_ref_score_and_cross_val_score(spark, fixture):
         cv=vs.BlockKFold(**cv_kwargs),
     )
     npt.assert_allclose(our_scores, ref_scores, rtol=1e-8)
+
+
+def test_ref_splinecv(spark, fixture):
+    e, n, d, _ = fixture
+    from verde_spark.operators.splinecv import SplineCV
+
+    dampings = (1e-8, 1e-4, 1e-1)
+    cv_kwargs = dict(spacing=2.5, n_splits=3, shuffle=True, random_state=0, balance=False)
+    ref = vd.SplineCV(
+        dampings=dampings, cv=vd.BlockKFold(**cv_kwargs), delayed=False
+    ).fit((e, n), d)
+    ours = SplineCV(
+        dampings=dampings, cv=vs.BlockKFold(**cv_kwargs)
+    ).fit(_scatter_df(spark, e, n, d))
+    npt.assert_allclose(sorted(ours.scores_), sorted(np.asarray(ref.scores_).ravel()), rtol=1e-6)
+    assert ours.damping_ == ref.damping_
