@@ -478,3 +478,64 @@ def test_ref_splinecv(spark, fixture):
     ).fit(_scatter_df(spark, e, n, d))
     npt.assert_allclose(sorted(ours.scores_), sorted(np.asarray(ref.scores_).ravel()), rtol=1e-6)
     assert ours.damping_ == ref.damping_
+
+
+def test_ref_load_surfer(tmp_path):
+    from verde.io import load_surfer as ref_load
+
+    from verde_spark.sources.grid_io import load_surfer
+
+    rng = np.random.RandomState(6)
+    vals = rng.uniform(-5, 5, (4, 6))
+    vals[1, 2] = 1.70141e38  # NaN sentinel
+    finite = vals[vals < 1e38]
+    path = tmp_path / "test.grd"
+    lines = ["DSAA", "4 6", "-3 3", "0 10", f"{finite.min()} {finite.max()}"]
+    lines += [" ".join(f"{v!r}" for v in row) for row in vals]
+    path.write_text("\n".join(lines) + "\n")
+
+    ref = ref_load(str(path))
+    ours_vals, region = load_surfer(str(path))
+    npt.assert_allclose(ours_vals, ref.values, rtol=0, atol=0, equal_nan=True)
+    npt.assert_allclose(region[:2], (ref.coords["easting"][0], ref.coords["easting"][-1]))
+    npt.assert_allclose(region[2:], (ref.coords["northing"][0], ref.coords["northing"][-1]))
+
+
+def test_ref_kneighbors_queries_outside_data_region(spark, fixture):
+    # queries far outside the data bbox force the cell join to escalate
+    # rings / fall back — the k-set must still match the reference exactly
+    e, n, d, _ = fixture
+    qe = np.array([-30.0, 40.0, 5.0, -15.0, 25.0])
+    qn = np.array([30.0, -40.0, 20.0, -25.0, 5.0])
+    ref = vd.KNeighbors(k=3).fit((e, n), d)
+    want = ref.predict((qe, qn))
+    ours = vs.KNeighbors(k=3).fit(_scatter_df(spark, e, n, d))
+    qdf = spark.createDataFrame(pd.DataFrame({"easting": qe, "northing": qn}))
+    got = ours.predict(qdf, "pred").orderBy("easting").toPandas()
+    order = np.argsort(qe, kind="stable")
+    npt.assert_allclose(got["pred"].to_numpy(), want[order], rtol=1e-12)
+
+
+def test_ref_vector_independent_components(spark, fixture):
+    e, n, d, _ = fixture
+    d2 = 0.5 * d - 3.0
+    ref = vd.Vector([vd.Trend(degree=1), vd.Trend(degree=2)]).fit((e, n), (d, d2))
+    qe = np.linspace(1, 9, 10)
+    qn = np.linspace(-9, -1, 10)
+    we, wn = ref.predict((qe, qn))
+
+    from verde_spark.operators.vector import Vector
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"easting": e, "northing": n, "east_component": d, "north_component": d2})
+    )
+    ours = Vector(
+        [
+            ("east_component", lambda: vs.Trend(degree=1)),
+            ("north_component", lambda: vs.Trend(degree=2)),
+        ]
+    ).fit(df)
+    qdf = spark.createDataFrame(pd.DataFrame({"easting": qe, "northing": qn}))
+    got = ours.predict(qdf).orderBy("easting").toPandas()
+    npt.assert_allclose(got["east_component_pred"], we, rtol=1e-6)
+    npt.assert_allclose(got["north_component_pred"], wn, rtol=1e-6)

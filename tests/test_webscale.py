@@ -281,8 +281,10 @@ def test_grid_roundtrip(spark):
 
 def test_load_surfer(spark, tmp_path):
     grd = tmp_path / "test.grd"
+    # reference header semantics (io.py:79-114): shape line is
+    # "n_northing n_easting", then "south north", then "west east"
     grd.write_text(
-        "DSAA\n4 3\n0 3\n0 2\n0 11\n"
+        "DSAA\n3 4\n0 2\n0 3\n0 11\n"
         "0 1 2 3\n4 5 1.70141e38 7\n8 9 10 11\n"
     )
     values, region = load_surfer(str(grd))
@@ -292,7 +294,7 @@ def test_load_surfer(spark, tmp_path):
     assert np.nanmax(values) == 11
     # corrupted header → integrity error (verde io.py:117-134)
     bad = tmp_path / "bad.grd"
-    bad.write_text("DSAA\n4 3\n0 3\n0 2\n0 99\n0 1 2 3\n4 5 6 7\n8 9 10 11\n")
+    bad.write_text("DSAA\n3 4\n0 2\n0 3\n0 99\n0 1 2 3\n4 5 6 7\n8 9 10 11\n")
     with pytest.raises(ValueError):
         load_surfer(str(bad))
 

@@ -69,11 +69,22 @@ def _install_stubs():
         # array outputs, so attribute access fails only if actually used
         xarray = _module("xarray")
 
+        class _DataArray:
+            """Just enough container for load_surfer parity tests."""
+
+            def __init__(self, data, coords=None, dims=None, attrs=None):
+                self.values = np.ma.getdata(np.asarray(data)) if np.ma.isMaskedArray(data) else np.asarray(data)
+                if np.ma.isMaskedArray(data):
+                    self.values = np.where(np.ma.getmaskarray(data), np.nan, self.values)
+                self.coords = coords or {}
+                self.dims = dims or ()
+                self.attrs = attrs or {}
+
         class _NoXarray:
             def __init__(self, *a, **k):
                 raise NotImplementedError("xarray not available (stub)")
 
-        xarray.DataArray = _NoXarray
+        xarray.DataArray = _DataArray
         xarray.Dataset = _NoXarray
         sys.modules["xarray"] = xarray
 

@@ -81,17 +81,19 @@ def load_surfer(fname: str, spark: Optional[SparkSession] = None):
     """Read a Surfer ASCII .grd file (verde io.py:14-134).
 
     Returns ``(values_2d, region)``; with *spark* given, also a node-table
-    DataFrame. Header: DSAA / "ncols nrows" / "xmin xmax" / "ymin ymax" /
-    "zmin zmax" / data rows; values ≥ 1.70141e38 are NaN. Integrity checks
-    (shape + data range vs header, io.py:117-134) raise on mismatch.
+    DataFrame.  Header semantics follow the REFERENCE exactly
+    (io.py:79-114 — its x axis points north): DSAA / "n_northing
+    n_easting" / "south north" / "west east" / "zmin zmax" / data rows;
+    values ≥ 1.70141e38 are NaN.  Integrity checks (shape + data range vs
+    header, io.py:117-134) raise on mismatch.
     """
     with open(fname) as f:
         code = f.readline().strip()
         if code != "DSAA":
             raise ValueError(f"Invalid Surfer grid file id '{code}' (expected DSAA): {fname}")
-        n_east, n_north = (int(v) for v in f.readline().split())
-        w, e = (float(v) for v in f.readline().split())
+        n_north, n_east = (int(v) for v in f.readline().split())
         s, n = (float(v) for v in f.readline().split())
+        w, e = (float(v) for v in f.readline().split())
         zmin, zmax = (float(v) for v in f.readline().split())
         values = np.array(f.read().split(), dtype="float64")
     if values.size != n_east * n_north:
