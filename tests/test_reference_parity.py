@@ -161,6 +161,15 @@ def test_ref_spline(spark, fixture):
             ours.predict(qdf, "pred").orderBy("easting").toPandas()["pred"].to_numpy()
         )
         npt.assert_allclose(got, want, rtol=1e-6, atol=1e-8 * np.abs(want).max())
+    # deprecated mindist fudge path (reference spline.py:414-424)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = vd.Spline(damping=1e-8, mindist=0.5).fit((e, n), d)
+    want = ref.predict((qe, qn))
+    ours = vs.Spline(damping=1e-8, mindist=0.5).fit(_scatter_df(spark, e, n, d))
+    got = ours.predict(qdf, "pred").orderBy("easting").toPandas()["pred"].to_numpy()
+    npt.assert_allclose(got, want, rtol=1e-6, atol=1e-8 * np.abs(want).max())
 
 
 def test_ref_kneighbors(spark, fixture):
@@ -285,7 +294,7 @@ def test_ref_inside_and_longitude_continuity(spark, fixture):
     from verde_spark.coordinates import longitude_continuity
 
     region2, expr = longitude_continuity((-20, 20, -10, 10), "lon")
-    assert tuple(region2)[:2] == tuple(ref_region)[:2]
+    npt.assert_allclose(tuple(region2), tuple(ref_region), rtol=0, atol=0)
     df = spark.createDataFrame(pd.DataFrame({"lon": lon}))
     got = df.select(expr.alias("out")).toPandas()["out"].to_numpy()
     npt.assert_allclose(np.sort(got), np.sort(ref_lon), rtol=0, atol=1e-12)
