@@ -333,3 +333,42 @@ def test_main_entrypoint(spark, tmp_path, capsys):
     import numpy.testing as npt
 
     npt.assert_allclose(a["prediction"], b["prediction"], rtol=1e-12)
+
+
+def test_embedding_near_dup(spark):
+    # synthetic near-duplicate embeddings: each "dup" is a tiny perturbation
+    # of a base vector; brute-force NumPy cosine is the reference
+    import numpy as np
+    import pandas as pd
+
+    from verde_spark.operators.dedup import dedup_embedding, embedding_near_duplicate_pairs
+
+    rng = np.random.RandomState(21)
+    base = rng.normal(size=(40, 16))
+    dups = base[:10] + rng.normal(scale=0.01, size=(10, 16))  # near-copies
+    vecs = np.vstack([base, dups])
+    ids = np.arange(len(vecs))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "embedding": [v.tolist() for v in vecs]}),
+        schema="doc_id long, embedding array<double>",
+    )
+    # reference pair set
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = nv @ nv.T
+    want = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if cos[i, j] >= 0.99
+    }
+    assert len(want) >= 10  # the 10 planted pairs
+    got_pairs = embedding_near_duplicate_pairs(
+        df, threshold=0.99, num_planes=8, num_tables=6
+    ).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(got_pairs["id_a"], got_pairs["id_b"])}
+    assert got == want  # full recall on planted near-identical pairs
+
+    kept = dedup_embedding(df, threshold=0.99, num_planes=8, num_tables=6)
+    kept_ids = set(kept.toPandas()["doc_id"])
+    dropped = set(ids) - kept_ids
+    assert dropped == {j for _, j in want}

@@ -289,3 +289,76 @@ def simhash_near_duplicates(
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicate_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    num_planes: int = 10,
+    num_tables: int = 4,
+    dim: int = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs by embedding cosine ≥ *threshold*.
+
+    Scale shape: ``num_tables`` independent random-hyperplane bucketings
+    (different seeds) each produce an equi-self-join on the bucket key —
+    near-identical vectors land in the same bucket in at least one table
+    with high probability (missing prob ≈ (1−(1−θ/π)^planes)^tables for
+    angle θ).  Union of candidates → exact JVM-side cosine filter →
+    deduped (id_a < id_b) pairs.  No cartesian anywhere; each join is
+    AQE-skew-split eligible.
+    """
+    from .similarity import cosine_expr, hyperplane_signature
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    pairs = None
+    for t in range(num_tables):
+        sig = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            hyperplane_signature(vec_col, dim, num_planes, seed=101 + t).alias("bucket"),
+        )
+        a = sig.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket"
+        )
+        b = sig.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket"
+        )
+        cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return (
+        pairs.withColumn(
+            "cosine",
+            cosine_expr(
+                F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>")
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def dedup_embedding(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    num_planes: int = 10,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Drop embedding-cosine near-duplicates (keep the min-id member of
+    each duplicate pair, same single-link policy as :func:`dedup_minhash`)."""
+    dups = embedding_near_duplicate_pairs(
+        df, threshold, id_col, vec_col, num_planes, num_tables
+    )
+    to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_drop, id_col, "left_anti")
