@@ -372,3 +372,26 @@ def test_embedding_near_dup(spark):
     kept_ids = set(kept.toPandas()["doc_id"])
     dropped = set(ids) - kept_ids
     assert dropped == {j for _, j in want}
+
+
+def test_multimodal_resize_and_frames(spark):
+    # resize: real schema/batch plumbing, stubbed decode; deterministic
+    from verde_spark.operators.multimodal import resize_images, sample_frames
+
+    pages = synthesize_pages(spark, 20)
+    resized = resize_images(pages, width=4, height=4, source_size=16)
+    pdf = resized.select("url", "pixels", "out_width", "out_height", "channels").toPandas()
+    assert len(pdf) == 20
+    assert (pdf["out_width"] == 4).all() and (pdf["channels"] == 3).all()
+    assert all(len(p) == 4 * 4 * 3 for p in pdf["pixels"])
+    # deterministic: same payload -> same pixels
+    pdf2 = resize_images(pages, width=4, height=4, source_size=16).select("url", "pixels").toPandas()
+    m1 = dict(zip(pdf["url"], pdf["pixels"]))
+    m2 = dict(zip(pdf2["url"], pdf2["pixels"]))
+    assert m1 == m2
+
+    frames = sample_frames(pages, num_frames=3, id_cols=["url"])
+    fdf = frames.toPandas()
+    assert len(fdf) == 60  # 20 pages x 3 frames
+    assert set(fdf["frame_idx"]) == {0, 1, 2}
+    assert fdf.groupby("url").size().eq(3).all()

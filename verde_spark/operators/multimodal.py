@@ -86,3 +86,114 @@ def payload_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
     return df.withColumn("payload_bytes", F.length(payload)).withColumn(
         "payload_hash", F.xxhash64(payload)
     ).withColumn("payload_kind", kind)
+
+
+def fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for an image decoder: payload hash seeds a
+    (height, width, 3) uint8 pixel grid. Replace with PIL in production."""
+    if payload is None:
+        return None
+    seed = int.from_bytes(hashlib.sha256(bytes(payload)).digest()[:4], "little")
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "html",
+    width: int = 8,
+    height: int = 8,
+    source_size: int = 32,
+    decoder: Optional[Callable[[bytes, int, int], np.ndarray]] = None,
+) -> DataFrame:
+    """binary column → resized image payload + typed shape metadata.
+
+    mapInPandas with a real output contract — ``(input columns, pixels:
+    binary, out_width: int, out_height: int, channels: int)`` — and an
+    area-average downsample in NumPy (integer block mean; the part a real
+    pipeline would keep).  The DECODE step is the stub
+    (:func:`fake_decode_image`); pass a real decoder to drop in PIL.
+    """
+    decoder = decoder or (lambda b, w, h: fake_decode_image(b, w, h))
+    fields = list(df.schema.fields) + [
+        T.StructField("pixels", T.BinaryType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+    schema = T.StructType(fields)
+    fy, fx = source_size // height, source_size // width
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = pdf.copy()
+            pixels, ows, ohs, chs = [], [], [], []
+            for b in pdf[payload_col]:
+                img = decoder(b, source_size, source_size)
+                if img is None:
+                    pixels.append(None); ows.append(None); ohs.append(None); chs.append(None)
+                    continue
+                h, w, c = img.shape
+                small = (
+                    img[: fy * height, : fx * width]
+                    .reshape(height, fy, width, fx, c)
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+                pixels.append(small.tobytes())
+                ows.append(width); ohs.append(height); chs.append(c)
+            out["pixels"] = pixels
+            out["out_width"] = pd.array(ows, dtype="Int32")
+            out["out_height"] = pd.array(ohs, dtype="Int32")
+            out["channels"] = pd.array(chs, dtype="Int32")
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "html",
+    num_frames: int = 4,
+    id_cols: Optional[Iterable[str]] = None,
+    decoder: Optional[Callable[[bytes, int], np.ndarray]] = None,
+) -> DataFrame:
+    """"Video" binary column → one output row PER SAMPLED FRAME.
+
+    Exercises the 1→N mapInPandas row shape a real frame sampler needs:
+    output = (id columns, frame_idx: int, frame: binary).  The frame
+    decode is stubbed deterministically (hash of payload + index); a real
+    ffmpeg-backed decoder drops into the same signature.
+    """
+    id_cols = list(id_cols) if id_cols else [df.columns[0]]
+
+    def fake_frame(payload: bytes, idx: int) -> bytes:
+        seed = hashlib.sha256(bytes(payload) + idx.to_bytes(4, "little")).digest()
+        return seed[:16]
+
+    decoder = decoder or fake_frame
+    fields = [f for f in df.schema.fields if f.name in id_cols] + [
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+    schema = T.StructType(fields)
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = {c: [] for c in id_cols}
+            idxs, frames = [], []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                if payload is None:
+                    continue
+                for i in range(num_frames):
+                    for c in id_cols:
+                        rows[c].append(row[c])
+                    idxs.append(i)
+                    frames.append(decoder(payload, i))
+            out = pd.DataFrame(rows)
+            out["frame_idx"] = pd.array(idxs, dtype="Int32")
+            out["frame"] = frames
+            yield out
+
+    return df.mapInPandas(run, schema)
