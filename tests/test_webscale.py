@@ -395,3 +395,29 @@ def test_multimodal_resize_and_frames(spark):
     assert len(fdf) == 60  # 20 pages x 3 frames
     assert set(fdf["frame_idx"]) == {0, 1, 2}
     assert fdf.groupby("url").size().eq(3).all()
+
+
+def test_geotag_malformed_inputs(spark):
+    # malformed / missing geotags yield nulls, never errors or fake coords
+    import pandas as pd
+
+    from verde_spark.sources.pages import geotagged
+
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(6)],
+            "text": [
+                "page 0 geo:12.500000,-33.250000 lang:en",  # valid
+                "no geotag at all",
+                "geo:",                                      # truncated
+                "geo:abc,def",                               # non-numeric
+                "",                                          # empty
+                "geo:1.5",                                   # missing lon
+            ],
+        }
+    )
+    out = geotagged(spark.createDataFrame(pdf)).select("url", "lon", "lat").toPandas()
+    byurl = out.set_index("url")
+    assert byurl.loc["u0", "lat"] == 12.5 and byurl.loc["u0", "lon"] == -33.25
+    for u in ["u1", "u2", "u3", "u4", "u5"]:
+        assert pd.isna(byurl.loc[u, "lon"]) and pd.isna(byurl.loc[u, "lat"])
