@@ -16,9 +16,10 @@ fresh, Spark-first:
   - ``method="bbox"``: broadcast the polygons, join on the bounding-box
     range predicate, then the exact crossing test.  Right when polygons
     are few (BroadcastNestedLoopJoin over a tiny build side).
-  - ``method="cells"``: cover each polygon's bbox with coarse cells
-    (``functions.cells`` quadtree), explode the cover, equi-join on the
-    point's cell id, then the exact test.  This is the 100 TB path: an
+  - ``method="cells"``: cover each polygon's bbox with coarse square
+    cells (integer floor-division ids, the same arithmetic family as the
+    block/tile keys), explode the cover, equi-join on the point's cell
+    id, then the exact test.  This is the 100 TB path: an
     AQE/skew-manageable shuffled **equi-join** whose candidate set is
     proportional to polygon area, never a cartesian.
 
