@@ -106,7 +106,11 @@ def knn_join(
         cand = cand_cells.join(
             d, (F.col("cix") == F.col("dix")) & (F.col("ciy") == F.col("diy"))
         ).withColumn("distance", dist_col())
-        topk = _topk(cand, query_id, k)
+        # persist the round's top-k (≤ queries×k rows): the remaining-count
+        # action below materializes it ONCE, and both the escalation
+        # anti-join and the final union reuse it — without this, round r
+        # recomputes rounds 1..r-1 and the loop costs O(rounds²) jobs.
+        topk = _topk(cand, query_id, k).persist()
         stats = topk.groupBy(query_id).agg(
             F.count(F.lit(1)).alias("__nk"), F.max("distance").alias("__kdist")
         )
@@ -114,8 +118,13 @@ def knn_join(
             (F.col("__nk") >= k) & (F.col("__kdist") <= F.lit(float(ring) * cell_size))
         ).select(query_id)
         finished.append(topk.join(done_ids, query_id, "left_semi"))
-        remaining = remaining.join(done_ids, query_id, "left_anti")
-        if remaining.isEmpty():
+        prev = remaining
+        remaining = remaining.join(done_ids, query_id, "left_anti").persist()
+        n_rem = remaining.count()  # one job per round, everything above cached
+        if prev is not q:
+            prev.unpersist()
+        if n_rem == 0:
+            remaining.unpersist()
             remaining = None
             break
         ring *= 2
