@@ -133,8 +133,14 @@ def run_resumable(
     """Run ``stage`` over only the tiles not yet completed, checkpoint the
     new results, and return the full (old + new) output."""
     ckpt = TileCheckpoint(checkpoint_path, tile_col)
-    todo = ckpt.remaining(inputs)
-    if not todo.isEmpty():
-        counts = todo.groupBy(tile_col).agg(F.count(F.lit(1)).alias("rows_in"))
-        ckpt.write(stage(todo), input_counts=counts)
+    # persist: the emptiness probe, the lineage counts and the stage itself
+    # all consume `todo` — without caching each one re-runs the anti-join
+    # against the manifest (and re-scans the inputs) from scratch
+    todo = ckpt.remaining(inputs).persist()
+    try:
+        if not todo.isEmpty():
+            counts = todo.groupBy(tile_col).agg(F.count(F.lit(1)).alias("rows_in"))
+            ckpt.write(stage(todo), input_counts=counts)
+    finally:
+        todo.unpersist()
     return ckpt.load(spark)
