@@ -116,3 +116,30 @@ def test_spline_solve_grid_resumable(spark, tmp_path):
     man2 = TileCheckpoint(path).manifest(spark).toPandas()
     assert man2["tile"].nunique() == n_tiles
     assert len(man2) == len(man)
+
+
+def test_spline_resumable_covers_point_free_tiles(spark, tmp_path):
+    # data covering only part of the region: tiles with no points must
+    # still emit their grid nodes (NaN), identical to the plain fused path
+    from verde_spark.operators.spline import spline_solve_grid, spline_solve_grid_resumable
+
+    region = (0, 400, 0, 400)
+    synth = CheckerBoard(region=(0, 180, 0, 180))
+    data = synth.scatter(spark, size=300, random_state=7).cache()
+    kwargs = dict(
+        region=region, shape=(10, 10), tile_spacing=100.0, halo=50.0,
+        damping=1e-8, output_col="pred",
+    )
+    plain = spline_solve_grid(data, **kwargs).orderBy("iy", "ix").toPandas()
+    path = str(tmp_path / "ckpt")
+    got = (
+        spline_solve_grid_resumable(data, checkpoint_path=path, **kwargs)
+        .orderBy("iy", "ix")
+        .toPandas()
+    )
+    assert len(got) == len(plain) == 100
+    # NaN pattern and values must match exactly (NaN-safe comparison)
+    npt.assert_array_equal(got["pred"].isna().to_numpy(), plain["pred"].isna().to_numpy())
+    assert plain["pred"].isna().sum() > 0  # the sparse layout really has empty tiles
+    ok = ~plain["pred"].isna()
+    npt.assert_allclose(got["pred"][ok], plain["pred"][ok], rtol=1e-12)

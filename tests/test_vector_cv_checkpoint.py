@@ -159,3 +159,45 @@ def test_chain_decimate_detrend_spline(spark):
     ).fit(df)
     score = chain.score(df)
     assert score > 0.97
+
+
+def test_checkpoint_write_is_incremental(spark, tmp_path):
+    # a stage write must never re-read previously checkpointed data: after
+    # corrupting stage-1's parquet files, a stage-2 write still succeeds,
+    # and its manifest rows cover only the new tiles (append-only manifest).
+    import os
+
+    path = str(tmp_path / "ckpt")
+    ckpt = TileCheckpoint(path)
+    df1 = spark.createDataFrame(pd.DataFrame({"tile": [0, 0, 1], "x": [1.0, 2.0, 3.0]}))
+    man1 = ckpt.write(df1)
+    assert sorted(r["tile"] for r in man1.collect()) == [0, 1]
+
+    # corrupt every stage-1 data file — any rescan would now fail
+    for root, _dirs, files in os.walk(ckpt.data_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "wb") as fh:
+                    fh.write(b"not parquet")
+
+    df2 = spark.createDataFrame(pd.DataFrame({"tile": [2, 3], "x": [4.0, 5.0]}))
+    man2 = ckpt.write(df2)
+    assert sorted(r["tile"] for r in man2.collect()) == [2, 3]
+    full = ckpt.manifest(spark).toPandas()
+    assert sorted(full["tile"]) == [0, 1, 2, 3]
+    assert (full["rows_out"] > 0).all()
+
+
+def test_run_resumable_count_col_ignores_sentinels(spark, tmp_path):
+    # rows_in lineage counts only non-null count_col rows (sentinel padding)
+    path = str(tmp_path / "ckpt")
+    pdf = pd.DataFrame({"tile": [0, 0, 1], "x": [1.0, 2.0, None]})
+    inputs = spark.createDataFrame(pdf)
+
+    def stage(df):
+        return df.groupBy("tile").agg(F.count("x").alias("n"))
+
+    run_resumable(spark, inputs, stage, path, count_col="x")
+    man = TileCheckpoint(path).manifest(spark).toPandas().set_index("tile")
+    assert man.loc[0, "rows_in"] == 2
+    assert man.loc[1, "rows_in"] == 0  # sentinel-only tile still completed

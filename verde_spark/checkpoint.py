@@ -75,52 +75,63 @@ class TileCheckpoint:
     # -- writing ---------------------------------------------------------------
 
     def write(self, result: DataFrame, input_counts: Optional[DataFrame] = None) -> DataFrame:
-        """Append *result* partitioned by tile and record the manifest.
+        """Append *result* partitioned by tile and append its manifest rows.
 
-        Metrics per tile: rows_out, value checksum (xor of row hashes —
-        order-insensitive), duration of the stage write, wall-clock stamp.
-        ``input_counts`` (tile, rows_in) joins lineage from the stage input.
-        Returns the manifest rows written.
+        Incremental by construction: per-tile metrics (rows_out, value
+        checksum = sum of row hashes mod 2^31 — order-insensitive) are
+        aggregated from *result* itself, which is persisted for the
+        duration of the write so the data write and the stats pass share
+        one computation. Previously checkpointed data is NEVER re-read and
+        the manifest is append-only — the cost of a stage write is
+        O(new tiles), independent of total checkpoint size (the property
+        that keeps resume viable at 100 TB). ``input_counts``
+        (tile, rows_in) joins lineage from the stage input. Each tile is
+        expected to be written at most once (``run_resumable`` guarantees
+        this via the completed-tiles anti-join). Returns the manifest rows
+        written.
         """
         spark = result.sparkSession
         t0 = time.time()
-        (
-            result.write.partitionBy(self.tile_col)
-            .mode("append")
-            .parquet(self.data_path)
-        )
-        duration = time.time() - t0
-        hash_cols = [c for c in result.columns if c != self.tile_col]
-        stats = (
-            spark.read.parquet(self.data_path)
-            .groupBy(F.col(self.tile_col).alias("tile"))
-            .agg(
+        result = result.persist()
+        try:
+            (
+                result.write.partitionBy(self.tile_col)
+                .mode("append")
+                .parquet(self.data_path)
+            )
+            duration = time.time() - t0
+            hash_cols = [c for c in result.columns if c != self.tile_col]
+            stats = result.groupBy(F.col(self.tile_col).alias("tile")).agg(
                 F.count(F.lit(1)).alias("rows_out"),
-                # xor-fold of row hashes: order-insensitive content checksum
+                # sum-fold of row hashes: order-insensitive content checksum
                 F.sum(F.xxhash64(*hash_cols) % F.lit(1 << 31)).alias("checksum"),
             )
-        )
-        if input_counts is not None:
-            stats = stats.join(
-                input_counts.select(
-                    F.col(self.tile_col).alias("tile"), F.col("rows_in")
-                ),
+            if input_counts is not None:
+                stats = stats.join(
+                    input_counts.select(
+                        F.col(self.tile_col).alias("tile"), F.col("rows_in")
+                    ),
+                    "tile",
+                    "left",
+                )
+            else:
+                stats = stats.withColumn("rows_in", F.lit(None).cast("long"))
+            manifest = stats.select(
                 "tile",
-                "left",
+                "rows_in",
+                "rows_out",
+                "checksum",
+                F.lit(round(duration, 3)).alias("stage_seconds"),
+                F.current_timestamp().alias("completed_at"),
+                F.lit("ok").alias("status"),
             )
-        else:
-            stats = stats.withColumn("rows_in", F.lit(None).cast("long"))
-        manifest = stats.select(
-            "tile",
-            "rows_in",
-            "rows_out",
-            "checksum",
-            F.lit(round(duration, 3)).alias("stage_seconds"),
-            F.current_timestamp().alias("completed_at"),
-            F.lit("ok").alias("status"),
-        )
-        manifest.write.mode("overwrite").parquet(self.manifest_path)
-        return manifest
+            manifest.write.mode("append").parquet(self.manifest_path)
+            # the returned rows must survive the unpersist below without
+            # re-running the stage lineage: hand back the tiny collected set
+            rows = manifest.collect()
+            return spark.createDataFrame(rows, manifest.schema)
+        finally:
+            result.unpersist()
 
 
 def run_resumable(
@@ -129,9 +140,16 @@ def run_resumable(
     stage: Callable[[DataFrame], DataFrame],
     checkpoint_path: str,
     tile_col: str = "tile",
+    count_col: Optional[str] = None,
 ) -> DataFrame:
     """Run ``stage`` over only the tiles not yet completed, checkpoint the
-    new results, and return the full (old + new) output."""
+    new results, and return the full (old + new) output.
+
+    ``count_col``: when given, the per-tile lineage ``rows_in`` counts only
+    rows with a non-null value in that column — callers that pad ``inputs``
+    with one sentinel row per tile (to guarantee every tile runs even with
+    zero data rows) use it to keep the lineage honest.
+    """
     ckpt = TileCheckpoint(checkpoint_path, tile_col)
     # persist: the emptiness probe, the lineage counts and the stage itself
     # all consume `todo` — without caching each one re-runs the anti-join
@@ -139,7 +157,8 @@ def run_resumable(
     todo = ckpt.remaining(inputs).persist()
     try:
         if not todo.isEmpty():
-            counts = todo.groupBy(tile_col).agg(F.count(F.lit(1)).alias("rows_in"))
+            counted = F.count(F.lit(1)) if count_col is None else F.count(F.col(count_col))
+            counts = todo.groupBy(tile_col).agg(counted.alias("rows_in"))
             ckpt.write(stage(todo), input_counts=counts)
     finally:
         todo.unpersist()

@@ -351,6 +351,9 @@ def _solve_grid_parts(
         if len(nds) == 0:
             nds[output_col] = pd.Series(dtype="float64")
             return nds
+        # the resumable path pads every tile with one null-coordinate
+        # sentinel row so point-free tiles still run (and emit NaN nodes)
+        points = points[points["easting"].notna()]
         if len(points) == 0:
             nds[output_col] = np.nan
             return nds
@@ -426,12 +429,17 @@ def spline_solve_grid_resumable(
     """``spline_solve_grid`` with per-tile checkpoint/resume (north rule:
     "resumable from checkpoint with per-partition lineage + metrics").
 
-    The halo-exploded point table is the checkpoint unit: each tile's
-    group is self-contained (its halo rows are duplicated into it), so
-    anti-joining completed tiles away loses nothing.  Completed tiles are
-    read back from the checkpoint; only remaining tiles solve.  Output
-    carries the ``tile`` column (= the partition value of the checkpoint
-    layout, pruning-friendly).
+    The checkpoint unit is the tile, and the todo set covers EVERY tile of
+    the tiling grid — the halo-exploded point table is unioned with one
+    null-coordinate sentinel row per tile (``spark.range`` over the tile
+    count, no shuffle), so tiles that contain no data points still reach
+    the cogroup and emit their grid nodes with NaN predictions, exactly
+    like plain :func:`spline_solve_grid`.  Each tile's point group is
+    self-contained (halo rows are duplicated into it), so anti-joining
+    completed tiles away loses nothing.  Completed tiles are read back
+    from the checkpoint; only remaining tiles solve.  Output carries the
+    ``tile`` column (= the partition value of the checkpoint layout,
+    pruning-friendly).
     """
     from ..checkpoint import run_resumable
 
@@ -439,6 +447,16 @@ def spline_solve_grid_resumable(
         df, region, shape, tile_spacing, halo, damping, mindist,
         data_col, weight_col, easting, northing, output_col, keep_tile=True,
     )
+    spark = df.sparkSession
+    tile_grid = BlockGrid.from_region(region, spacing=tile_spacing)
+    sentinels = spark.range(tile_grid.n_blocks).select(
+        F.col("id").alias("tile"),
+        *[
+            F.lit(None).cast("double").alias(c)
+            for c in ("easting", "northing", "data", "weight")
+        ],
+    )
+    inputs = exploded.unionByName(sentinels)
 
     def stage(remaining: DataFrame) -> DataFrame:
         todo_tiles = remaining.select("tile").distinct()
@@ -449,4 +467,5 @@ def spline_solve_grid_resumable(
             .applyInPandas(solve_and_eval, schema)
         )
 
-    return run_resumable(df.sparkSession, exploded, stage, checkpoint_path)
+    # count_col="easting": sentinel rows must not inflate rows_in lineage
+    return run_resumable(spark, inputs, stage, checkpoint_path, count_col="easting")
