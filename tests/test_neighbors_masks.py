@@ -122,3 +122,58 @@ def test_median_distance_golden(spark):
     want = np.median(np.sort(d, axis=1)[:, :3], axis=1)
     order = np.argsort(e)
     np.testing.assert_allclose(got["median_distance"], want[order], rtol=1e-12)
+
+
+def test_knn_tie_break_deterministic_across_partitioning(spark):
+    # planted equidistant neighbors: the content-derived tie-break id must
+    # pick the same winner whatever the data partitioning (task retries /
+    # repartition change monotonically_increasing_id, not xxhash64)
+    data_pdf = pd.DataFrame(
+        {
+            "easting": [1.0, -1.0, 0.0, 0.0, 3.0, -3.0],
+            "northing": [0.0, 0.0, 1.0, -1.0, 3.0, -3.0],
+            "val": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0],
+        }
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({"qid": [0], "easting": [0.0], "northing": [0.0]})
+    )
+    picks = []
+    for nparts in (1, 3, 7):
+        data = spark.createDataFrame(data_pdf).repartition(nparts)
+        out = knn_join(
+            data, queries, k=2, query_id="qid", cell_size=2.0
+        ).orderBy("rank")
+        picks.append([r["nb_val"] for r in out.collect()])
+    assert picks[0] == picks[1] == picks[2]
+    # all four candidates are at distance exactly 1 — the chosen 2 must be
+    # a deterministic subset
+    assert len(picks[0]) == 2
+
+
+def test_kneighbors_warns_on_weights(spark):
+    import pytest as _pytest
+
+    region = (0, 10, 0, 10)
+    data = CheckerBoard(region=region).scatter(spark, size=50, random_state=1)
+    data = data.withColumn("w", F.lit(1.0))
+    with _pytest.warns(UserWarning, match="ignored"):
+        KNeighbors(k=1).fit(data, weight_col="w")
+
+
+def test_distance_mask_projection_scaling_identity(spark):
+    # projecting with a uniform 2x scale doubles every distance: the mask at
+    # maxdist=2d under projection equals the unprojected mask at maxdist=d
+    region = (0, 10, 0, 10)
+    data = CheckerBoard(region=region).scatter(spark, size=40, random_state=3).cache()
+    targets = grid_coordinates(spark, region, spacing=1.0).cache()
+    plain = distance_mask(data, targets, maxdist=1.2).orderBy("iy", "ix").toPandas()
+    proj = (
+        distance_mask(
+            data, targets, maxdist=2.4, projection=lambda e, n: (2 * e, 2 * n)
+        )
+        .orderBy("iy", "ix")
+        .toPandas()
+    )
+    assert (plain["in_range"] == proj["in_range"]).all()
+    assert plain["in_range"].any() and not plain["in_range"].all()

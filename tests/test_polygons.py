@@ -204,3 +204,20 @@ def test_point_in_polygon_random_star_polygons(spark):
         [pnpoly(pts[:, 0], pts[:, 1], verts) for _, verts in polys]
     )
     np.testing.assert_array_equal(got["inside"].to_numpy(), want)
+
+
+def test_zonal_stats_requires_polygon_id_column(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from verde_spark.operators.polygons import zonal_stats
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"easting": [0.5], "northing": [0.5], "v": [1.0]})
+    )
+    polys = spark.createDataFrame(
+        [([{"x": 0.0, "y": 0.0}, {"x": 1.0, "y": 0.0}, {"x": 0.0, "y": 1.0}],)],
+        schema="vertices array<struct<x:double,y:double>>",
+    )
+    with _pytest.raises(ValueError, match="id column"):
+        zonal_stats(pts, polys, "v")

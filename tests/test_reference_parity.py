@@ -548,3 +548,25 @@ def test_ref_vector_independent_components(spark, fixture):
     got = ours.predict(qdf).orderBy("easting").toPandas()
     npt.assert_allclose(got["east_component_pred"], we, rtol=1e-6)
     npt.assert_allclose(got["north_component_pred"], wn, rtol=1e-6)
+
+
+def test_ref_distance_mask_projection(spark, fixture):
+    # verde mask.py:57-66: projection applied to data AND query coordinates
+    # before the distance test — linear map through both engines
+    e, n, d, _ = fixture
+    proj = lambda east, north: (2.0 * east + 1.0, 0.5 * north - 3.0)
+    qe = np.linspace(-1, 11, 25)
+    qn = np.linspace(-11, 1, 25)
+    want = vd.distance_mask(
+        (e, n), maxdist=2.0, coordinates=(qe, qn), projection=proj
+    )
+    qdf = spark.createDataFrame(pd.DataFrame({"easting": qe, "northing": qn}))
+    got = (
+        vs.distance_mask(
+            _scatter_df(spark, e, n, d), qdf, maxdist=2.0, projection=proj
+        )
+        .orderBy("easting")
+        .toPandas()["in_range"]
+        .to_numpy()
+    )
+    npt.assert_array_equal(got, want)

@@ -421,3 +421,28 @@ def test_geotag_malformed_inputs(spark):
     assert byurl.loc["u0", "lat"] == 12.5 and byurl.loc["u0", "lon"] == -33.25
     for u in ["u1", "u2", "u3", "u4", "u5"]:
         assert pd.isna(byurl.loc[u, "lon"]) and pd.isna(byurl.loc[u, "lat"])
+
+
+def test_embedding_near_dup_empty_input(spark):
+    from verde_spark.operators.dedup import embedding_near_duplicate_pairs
+
+    empty = spark.createDataFrame([], schema="doc_id bigint, embedding array<float>")
+    out = embedding_near_duplicate_pairs(empty)
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0
+
+
+def test_sample_frames_preserves_id_dtype(spark):
+    # ids must come through as int64, not float (the iterrows upcast trap)
+    import pandas as pd
+
+    from verde_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [b"abc", b"def"]})
+    )
+    out = sample_frames(df, payload_col="payload", num_frames=2, id_cols=["doc_id"])
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+    got = out.toPandas()
+    assert sorted(got["doc_id"].unique().tolist()) == [1, 2]
+    assert len(got) == 4

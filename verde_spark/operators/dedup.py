@@ -318,7 +318,23 @@ def embedding_near_duplicate_pairs(
     from .similarity import cosine_expr, hyperplane_signature
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # one row probes the vector length; empty input → empty pair table
+        # (first() returns None and would otherwise TypeError). Pass dim
+        # explicitly to skip this probe job entirely.
+        head = df.select(vec_col).first()
+        if head is None or head[0] is None:
+            from pyspark.sql import types as T
+
+            id_type = df.schema[id_col].dataType
+            empty_schema = T.StructType(
+                [
+                    T.StructField("id_a", id_type),
+                    T.StructField("id_b", id_type),
+                    T.StructField("cosine", T.DoubleType()),
+                ]
+            )
+            return df.sparkSession.createDataFrame([], empty_schema)
+        dim = len(head[0])
     pairs = None
     for t in range(num_tables):
         sig = df.select(

@@ -150,9 +150,18 @@ def distance_mask(
     easting: str = "easting",
     northing: str = "northing",
     broadcast_threshold: int = 200_000,
+    projection=None,
 ) -> DataFrame:
     """verde ``distance_mask`` (mask.py:17-113): True where the nearest data
     point is within *maxdist* (Euclidean, boundary-inclusive ``<=``).
+
+    ``projection`` (verde mask.py:57-66): an array-in/array-out callable
+    ``(east, north) -> (east', north')`` applied to BOTH the data and the
+    target coordinates before the distance test — the F5 CRS hook, so
+    *maxdist* is measured in projected (Cartesian) units. Data-side
+    projection runs driver-side on the (small) broadcast arrays or through
+    the Arrow ``project_points`` UDF on the distributed path; it never
+    touches per-row Python.
 
     Small data side (≤ *broadcast_threshold* points, the common decimated
     case) → broadcast the coordinate arrays and test with a vectorized
@@ -162,32 +171,47 @@ def distance_mask(
     if not isinstance(data, DataFrame):
         de = np.atleast_1d(np.asarray(data[0], dtype="float64")).ravel()
         dn = np.atleast_1d(np.asarray(data[1], dtype="float64")).ravel()
-        return _distance_mask_broadcast(targets, de, dn, maxdist, mask_col, easting, northing)
+        if projection is not None:
+            de, dn = projection(de, dn)
+        return _distance_mask_broadcast(
+            targets, de, dn, maxdist, mask_col, easting, northing, projection
+        )
     # one limited collect decides the strategy AND fetches the broadcast
     # coords (count + toPandas would scan the data twice)
     pdf = data.select(data_easting, data_northing).limit(broadcast_threshold + 1).toPandas()
     if len(pdf) <= broadcast_threshold:
+        de = pdf[data_easting].to_numpy("float64")
+        dn = pdf[data_northing].to_numpy("float64")
+        if projection is not None:
+            de, dn = projection(de, dn)
         return _distance_mask_broadcast(
-            targets,
-            pdf[data_easting].to_numpy("float64"),
-            pdf[data_northing].to_numpy("float64"),
-            maxdist,
-            mask_col,
-            easting,
-            northing,
+            targets, de, dn, maxdist, mask_col, easting, northing, projection
         )
     from .neighbors import knn_join
 
     qid = "__qid"
     targets_id = targets.withColumn(qid, F.monotonically_increasing_id())
+    data_pts = data.select(data_easting, data_northing)
+    q_easting, q_northing = easting, northing
+    if projection is not None:
+        from .projections import project_points
+
+        data_pts = project_points(
+            data_pts, projection, easting=data_easting, northing=data_northing
+        )
+        targets_id = project_points(
+            targets_id, projection, easting=easting, northing=northing,
+            out_easting="__pe", out_northing="__pn",
+        )
+        q_easting, q_northing = "__pe", "__pn"
     joined = knn_join(
-        data.select(data_easting, data_northing),
+        data_pts,
         targets_id,
         k=1,
         data_easting=data_easting,
         data_northing=data_northing,
-        query_easting=easting,
-        query_northing=northing,
+        query_easting=q_easting,
+        query_northing=q_northing,
         query_id=qid,
     )
     aggs = [F.first(F.col(c)).alias(c) for c in targets.columns] + [
@@ -204,6 +228,7 @@ def _distance_mask_broadcast(
     mask_col: str,
     easting: str,
     northing: str,
+    projection=None,
 ) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
@@ -217,6 +242,10 @@ def _distance_mask_broadcast(
         de, dn = b_e.value, b_n.value
         qe = e.to_numpy("float64")
         qn = n.to_numpy("float64")
+        if projection is not None:
+            qe, qn = projection(qe, qn)
+            qe = np.asarray(qe, dtype="float64")
+            qn = np.asarray(qn, dtype="float64")
         # chunk the data side so the (batch × chunk) temporary stays ~32 MB
         chunk = max(1, 4_000_000 // max(len(qe), 1))
         mind = np.full(len(qe), np.inf)

@@ -182,13 +182,15 @@ def sample_frames(
         for pdf in batches:
             rows = {c: [] for c in id_cols}
             idxs, frames = [], []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col]
+            # zip over raw columns, not iterrows (which builds a Series per
+            # row and upcasts int64 ids to float64)
+            id_values = zip(*(pdf[c] for c in id_cols))
+            for row_ids, payload in zip(id_values, pdf[payload_col]):
                 if payload is None:
                     continue
                 for i in range(num_frames):
-                    for c in id_cols:
-                        rows[c].append(row[c])
+                    for c, v in zip(id_cols, row_ids):
+                        rows[c].append(v)
                     idxs.append(i)
                     frames.append(decoder(payload, i))
             out = pd.DataFrame(rows)

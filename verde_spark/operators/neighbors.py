@@ -50,16 +50,19 @@ def knn_join(
     """Top-k nearest data points per query point.
 
     Returns ``query columns + neighbor data columns (prefixed 'nb_') +
-    distance + rank``. Distance ties break by data row id so the result is
-    deterministic (verde's reductions are order-insensitive over the k-set;
-    only set membership matters — neighbors.py:111-140).
+    distance + rank``. Distance ties break by a content-derived data row id
+    (``xxhash64`` over all data columns) so the result is deterministic
+    under task retries and any repartitioning — ``monotonically_increasing_id``
+    would assign different ids per partitioning and flip equal-distance
+    ties run-to-run. (verde's reductions are order-insensitive over the
+    k-set; only set membership matters — neighbors.py:111-140.)
 
     Supply a stable ``query_id`` column when one exists; otherwise a
     monotonic id is generated (deterministic for deterministic sources).
     """
     if query_id not in queries.columns:
         queries = queries.withColumn(query_id, F.monotonically_increasing_id())
-    data = data.withColumn("__did", F.monotonically_increasing_id())
+    data = data.withColumn("__did", F.xxhash64(*[F.col(c) for c in data.columns]))
 
     # one scan for bbox + count (two separate jobs would scan data twice)
     row = data.agg(
@@ -97,6 +100,7 @@ def knn_join(
 
     remaining = q
     finished = []
+    to_release = []
     ring = 1
     for _ in range(max_rounds):
         # explode the query into its (2r+1)^2 candidate cells → equi-join.
@@ -111,6 +115,7 @@ def knn_join(
         # anti-join and the final union reuse it — without this, round r
         # recomputes rounds 1..r-1 and the loop costs O(rounds²) jobs.
         topk = _topk(cand, query_id, k).persist()
+        to_release.append(topk)
         stats = topk.groupBy(query_id).agg(
             F.count(F.lit(1)).alias("__nk"), F.max("distance").alias("__kdist")
         )
@@ -118,13 +123,10 @@ def knn_join(
             (F.col("__nk") >= k) & (F.col("__kdist") <= F.lit(float(ring) * cell_size))
         ).select(query_id)
         finished.append(topk.join(done_ids, query_id, "left_semi"))
-        prev = remaining
         remaining = remaining.join(done_ids, query_id, "left_anti").persist()
+        to_release.append(remaining)
         n_rem = remaining.count()  # one job per round, everything above cached
-        if prev is not q:
-            prev.unpersist()
         if n_rem == 0:
-            remaining.unpersist()
             remaining = None
             break
         ring *= 2
@@ -137,7 +139,19 @@ def knn_join(
         out = out.unionByName(f, allowMissingColumns=True)
     drop = [c for c in ("qix", "qiy", "cix", "ciy", "dix", "diy", "__did", "nb___did",
                         "nb_dix", "nb_diy") if c in out.columns]
-    return out.drop(*drop)
+    out = out.drop(*drop)
+    # materialize the result once (RDD-level blocks, released by the
+    # context cleaner when the DataFrame is dropped), then unpersist every
+    # intermediate — SQL-level persist() registers in the CacheManager and
+    # would otherwise leak those cached partitions for the session
+    # lifetime, one set per knn_join call. The union stacks every round's
+    # partitioning (~rounds × shuffle.partitions of mostly-empty tasks);
+    # coalesce to the session parallelism before storing.
+    sc = data.sparkSession.sparkContext
+    out = out.coalesce(sc.defaultParallelism).localCheckpoint(eager=True)
+    for cached in to_release:
+        cached.unpersist()
+    return out
 
 
 class KNeighbors:
@@ -157,7 +171,16 @@ class KNeighbors:
         data_col: str = "scalars",
         easting: str = "easting",
         northing: str = "northing",
+        weight_col: Optional[str] = None,
     ) -> "KNeighbors":
+        if weight_col is not None:
+            import warnings
+
+            # parity with the reference: KNeighbors cannot use weights and
+            # says so out loud (verde neighbors.py:96-102)
+            warnings.warn(
+                "KNeighbors does not support weights and they will be ignored."
+            )
         self._names = (easting, northing, data_col)
         self.data_ = df.select(easting, northing, data_col)
         self.region_ = get_region(self.data_, easting, northing)

@@ -193,10 +193,17 @@ def zonal_stats(
     unknown = set(stats) - set(fns)
     if unknown:
         raise ValueError(f"unknown stats: {sorted(unknown)}")
+    keys = [c for c in polygons.columns if c != verts_col]
+    if not keys:
+        # groupBy() with zero keys would silently collapse every polygon
+        # into one global aggregate row
+        raise ValueError(
+            "zonal_stats needs at least one polygon id column besides "
+            f"{verts_col!r}; add one (e.g. monotonically_increasing_id) first"
+        )
     pairs = polygon_join(
         nodes, polygons, verts_col=verts_col, easting=easting,
         northing=northing, method=method, how="inner",
     )
-    keys = [c for c in polygons.columns if c != verts_col]
     aggs = [fns[s](F.col(value_col)).alias(f"{s}_{value_col}") for s in stats]
     return pairs.groupBy(*keys).agg(*aggs)
