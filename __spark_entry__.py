@@ -44,6 +44,11 @@ from verde_spark.sources.pages import geotagged, synthesize_pages
 
 REGION = (-5.0, 0.0, 5.0, 10.0)
 GRID = BlockGrid.from_region(REGION, spacing=1.0)
+# 0.5-spacing decimation grid + its center lattice and an interior node box
+# (shared by the three value-checked gridder queries)
+GRID05 = BlockGrid.from_region(REGION, spacing=0.5)
+CENTER_REGION = (-4.75, -0.25, 5.25, 9.75)
+INNER_REGION = (-4.0, -1.0, 6.0, 9.0)
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,11 +227,14 @@ def _q_grid_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_checkerboard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # synthetic source evaluated on a grid; sin/cos are libm → round(9).
+    # synthetic source evaluated on a grid; sin/cos are libm → round(6).
+    # `+ 0.0` normalizes -0.0 to +0.0: JVM sin at a sign-change node yields
+    # ±2e-16 with engine-dependent sign, and round() preserves the signed
+    # zero, which hashes differently even though -0.0 == 0.0.
     cb = CheckerBoard(region=REGION)
     nodes = grid_coordinates(spark, REGION, spacing=0.5)
     return nodes.select(
-        "iy", "ix", F.round(cb.predict_expr(), 6).alias("value")
+        "iy", "ix", (F.round(cb.predict_expr(), 6) + F.lit(0.0)).alias("value")
     )
 
 
@@ -344,8 +352,15 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return exact_duplicates(docs).select("n_copies", "keep_id").orderBy("keep_id")
+    # the driver fixture has no duplicate texts (r01 matched on 0 rows —
+    # vacuous), so duplicate families are planted in-query: docs 0-9 are
+    # re-inserted with ids shifted by 1,000,000 → ≥10 families of 2.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    both = docs.unionByName(copies)
+    return exact_duplicates(both).select("n_copies", "keep_id").orderBy("keep_id")
 
 
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,8 +399,18 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SimHash is the candidate generator (bag-of-tokens signature: hamming 0
     # admits reordered/near-identical docs); the exact token-multiset verify
-    # makes the result oracle-checkable.
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # makes the result oracle-checkable. The fixture has no duplicates (r01
+    # matched on 0 rows — vacuous), so token-REORDERED copies of docs 0-9
+    # are planted in-query: same token multiset ⇒ identical simhash ⇒
+    # guaranteed hamming-0 candidates, then multiset-verified.
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    reordered = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat_ws(
+            " ", F.reverse(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("text"),
+    )
+    docs = base.unionByName(reordered)
     cand = simhash_near_duplicates(docs, max_hamming=0)
     toks = docs.select(
         F.col("doc_id"),
@@ -429,15 +454,104 @@ def _q_expanding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_spline_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # non-SQL-expressible (iterative dense solve): rows-only check.
-    from verde_spark.operators.spline import spline_solve_grid
+    """Value-checked tiled spline solve via the exact-interpolation property.
 
-    pts = _points(spark, sf_dir)
-    dec, _ = block_mean(pts, spacing=0.5, region=REGION, sort=False)
-    return spline_solve_grid(
-        dec, region=REGION, shape=(20, 20), tile_spacing=2.5, halo=1.25,
-        damping=1e-8, weight_col="weight_scalars", output_col="prediction",
+    An undamped biharmonic spline with forces at the data points solves a
+    square consistent system, so it reproduces its inputs exactly
+    (reference contract: verde tests/test_spline.py:94-98, spline.py:458-463;
+    measured residual ~1e-11 here).  The grid nodes are placed AT the block
+    centers of the decimation, so every occupied center's prediction equals
+    its block value — which IS DuckDB-expressible.  Decimation uses ``min``
+    (integer-valued data), so round(3) sits far from any rounding boundary;
+    block means p/n can land exactly on one (e.g. 3/16 = 0.1875).
+    Point-free centers (not SQL-predictable) are semi-joined away by block
+    label — integer arithmetic, no float equality.
+    """
+    from verde_spark.operators.blockreduce import block_reduce
+
+    dec, _ = block_reduce(
+        _points(spark, sf_dir), "min", region=REGION, spacing=0.5,
+        center_coordinates=True, data_cols=("scalars",), grid=GRID05, sort=False,
     )
+    sp = Spline(damping=None, tile_spacing=2.5, halo=1.25).fit(dec, region=REGION)
+    out = sp.grid(spark, region=CENTER_REGION, shape=(10, 10), output_col="prediction")
+    return (
+        out.withColumn("block", (F.col("iy") * 10 + F.col("ix")).cast("long"))
+        .join(dec.select("block"), "block", "semi")
+        .select("block", (F.round("prediction", 3) + F.lit(0.0)).alias("prediction"))
+        .orderBy("block")
+    )
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup end-to-end on planted exact copies.
+
+    Identical texts have identical shingle sets → identical minhash
+    signatures → they collide in EVERY band (probability-1 capture, which
+    keeps the probabilistic LSH layer oracle-safe), and the exact Jaccard
+    verify returns exactly 1.0 (size(S∩S)/size(S∪S) = n/n). Restricting to
+    (id, id+1M) pairs excludes any accidental near-dup pair among the
+    originals, whose capture WOULD be probabilistic. Docs with fewer than
+    shingle_size=3 tokens have no signature and are excluded on both sides.
+    """
+    from verde_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    both = docs.unionByName(copies)
+    cand = lsh_candidate_pairs(both)
+    pairs = jaccard_pairs(both, cand).filter(
+        (F.col("id_b") == F.col("id_a") + F.lit(1_000_000)) & (F.col("jaccard") >= 0.999)
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a")
+
+
+def _q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup on planted identical vectors.
+
+    An identical vector lands in the same bucket in every table (capture
+    probability 1 — oracle-safe despite the probabilistic LSH layer), and
+    the exact JVM cosine of a vector with itself rounds to 1.0. The
+    (id, id+1M) restriction excludes accidental pairs among the originals.
+    """
+    from verde_spark.operators.dedup import embedding_near_duplicate_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    both = emb.unionByName(copies)
+    pairs = embedding_near_duplicate_pairs(
+        both, threshold=0.99, id_col="vec_id", vec_col="embedding"
+    )
+    return (
+        pairs.filter(F.col("id_b") == F.col("id_a") + F.lit(1_000_000))
+        .select("id_a", "id_b", (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"))
+        .orderBy("id_a")
+    )
+
+
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup closure (VERDICT #5) as a driver-checkable query.
+
+    Deterministic chain edges (doc_id, doc_id+7) for doc_id < 93 give 7
+    chains of ~15 nodes — deep enough that single-link min-propagation
+    would need ~14 rounds, so pointer jumping is actually exercised
+    (max_iters=10 would fail without it). component = min id reachable;
+    the DuckDB oracle computes the same via a recursive reachability CTE.
+    """
+    from verde_spark.operators.dedup import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = docs.filter(F.col("doc_id") < 93).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + F.lit(7)).alias("id_b")
+    )
+    comp = connected_components(edges, max_iters=10)
+    return comp.select("id", F.col("comp").alias("component")).orderBy("id")
 
 
 # concave polygon inside REGION; no horizontal edges (keeps the crossing
@@ -487,29 +601,68 @@ def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_linear_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # non-SQL-expressible (Delaunay triangulation): rows-only check.
-    from verde_spark import Linear
+    """Value-checked tiled Delaunay gridder via affine reproduction.
 
-    pts = _points(spark, sf_dir)
-    dec, _ = block_mean(pts, spacing=0.5, region=REGION, sort=False)
-    return (
-        Linear(tile_spacing=2.5, halo=1.5)
-        .fit(dec, region=REGION)
-        .grid(spark, region=REGION, shape=(20, 20), output_col="prediction")
+    Barycentric interpolation reproduces any plane exactly (reference:
+    scipy LinearNDInterpolator contract, our tests/test_linear.py:26-36;
+    measured error ~5e-15 here), and a blocked *mean* keeps plane data on
+    the plane (mean of a linear function = function of the mean coords), so
+    the full pipeline — decimate → tiled triangulation with halo → grid —
+    must return plane(node) on every interior node.  Plane coefficients
+    (10, 2, −0.5) put node values on an exact binary lattice (multiples of
+    0.125), so round(6) has no boundary risk.
+    """
+    from verde_spark import Linear
+    from verde_spark.operators.blockreduce import block_reduce
+
+    pts = _points(spark, sf_dir).withColumn(
+        "plane",
+        F.lit(10.0) + F.lit(2.0) * F.col("easting") - F.lit(0.5) * F.col("northing"),
     )
+    dec, _ = block_reduce(
+        pts, "mean", region=REGION, spacing=0.5, data_cols=("plane",),
+        grid=GRID05, sort=False,
+    )
+    out = (
+        Linear(tile_spacing=2.5, halo=1.5)
+        .fit(dec, region=REGION, data_col="plane")
+        .grid(spark, region=INNER_REGION, shape=(13, 13), output_col="prediction")
+    )
+    return out.select(
+        "iy", "ix", (F.round("prediction", 6) + F.lit(0.0)).alias("prediction")
+    ).orderBy("iy", "ix")
 
 
 def _q_cubic_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # non-SQL-expressible (Clough-Tocher C1 patches): rows-only check.
-    from verde_spark import Cubic
+    """Value-checked Clough-Tocher gridder via linear-field reproduction.
 
-    pts = _points(spark, sf_dir)
-    dec, _ = block_mean(pts, spacing=0.5, region=REGION, sort=False)
-    return (
-        Cubic(tile_spacing=2.5, halo=1.5)
-        .fit(dec, region=REGION)
-        .grid(spark, region=REGION, shape=(20, 20), output_col="prediction")
+    Reduced-HCT patches with estimated gradients reproduce linear fields
+    (gradient estimation is exact for planes — tests/test_cubic.py:25-33,
+    51-60; measured error ~5e-8 here).  Single tile: the gradient solve is
+    global over the triangulation, so this checks the C1 patch evaluation
+    and the cogroup plumbing; the tiled path is value-checked by
+    ``linear_grid`` (same halo machinery).  Plane (4, −1.6, 0.2) puts node
+    values on a 0.05 lattice — no round(4) boundary within 5e-5.
+    """
+    from verde_spark import Cubic
+    from verde_spark.operators.blockreduce import block_reduce
+
+    pts = _points(spark, sf_dir).withColumn(
+        "plane2",
+        F.lit(4.0) - F.lit(1.6) * F.col("easting") + F.lit(0.2) * F.col("northing"),
     )
+    dec, _ = block_reduce(
+        pts, "mean", region=REGION, spacing=0.5, data_cols=("plane2",),
+        grid=GRID05, sort=False,
+    )
+    out = (
+        Cubic(tile_spacing=None)
+        .fit(dec, region=REGION, data_col="plane2")
+        .grid(spark, region=INNER_REGION, shape=(13, 13), output_col="prediction")
+    )
+    return out.select(
+        "iy", "ix", (F.round("prediction", 4) + F.lit(0.0)).alias("prediction")
+    ).orderBy("iy", "ix")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -538,6 +691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": _q_lang_stats,
         "cosine_topk": _q_cosine_topk,
         "simhash_exact_pairs": _q_simhash_pairs,
+        "minhash_pairs": _q_minhash_pairs,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "dedup_components": _q_dedup_components,
         "spline_grid": _q_spline_grid,
         "linear_grid": _q_linear_grid,
         "cubic_grid": _q_cubic_grid,
@@ -565,6 +721,15 @@ def oracle_sql() -> dict[str, str]:
                {n_nodes.replace('iy', '(i // 11)')} AS northing,
                {e_nodes.replace('ix', '(i % 11)')} AS easting
         FROM (SELECT UNNEST(range(121)) AS i)
+    """
+    # 13×13 interior node box for the linear/cubic plane-reproduction oracles
+    ie = axis_case("ix", INNER_REGION[0], INNER_REGION[1], 13)
+    in_ = axis_case("iy", INNER_REGION[2], INNER_REGION[3], 13)
+    inner_nodes_sql = f"""
+        SELECT CAST(i // 13 AS BIGINT) AS iy, CAST(i % 13 AS BIGINT) AS ix,
+               {in_.replace('iy', '(i // 13)')} AS northing,
+               {ie.replace('ix', '(i % 13)')} AS easting
+        FROM (SELECT UNNEST(range(169)) AS i)
     """
     return {
         "block_mean": f"""
@@ -629,10 +794,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "grid_nodes": grid_nodes_sql,
         "checkerboard": f"""
+            -- + 0.0 normalizes -0.0 (sign of the ~1e-16 libm residue at
+            -- sign-change nodes differs per engine; round keeps signed zero)
             WITH nodes AS ({grid_nodes_sql})
             SELECT iy, ix,
                    round(1000.0 * sin(2*pi()/2.5 * easting)
-                                * cos(2*pi()/2.5 * northing), 6) AS value
+                                * cos(2*pi()/2.5 * northing), 6) + 0.0 AS value
             FROM nodes
         """,
         "knn_join": f"""
@@ -751,8 +918,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "duplicate_groups": """
+            WITH unioned AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id < 10
+            )
             SELECT count(*) AS n_copies, min(doc_id) AS keep_id
-            FROM documents GROUP BY text HAVING count(*) > 1
+            FROM unioned GROUP BY text HAVING count(*) > 1
             ORDER BY keep_id
         """,
         "token_counts": r"""
@@ -783,15 +956,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_exact_pairs": r"""
             -- identical token multisets: exactly what the simhash-candidate +
-            -- multiset-verify pipeline returns (hamming 0 is implied)
-            WITH toks AS (
+            -- multiset-verify pipeline returns (hamming 0 is implied); docs
+            -- 0-9 planted again token-reversed, same construction as Spark
+            WITH unioned AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     array_to_string(
+                       list_reverse(regexp_split_to_array(lower(trim(text)), '\s+')),
+                       ' ') AS text
+              FROM documents WHERE doc_id < 10
+            ),
+            toks AS (
               SELECT doc_id,
                      list_sort(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
-              FROM documents
+              FROM unioned
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::BIGINT AS hamming
             FROM toks a JOIN toks b ON a.t = b.t AND a.doc_id < b.doc_id
             ORDER BY id_a, id_b
+        """,
+        "minhash_pairs": r"""
+            -- planted exact copies with >= 3 tokens (shingle_size) are the
+            -- only probability-1 LSH captures; Jaccard of identical shingle
+            -- sets is exactly 1.0
+            SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS jaccard
+            FROM documents
+            WHERE doc_id < 10
+              AND len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 3
+            ORDER BY id_a
+        """,
+        "embedding_dup_pairs": """
+            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+                   round(list_cosine_similarity(embedding, embedding), 6) + 0.0 AS cosine
+            FROM embeddings
+            WHERE vec_id < 10
+              AND list_cosine_similarity(embedding, embedding) >= 0.99
+            ORDER BY id_a
+        """,
+        "dedup_components": """
+            -- independent formulation: recursive reachability closure, then
+            -- component = min reachable id (Spark side runs iterative
+            -- min-label propagation + pointer jumping instead)
+            WITH RECURSIVE e AS (
+              SELECT doc_id AS src, doc_id + 7 AS dst
+              FROM documents WHERE doc_id < 93
+              UNION ALL
+              SELECT doc_id + 7 AS src, doc_id AS dst
+              FROM documents WHERE doc_id < 93
+            ),
+            walk AS (
+              SELECT DISTINCT src AS id, src AS reach FROM e
+              UNION
+              SELECT w.id, e.dst AS reach FROM walk w JOIN e ON w.reach = e.src
+            )
+            SELECT id, min(reach) AS component FROM walk
+            GROUP BY id ORDER BY id
         """,
         "point_in_polygon": f"""
             WITH pts AS ({_POINTS_SQL}),
@@ -810,7 +1030,29 @@ def oracle_sql() -> dict[str, str]:
                    sum(scalars) AS sum_scalars
             FROM flags WHERE ins
         """,
-        # spline_grid / linear_grid / cubic_grid: iterative dense solve /
-        # Delaunay triangulation — intentionally no SQL oracle (driver
-        # records the weaker rows-only check).
+        # the three gridders are value-checked through reproduction
+        # properties (exact interpolation at data sites for the undamped
+        # spline; plane reproduction for Linear/Cubic) — see the query
+        # docstrings for the reference contracts and rounding-safety proofs
+        "spline_grid": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            agg AS (
+              SELECT {GRID05.label_sql()} AS block, min(scalars) AS p
+              FROM pts GROUP BY 1
+            )
+            SELECT block, round(p, 3) + 0.0 AS prediction
+            FROM agg ORDER BY block
+        """,
+        "linear_grid": f"""
+            WITH nodes AS ({inner_nodes_sql})
+            SELECT iy, ix,
+                   round(10.0 + 2.0 * easting - 0.5 * northing, 6) + 0.0 AS prediction
+            FROM nodes ORDER BY iy, ix
+        """,
+        "cubic_grid": f"""
+            WITH nodes AS ({inner_nodes_sql})
+            SELECT iy, ix,
+                   round(4.0 - 1.6 * easting + 0.2 * northing, 4) + 0.0 AS prediction
+            FROM nodes ORDER BY iy, ix
+        """,
     }

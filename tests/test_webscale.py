@@ -446,3 +446,53 @@ def test_sample_frames_preserves_id_dtype(spark):
     got = out.toPandas()
     assert sorted(got["doc_id"].unique().tolist()) == [1, 2]
     assert len(got) == 4
+
+
+def test_connected_components_chain_star_and_pointer_jumping(spark):
+    from verde_spark.operators.dedup import connected_components
+
+    # 20-node chain (forces >1 propagation round; pointer jumping must
+    # converge in ~log2(20) rounds, checked via max_iters), a star, and a
+    # disjoint pair
+    chain = [(i, i + 1) for i in range(100, 119)]
+    star = [(200, x) for x in (201, 202, 203)]
+    pair = [(301, 300)]
+    edges = spark.createDataFrame(
+        pd.DataFrame(chain + star + pair, columns=["id_a", "id_b"])
+    )
+    comp = connected_components(edges, max_iters=8).toPandas()
+    got = dict(zip(comp["id"], comp["comp"]))
+    assert all(got[i] == 100 for i in range(100, 120))
+    assert all(got[i] == 200 for i in (200, 201, 202, 203))
+    assert got[300] == 300 and got[301] == 300
+
+
+def test_connected_components_empty(spark):
+    from verde_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
+
+
+def test_dedup_minhash_transitive_chain(spark):
+    """A~B~C~D sliding-window chain: consecutive Jaccard above threshold,
+    ends below it. transitive=True must keep exactly min-id; the round-1
+    single-link policy also happens to drop B,C,D here, so additionally
+    check the CC labels group all four."""
+    from verde_spark.operators.dedup import connected_components
+
+    base = "w%d"
+    toks = [base % i for i in range(26)]
+    texts = [" ".join(toks[s : s + 14]) for s in (0, 4, 8, 12)]  # overlap 10/14
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10, 11, 12, 13], "text": texts})
+    )
+    cand = lsh_candidate_pairs(docs, num_hashes=64, bands=32)
+    jac = jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.5)
+    got = set(zip(*jac.toPandas()[["id_a", "id_b"]].T.values.tolist())) if jac.count() else set()
+    assert (10, 11) in got and (11, 12) in got and (12, 13) in got
+    assert (10, 13) not in got  # ends are NOT direct near-dups
+    comp = connected_components(jac).toPandas()
+    assert set(comp["comp"]) == {10}  # one transitive family
+    kept = dedup_minhash(docs, threshold=0.5, num_hashes=64, bands=32).toPandas()
+    assert kept["doc_id"].tolist() == [10]

@@ -168,6 +168,79 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(id, component) for every node in *pairs*; component = min id reachable.
+
+    Min-label propagation with pointer jumping (path halving): each round
+    (a) takes the min label over a node's neighbors — one equi-join + one
+    map-side-combined ``min`` agg — then (b) replaces each label with its
+    label's label (``comp ← comp(comp)``), which halves chain depth, so an
+    A~B~…~Z chain of length n converges in O(log n) rounds instead of
+    O(n).  Per-round state is ``localCheckpoint``-materialized (cuts the
+    exponentially growing lineage; blocks GC-managed, same pattern as
+    ``knn_join``).  Convergence is detected by the monotone-decreasing
+    label sum (labels only ever decrease, so an unchanged sum ⟺ a fixed
+    point) — one scalar agg per round, no extra comparison join.
+
+    At 100 TB the edge list (candidate duplicate pairs) is a tiny fraction
+    of the corpus, and every step here is an equi-join on node id with
+    AQE-skew-split eligibility; duplicate "families" (one viral page with
+    millions of copies) become hot labels, which the min-agg absorbs
+    map-side.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    # labels only decrease ⇒ the (overflow-proof) sum is a convergence scalar
+    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("comp").alias("dst_comp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nbr_comp"))
+        )
+        new = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
+            labels["id"],
+            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+        )
+        # pointer jump: comp ← comp(comp)
+        jump = new.select(F.col("id").alias("comp"), F.col("comp").alias("comp2"))
+        new = (
+            new.join(jump, "comp", "left")
+            .select("id", F.least("comp", F.coalesce("comp2", "comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+        labels = new
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(f"connected_components: no fixed point in {max_iters} iters")
+    return labels
+
+
 def dedup_minhash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -176,15 +249,24 @@ def dedup_minhash(
     shingle_size: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    transitive: bool = True,
 ) -> DataFrame:
     """Drop near-duplicates: LSH candidates → exact Jaccard ≥ threshold →
-    keep the min-id member of each duplicate pair chain (single-link by
-    direct edge; full connected components would need iteration)."""
+    connected components over the duplicate-pair edges → keep the min-id
+    member of each component.  ``transitive=False`` restores the cheaper
+    round-1 single-link policy (drop every ``id_b``), which over-drops on
+    A~B~C chains where A~C is below threshold."""
     cand = lsh_candidate_pairs(df, id_col, text_col, shingle_size, num_hashes, bands)
     dups = jaccard_pairs(df, cand, id_col, text_col, shingle_size).filter(
         F.col("jaccard") >= threshold
     )
-    to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        comp = connected_components(dups)
+        to_drop = comp.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_drop, id_col, "left_anti")
 
 
@@ -370,11 +452,19 @@ def dedup_embedding(
     vec_col: str = "embedding",
     num_planes: int = 10,
     num_tables: int = 4,
+    transitive: bool = True,
 ) -> DataFrame:
     """Drop embedding-cosine near-duplicates (keep the min-id member of
-    each duplicate pair, same single-link policy as :func:`dedup_minhash`)."""
+    each connected duplicate component, same policy as
+    :func:`dedup_minhash`; ``transitive=False`` = single-link drop)."""
     dups = embedding_near_duplicate_pairs(
         df, threshold, id_col, vec_col, num_planes, num_tables
     )
-    to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        comp = connected_components(dups)
+        to_drop = comp.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_drop, id_col, "left_anti")
