@@ -396,6 +396,27 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with probe-all (n_probe = n_centroids): every (query,
+    cluster) pair is probed, so the candidate set is the whole corpus and
+    the result equals exact top-k REGARDLESS of the trained centroids —
+    which makes the probabilistic index layer (sampled k-means) safe to
+    check against the deterministic exact-cosine SQL oracle.  The pruned
+    path (n_probe < n_centroids) is covered by recall tests in pytest.
+    """
+    from verde_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8)
+    # ids/ranks only: cosine last-ulp differs across engines
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SimHash is the candidate generator (bag-of-tokens signature: hamming 0
     # admits reordered/near-identical docs); the exact token-multiset verify
@@ -690,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "lang_stats": _q_lang_stats,
         "cosine_topk": _q_cosine_topk,
+        "ivf_topk": _q_ivf_topk,
         "simhash_exact_pairs": _q_simhash_pairs,
         "minhash_pairs": _q_minhash_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -942,6 +964,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+            cand AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                e.vec_id ASC
+                     ) AS rank
+              FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, neighbor_id, rank FROM cand
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "ivf_topk": """
+            -- probe-all IVF == exact top-k (see _q_ivf_topk docstring)
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                       WHERE vec_id >= 10 AND vec_id < 20),
             cand AS (
               SELECT q.query_id, e.vec_id AS neighbor_id,
                      row_number() OVER (

@@ -166,6 +166,8 @@ def bench_queries(spark):
         "point_in_polygon",
         "zonal_stats",
         "spline_grid",
+        "dedup_components",  # round 2: transitive closure (iterative joins)
+        "ivf_topk",  # round 2: IVF ANN probe path
     ]
     times = {}
     for _rep in range(2):  # best-of-2: the VM has noisy-neighbor bursts
@@ -179,14 +181,19 @@ def bench_queries(spark):
 
 
 def run_scaling():
-    """Interleaved rounds of the same job at N=1 and 4N=4 cores, fresh
+    """Interleaved rounds of the same job at 1/4/8/32 cores, fresh
     session per (round, level), best-of-all minima.  Interleaving means
-    both levels sample the same noisy-neighbor window; minima estimate
-    the quiet-machine time.  Supplementary single rounds at 8 and 32
-    cores document the shared-bus saturation beyond ~8 threads."""
-    best = {1: float("inf"), 4: float("inf")}
+    every level samples the same noisy-neighbor windows; minima estimate
+    the quiet-machine time.  The primary north-rule pair is N=1 vs 4N=4;
+    the 8/32 levels are supplementary evidence of the shared-bus
+    saturation beyond ~8 threads (PLANS.md §7)."""
+    levels = (1, 4, 8, 32)
+    best = {c: float("inf") for c in levels}
+    # ALL levels share each round's noise window (round 1 ran the 8/32
+    # supplementary levels once, un-interleaved, and a noise burst produced
+    # a physically meaningless efficiency > 1 — VERDICT #7)
     for _round in range(3):
-        for cores in (1, 4):
+        for cores in levels:
             s = make_spark(cores)
             s.sparkContext.setLogLevel("ERROR")
             scaling_job(s)  # warm: JIT, python workers, malloc arenas
@@ -195,27 +202,15 @@ def run_scaling():
                 scaling_job(s)
                 best[cores] = min(best[cores], time.time() - t0)
             s.stop()
-    supp = {}
-    for cores in (8, 32):
-        s = make_spark(cores)
-        s.sparkContext.setLogLevel("ERROR")
-        scaling_job(s)
-        tbest = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            scaling_job(s)
-            tbest = min(tbest, time.time() - t0)
-        supp[cores] = tbest
-        s.stop()
     n_input = 250_000
     out = {"input_points": n_input, "job": "scaling_job (see bench.py)"}
-    for cores, t in list(best.items()) + list(supp.items()):
+    for cores, t in best.items():
         out[f"local[{cores}]"] = {
             "sec": round(t, 3),
             "points_per_sec": round(n_input / t, 1),
         }
     out["efficiency_1_to_4"] = round(best[1] / (4.0 * best[4]), 3)
-    out["efficiency_8_to_32"] = round(supp[8] / (4.0 * supp[32]), 3)
+    out["efficiency_8_to_32"] = round(best[8] / (4.0 * best[32]), 3)
     return out
 
 

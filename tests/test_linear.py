@@ -46,3 +46,50 @@ def test_linear_gridder_distributed(spark):
     out = gridder.grid(spark, region=(1, 9, 1, 9), shape=(15, 15), output_col="pred").toPandas()
     expected = 3.0 + 2.0 * out["easting"] - 0.5 * out["northing"]
     npt.assert_allclose(out["pred"], expected, rtol=1e-8)
+
+
+def test_scipygridder_umbrella(spark):
+    import warnings
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from verde_spark import Cubic, KNeighbors, Linear, ScipyGridder
+
+    with pytest.raises(ValueError, match="Invalid interpolation method"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ScipyGridder(method="bogus")
+    with pytest.warns(FutureWarning):
+        g = ScipyGridder(method="nearest")
+    assert isinstance(g.interpolator_, KNeighbors)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", FutureWarning)
+        assert isinstance(ScipyGridder("linear").interpolator_, Linear)
+        assert isinstance(ScipyGridder("cubic").interpolator_, Cubic)
+
+        rng = np.random.RandomState(5)
+        pdf = pd.DataFrame(
+            {
+                "easting": rng.uniform(0, 10, 200),
+                "northing": rng.uniform(0, 10, 200),
+                "scalars": rng.normal(size=200),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        # nearest dispatch = KNeighbors(k=1) bit-for-bit
+        a = (
+            ScipyGridder("nearest")
+            .fit(df)
+            .grid(spark, region=(2, 8, 2, 8), shape=(6, 6), output_col="p")
+            .toPandas()
+            .sort_values(["iy", "ix"])
+        )
+        b = (
+            KNeighbors(k=1)
+            .fit(df)
+            .grid(spark, region=(2, 8, 2, 8), shape=(6, 6), output_col="p")
+            .toPandas()
+            .sort_values(["iy", "ix"])
+        )
+        npt.assert_array_equal(a["p"].to_numpy(), b["p"].to_numpy())

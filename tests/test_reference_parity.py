@@ -570,3 +570,41 @@ def test_ref_distance_mask_projection(spark, fixture):
         .to_numpy()
     )
     npt.assert_array_equal(got, want)
+
+
+def test_ref_spline_force_coords(spark, fixture):
+    """Custom force locations (verde spline.py:369-377, 458-462): fewer
+    forces than data → rectangular least-squares. Single tile = exact
+    reference parity; tiled path checked for finiteness + approximation."""
+    e, n, d, _ = fixture
+    rng = np.random.RandomState(42)
+    fe = rng.uniform(e.min(), e.max(), 40)
+    fn = rng.uniform(n.min(), n.max(), 40)
+    qe = np.linspace(1, 9, 25)
+    qn = np.linspace(-9, -1, 25)
+    ref = vd.Spline(damping=1e-8, force_coords=(fe, fn)).fit((e, n), d)
+    want = ref.predict((qe, qn))
+    ours = vs.Spline(damping=1e-8, force_coords=(fe, fn)).fit(
+        _scatter_df(spark, e, n, d)
+    )
+    qdf = spark.createDataFrame(pd.DataFrame({"easting": qe, "northing": qn}))
+    got = ours.predict(qdf, "pred").orderBy("easting").toPandas()["pred"].to_numpy()
+    npt.assert_allclose(got, want, rtol=1e-6, atol=1e-8 * np.abs(want).max())
+    # tiled, halo covering the whole region: every tile sees all data and
+    # all forces, so the cogrouped rectangular solve must equal the global
+    # one — this checks the tiled force plumbing exactly
+    full = vs.Spline(
+        damping=1e-8, force_coords=(fe, fn), tile_spacing=5.0, halo=20.0
+    ).fit(_scatter_df(spark, e, n, d))
+    got_f = full.predict(qdf, "pred").orderBy("easting").toPandas()["pred"].to_numpy()
+    npt.assert_allclose(got_f, want, rtol=1e-6, atol=1e-8 * np.abs(want).max())
+    # moderate halo: per-tile force subsets approximate the global solve
+    # (r²·log r grows with distance, so truncating far-field forces is a
+    # real approximation) — require R² > 0.9 against the reference
+    tiled = vs.Spline(
+        damping=1e-8, force_coords=(fe, fn), tile_spacing=5.0, halo=4.0
+    ).fit(_scatter_df(spark, e, n, d))
+    got_t = tiled.predict(qdf, "pred").orderBy("easting").toPandas()["pred"].to_numpy()
+    assert np.isfinite(got_t).all()
+    r2 = 1 - np.sum((got_t - want) ** 2) / np.sum((want - want.mean()) ** 2)
+    assert r2 > 0.9

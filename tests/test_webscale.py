@@ -496,3 +496,59 @@ def test_dedup_minhash_transitive_chain(spark):
     assert set(comp["comp"]) == {10}  # one transitive family
     kept = dedup_minhash(docs, threshold=0.5, num_hashes=64, bands=32).toPandas()
     assert kept["doc_id"].tolist() == [10]
+
+
+# --- IVF ANN -------------------------------------------------------------------
+
+
+def _planted_embeddings(spark, n=300, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    # 4 well-separated direction clusters + noise → IVF recall is testable
+    centers = rng.normal(size=(4, dim)) * 5
+    vecs = centers[np.arange(n) % 4] + rng.normal(size=(n, dim)) * 0.3
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype="int64"), "embedding": [v.tolist() for v in vecs]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_ivf_topk_matches_bruteforce_on_clustered_data(spark):
+    from verde_spark.operators.similarity import cosine_topk, ivf_topk, train_ivf_centroids
+
+    corpus = _planted_embeddings(spark)
+    queries = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = train_ivf_centroids(corpus, n_centroids=8, sample_size=300, seed=17)
+    assert cents.shape == (8, 16)
+    npt.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, rtol=1e-9)
+    exact = cosine_topk(corpus, queries, k=5).toPandas()
+    # probing every centroid ⇒ recall must be exactly 1 (same result set)
+    full = ivf_topk(corpus, queries, k=5, centroids=cents, n_probe=8).toPandas()
+    key = lambda d: sorted(zip(d["query_id"], d["neighbor_id"]))
+    assert key(full) == key(exact)
+    # probing 2 of 8: with 4 well-separated clusters, a query's true
+    # neighbors share its cluster → still full recall on this fixture
+    part = ivf_topk(corpus, queries, k=5, centroids=cents, n_probe=2).toPandas()
+    assert key(part) == key(exact)
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    from verde_spark.operators.similarity import build_ivf_index, ivf_topk, train_ivf_centroids
+
+    corpus = _planted_embeddings(spark)
+    cents = train_ivf_centroids(corpus, n_centroids=4, sample_size=300, seed=17)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(corpus, path, cents)
+    back = spark.read.parquet(path)
+    # layout: one directory per cluster; a cluster filter must appear as a
+    # partition filter (pruned scan), not a data filter
+    assert set(back.columns) == {"vec_id", "embedding", "cluster"}
+    plan = back.filter(F.col("cluster") == 0)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cluster" in plan
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_topk(back, queries, k=3, centroids=cents, n_probe=4, assigned=True).toPandas()
+    assert sorted(got["query_id"].unique()) == [0, 1, 2, 3]
+    assert (got.groupby("query_id").size() == 3).all()

@@ -47,6 +47,7 @@ from .operators.masks import convex_hull, convexhull_mask, distance_mask, inside
 from .operators.chain import Chain
 from .operators.cubic import Cubic
 from .operators.linear import Linear
+from .operators.scipygridder import ScipyGridder
 from .operators.vector import Vector, VectorSpline2D
 from .operators.splinecv import SplineCV
 from .operators.polygons import point_in_polygon, polygon_join, zonal_stats
@@ -80,6 +81,7 @@ __all__ = [
     "point_in_polygon",
     "polygon_join",
     "zonal_stats",
+    "ScipyGridder",
     "Spline",
     "SplineCV",
     "TileCheckpoint",

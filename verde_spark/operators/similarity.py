@@ -146,3 +146,159 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partition-pruned scale path
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 64,
+    sample_size: int = 20_000,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 17,
+) -> np.ndarray:
+    """Spherical k-means centroids from a bounded driver-side sample.
+
+    Index-build step (runs once, offline): one ``count`` to size the
+    sample fraction, one scan to collect ≤ *sample_size* vectors, then
+    Lloyd iterations in NumPy on the driver (cosine assignment on
+    L2-normalized vectors).  Centroid quality needs a representative
+    sample, not the full corpus — at 100 TB the sample is still ~20k rows.
+    Returns an (n_centroids, dim) float64 array of unit-norm centroids.
+    """
+    total = corpus.count()
+    if total == 0:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    frac = min(1.0, 1.2 * sample_size / total)
+    pdf = (
+        corpus.select(vec_col).sample(False, frac, seed).limit(sample_size).toPandas()
+    )
+    X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    X = X / norms[:, None]
+    rng = np.random.RandomState(seed)
+    kc = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=kc, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(kc):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0] = 1.0
+        C = C / cn[:, None]
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid (cosine) cluster id per row — broadcast centroid
+    matrix, one NumPy matmul per Arrow batch; no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    b_c = df.sparkSession.sparkContext.broadcast(np.asarray(centroids, dtype="float64"))
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        C = b_c.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.stack(vecs.to_numpy()).astype("float64")
+        n = np.linalg.norm(M, axis=1)
+        n[n == 0] = 1.0
+        return pd.Series(np.argmax((M / n[:, None]) @ C.T, axis=1).astype("int32"))
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the corpus as parquet **partitioned by cluster** — the IVF
+    inverted file.  A probe that filters ``cluster IN (...)`` then reads
+    only n_probe/n_centroids of the data via partition pruning (the scan's
+    ``PartitionFilters``), which is the property that makes IVF the 100 TB
+    path where brute force scans everything."""
+    ivf_assign(corpus.select(id_col, vec_col), centroids, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(path)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroids: np.ndarray = None,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    assigned: bool = False,
+    seed: int = 17,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF probing.
+
+    Each query probes its *n_probe* nearest centroids (computed driver-side
+    — the query set is the small broadcastable side, same contract as
+    :func:`cosine_topk`); the (query, cluster) probe table is
+    broadcast-joined to the cluster-assigned corpus, exact cosine runs on
+    candidates only, and a ``row_number`` window keeps k per query.
+
+    Scale shape: the corpus is never shuffled — the broadcast hash join
+    drops non-probed rows at the scan; reading a :func:`build_ivf_index`
+    layout with ``spark.read.parquet(path).filter(col("cluster").isin(...))``
+    prunes untouched partitions entirely.  Recall < 1 by construction
+    (clusters not probed are unseen); raise ``n_probe`` to trade cost for
+    recall.  Pass ``assigned=True`` when *corpus* already carries a
+    ``cluster`` column (e.g. read back from :func:`build_ivf_index`).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, vec_col=vec_col, seed=seed
+        )
+    C = np.asarray(centroids, dtype="float64")
+    c = (
+        corpus
+        if assigned
+        else ivf_assign(corpus.select(id_col, vec_col), C, vec_col)
+    )
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    qmat = np.stack(qpdf[query_vec_col].to_numpy()).astype("float64")
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    probes = np.argsort(-((qmat / qn[:, None]) @ C.T), axis=1)[:, : min(n_probe, len(C))]
+    probe_rows = [
+        (int(qid), [float(x) for x in vec], int(cl))
+        for qid, vec, row in zip(qpdf[query_id_col], qpdf[query_vec_col], probes)
+        for cl in row
+    ]
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(
+        probe_rows, f"query_id long, __qvec array<double>, cluster int"
+    )
+    joined = c.join(F.broadcast(probe_df), "cluster").withColumn(
+        "cosine",
+        cosine_expr(F.col("__qvec"), F.col(vec_col).cast("array<double>")),
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )

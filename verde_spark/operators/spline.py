@@ -149,11 +149,16 @@ class Spline:
         self,
         damping: Optional[float] = None,
         mindist: float = 0.0,
+        force_coords=None,
         tile_spacing: Optional[float] = None,
         halo: Optional[float] = None,
     ):
         self.damping = damping
         self.mindist = float(mindist)
+        # verde spline.py:369-377: optional (easting, northing) arrays
+        # placing the forces away from the data points (fewer forces than
+        # data → rectangular least-squares fit)
+        self.force_coords = force_coords
         self.tile_spacing = tile_spacing
         self.halo = halo
         self.forces_: Optional[DataFrame] = None
@@ -218,7 +223,52 @@ class Spline:
                 }
             )
 
-        self.forces_ = exploded.groupBy("tile").applyInPandas(solve, schema)
+        if self.force_coords is None:
+            self.forces_ = exploded.groupBy("tile").applyInPandas(solve, schema)
+            return self
+
+        # custom force locations (verde spline.py:458-462): the SAME halo
+        # explosion assigns each force to every tile it can serve, and a
+        # cogroup pairs each tile's data with its forces — the solve becomes
+        # a rectangular least squares (n_data_in_tile × n_forces_in_tile).
+        fe = np.ravel(np.asarray(self.force_coords[0], dtype="float64"))
+        fn = np.ravel(np.asarray(self.force_coords[1], dtype="float64"))
+        fdf = df.sparkSession.createDataFrame(
+            pd.DataFrame({"easting": fe, "northing": fn})
+        )
+        f_exploded = _halo_explode(fdf, grid, pad, "easting", "northing")
+
+        def solve_rect(key, data_pdf: pd.DataFrame, force_pdf: pd.DataFrame):
+            if len(force_pdf) == 0 or len(data_pdf) == 0:
+                return pd.DataFrame(
+                    {"tile": [], "force_east": [], "force_north": [], "force": []}
+                ).astype(
+                    {"tile": "int64", "force_east": "float64",
+                     "force_north": "float64", "force": "float64"}
+                )
+            east = data_pdf["easting"].to_numpy("float64")
+            north = data_pdf["northing"].to_numpy("float64")
+            data = data_pdf["data"].to_numpy("float64")
+            w = data_pdf["weight"].to_numpy("float64")
+            weights = None if np.isnan(w).all() else np.nan_to_num(w, nan=1.0)
+            f_east = force_pdf["easting"].to_numpy("float64")
+            f_north = force_pdf["northing"].to_numpy("float64")
+            jac = spline_jacobian(east, north, f_east, f_north, mindist)
+            forces = least_squares(jac, data, weights, damping)
+            return pd.DataFrame(
+                {
+                    "tile": key[0],
+                    "force_east": f_east,
+                    "force_north": f_north,
+                    "force": forces,
+                }
+            )
+
+        self.forces_ = (
+            exploded.groupBy("tile")
+            .cogroup(f_exploded.groupBy("tile"))
+            .applyInPandas(solve_rect, schema)
+        )
         return self
 
     # -- predict ---------------------------------------------------------------

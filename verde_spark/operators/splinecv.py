@@ -29,6 +29,7 @@ class SplineCV:
         self,
         dampings: Sequence[Optional[float]] = (1e-4, 1e-3, 1e-2),
         mindists: Sequence[float] = (0.0,),
+        force_coords=None,
         cv=None,
         tile_spacing: Optional[float] = None,
         halo: Optional[float] = None,
@@ -36,6 +37,7 @@ class SplineCV:
     ):
         self.dampings = list(dampings)
         self.mindists = list(mindists)
+        self.force_coords = force_coords  # passed through to every candidate
         self.cv = cv
         self.tile_spacing = tile_spacing
         self.halo = halo
@@ -63,6 +65,7 @@ class SplineCV:
                 lambda: Spline(
                     damping=damping,
                     mindist=mindist,
+                    force_coords=self.force_coords,
                     tile_spacing=self.tile_spacing,
                     halo=self.halo,
                 ),
@@ -82,6 +85,7 @@ class SplineCV:
         self.spline_ = Spline(
             damping=self.damping_,
             mindist=self.mindist_,
+            force_coords=self.force_coords,
             tile_spacing=self.tile_spacing,
             halo=self.halo,
         ).fit(df, data_col=data_col, weight_col=weight_col, easting=easting, northing=northing)
