@@ -4,6 +4,7 @@ tests/test_mask.py."""
 import numpy as np
 import numpy.testing as npt
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from verde_spark import CheckerBoard, KNeighbors, convexhull_mask, distance_mask
@@ -177,3 +178,39 @@ def test_distance_mask_projection_scaling_identity(spark):
     )
     assert (plain["in_range"] == proj["in_range"]).all()
     assert plain["in_range"].any() and not plain["in_range"].all()
+
+
+def test_basegridder_scatter_profile_score(spark):
+    """grid/scatter/profile/score inherited from verde_spark.base.BaseGridder
+    (reference base/base_classes.py:318-660) by every gridder."""
+    import pandas as pd
+
+    from verde_spark import Cubic, KNeighbors, Linear, Spline
+    from verde_spark.base import BaseGridder
+    from verde_spark.coordinates import scatter_points
+
+    for cls in (Spline, Linear, Cubic, KNeighbors):
+        assert issubclass(cls, BaseGridder)
+
+    rng = np.random.RandomState(9)
+    e = rng.uniform(0, 10, 150)
+    n = rng.uniform(0, 10, 150)
+    d = 3.0 + 0.5 * e - 0.25 * n  # plane: kNN mean approximates, spline exact
+    df = spark.createDataFrame(pd.DataFrame({"easting": e, "northing": n, "scalars": d}))
+    g = KNeighbors(k=3).fit(df)
+    # scatter: seeded points inside the fitted region
+    sc = g.scatter(spark, size=40, random_state=7, output_col="p").toPandas()
+    se, sn = scatter_points(g.region_, 40, random_state=7)
+    assert len(sc) == 40
+    npt.assert_allclose(np.sort(sc["easting"]), np.sort(se), rtol=1e-12)
+    # profile: distances column + predictions along the segment
+    pr = g.profile(spark, (1.0, 1.0), (9.0, 9.0), size=20, output_col="p").toPandas()
+    assert len(pr) == 20
+    assert pr["distance"].max() == pytest.approx(np.hypot(8, 8))
+    assert pr["p"].notna().all()
+    # score: R² of a k=3 mean on a plane is high but < 1
+    s = g.score(df)
+    assert 0.9 < s <= 1.0
+    # spline reproduces the plane → R² ≈ 1
+    sp = Spline(damping=None).fit(df, region=(0, 10, 0, 10))
+    assert sp.score(df) == pytest.approx(1.0, abs=1e-6)

@@ -552,3 +552,31 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     got = ivf_topk(back, queries, k=3, centroids=cents, n_probe=4, assigned=True).toPandas()
     assert sorted(got["query_id"].unique()) == [0, 1, 2, 3]
     assert (got.groupby("query_id").size() == 3).all()
+
+
+def test_datasets_standins_feed_the_pipeline(spark):
+    """Deprecated datasets surface: deterministic synthetic stand-ins with
+    the reference's column schemas, usable end-to-end (decimate a texas
+    wind table by block mean over lon/lat)."""
+    import warnings
+
+    from verde_spark import block_mean, datasets
+
+    with pytest.warns(FutureWarning):
+        wind = datasets.fetch_texas_wind()
+    again = None
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        again = datasets.fetch_texas_wind()
+        assert wind.equals(again)  # deterministic
+        df = spark.createDataFrame(wind)
+        dec, _ = block_mean(
+            df, spacing=2.0, region=(-107.0, -93.0, 25.5, 37.0),
+            easting="longitude", northing="latitude",
+            data_cols=("air_temperature_c",),
+        )
+        out = dec.toPandas()
+    assert 10 < len(out) <= 49
+    assert out["air_temperature_c"].notna().all()
+    with pytest.raises(NotImplementedError):
+        datasets.setup_texas_wind_map(None)

@@ -53,6 +53,14 @@ from .operators.splinecv import SplineCV
 from .operators.polygons import point_in_polygon, polygon_join, zonal_stats
 from .operators.projections import project_grid, project_points
 from .checkpoint import TileCheckpoint, run_resumable
+from .operators.windows import expanding_window, rolling_window
+from .operators.neighbors import median_distance
+from .sources.grid_io import grid_to_table, load_surfer, table_to_grid
+from .utils import maxabs, minmax
+from . import datasets, synthetic
+
+# reference name for table_to_grid (verde utils.py:373-522)
+make_xarray_grid = table_to_grid
 from .model_selection import (
     BlockKFold,
     BlockShuffleSplit,
@@ -89,6 +97,15 @@ __all__ = [
     "Vector",
     "VectorSpline2D",
     "block_mean",
+    "expanding_window",
+    "rolling_window",
+    "median_distance",
+    "grid_to_table",
+    "load_surfer",
+    "table_to_grid",
+    "make_xarray_grid",
+    "maxabs",
+    "minmax",
     "block_reduce",
     "block_split",
     "check_region",
@@ -115,3 +132,26 @@ __all__ = [
     "trend_fit",
     "trend_predict_expr",
 ]
+
+
+def test(doctest: bool = False, verbose: bool = False, coverage: bool = False):
+    """Run the test suite with pytest (reference ``verde.test``,
+    __init__.py:43-100; the ``figures`` option has no counterpart — no
+    plotting stack here)."""
+    import os
+
+    import pytest as _pytest
+
+    args = []
+    if verbose:
+        args.append("-vv")
+    if coverage:
+        args += ["--cov=verde_spark", "--cov-report=term-missing"]
+    if doctest:
+        args.append("--doctest-modules")
+    args.append(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+    )
+    status = _pytest.main(args)
+    if status != 0:
+        raise AssertionError(f"pytest returned {status}")

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..coordinates import BlockGrid
+from ..base import BaseGridder
 from ..geometry import get_region
 from .linear import delaunay
 from .spline import _halo_explode
@@ -249,7 +250,7 @@ def ct_interpolate(
     return out
 
 
-class Cubic:
+class Cubic(BaseGridder):
     """Distributed Clough-Tocher gridder (verde scipygridder.py:152-186).
 
     Same tile + halo cogroup strategy as ``Linear``; per-tile NumPy body.
@@ -325,8 +326,3 @@ class Cubic:
             .applyInPandas(evaluate, schema)
         )
 
-    def grid(self, spark, region=None, shape=None, spacing=None, output_col: str = "scalars"):
-        from ..coordinates import grid_coordinates
-
-        nodes = grid_coordinates(spark, region or self.region_, shape=shape, spacing=spacing)
-        return self.predict(nodes, output_col)

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..coordinates import BlockGrid
+from ..base import BaseGridder
 from ..geometry import get_region
 from .spline import _halo_explode
 
@@ -139,7 +140,7 @@ def linear_interpolate(
     return out
 
 
-class Linear:
+class Linear(BaseGridder):
     """Distributed piecewise-linear gridder (verde scipygridder.py:115-149)."""
 
     def __init__(self, tile_spacing: Optional[float] = None, halo: Optional[float] = None):
@@ -212,8 +213,3 @@ class Linear:
             .applyInPandas(evaluate, schema)
         )
 
-    def grid(self, spark, region=None, shape=None, spacing=None, output_col: str = "scalars"):
-        from ..coordinates import grid_coordinates
-
-        nodes = grid_coordinates(spark, region or self.region_, shape=shape, spacing=spacing)
-        return self.predict(nodes, output_col)

@@ -22,6 +22,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..base import BaseGridder
 from ..geometry import get_region
 
 
@@ -154,9 +155,12 @@ def knn_join(
     return out
 
 
-class KNeighbors:
+class KNeighbors(BaseGridder):
     """verde ``KNeighbors`` gridder (neighbors.py:20-140): mean/median of the
-    k nearest data values at each prediction point."""
+    k nearest data values at each prediction point.
+
+    grid/scatter/profile/score come from :class:`verde_spark.base.BaseGridder`.
+    """
 
     def __init__(self, k: int = 1, reduction: str = "mean"):
         self.k = k
@@ -197,30 +201,31 @@ class KNeighbors:
             raise RuntimeError("KNeighbors is not fitted.")
         de, dn, dv = self._names
         qid = "__qid"
-        queries = df.withColumn(qid, F.monotonically_increasing_id())
+        # query columns move to a private namespace around the join:
+        # knn_join emits its own "distance" / "nb_*" columns, which would
+        # otherwise collide with same-named query columns (e.g. the
+        # "distance" column of BaseGridder.profile points)
+        safe = {c: f"__q{i}" for i, c in enumerate(df.columns)}
+        queries = df.select(
+            *[F.col(c).alias(safe[c]) for c in df.columns]
+        ).withColumn(qid, F.monotonically_increasing_id())
         joined = knn_join(
             self.data_,
             queries,
             k=self.k,
             data_easting=de,
             data_northing=dn,
-            query_easting=easting,
-            query_northing=northing,
+            query_easting=safe[easting],
+            query_northing=safe[northing],
             query_id=qid,
         )
         red = {"mean": F.avg, "median": F.median, "min": F.min, "max": F.max}[self.reduction]
         # single pass: carry the query columns through the agg (no join back,
         # so the generated qid is only ever used inside one lineage).
-        aggs = [F.first(F.col(c)).alias(c) for c in df.columns] + [
+        aggs = [F.first(F.col(safe[c])).alias(c) for c in df.columns] + [
             red(F.col(f"nb_{dv}")).alias(output_col)
         ]
         return joined.groupBy(qid).agg(*aggs).drop(qid)
-
-    def grid(self, spark, region=None, shape=None, spacing=None, output_col: str = "scalars"):
-        from ..coordinates import grid_coordinates
-
-        nodes = grid_coordinates(spark, region or self.region_, shape=shape, spacing=spacing)
-        return self.predict(nodes, output_col)
 
 
 def median_distance(

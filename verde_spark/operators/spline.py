@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..coordinates import BlockGrid
+from ..base import BaseGridder
 from ..geometry import get_region
 from ..lstsq import least_squares
 
@@ -135,7 +136,7 @@ def _halo_explode(
     return out
 
 
-class Spline:
+class Spline(BaseGridder):
     """Distributed biharmonic spline (verde spline.py:315-650).
 
     Parameters mirror the reference (``damping``, ``mindist`` — both with
@@ -332,20 +333,6 @@ class Spline:
         self.fit(df, data_col, weight_col, easting, northing)
         pred = self.predict(df, "__pred", easting, northing)
         return pred.withColumn(data_col, F.col(data_col) - F.col("__pred")).drop("__pred")
-
-    def grid(
-        self,
-        spark,
-        region: Optional[Sequence[float]] = None,
-        shape=None,
-        spacing=None,
-        output_col: str = "scalars",
-    ) -> DataFrame:
-        """Evaluate on a regular grid (BaseGridder.grid, base/base_classes.py:368-500)."""
-        from ..coordinates import grid_coordinates
-
-        nodes = grid_coordinates(spark, region or self.region_, shape=shape, spacing=spacing)
-        return self.predict(nodes, output_col)
 
 
 def _solve_grid_parts(
