@@ -101,7 +101,6 @@ def knn_join(
 
     remaining = q
     finished = []
-    to_release = []
     ring = 1
     for _ in range(max_rounds):
         # explode the query into its (2r+1)^2 candidate cells → equi-join.
@@ -111,12 +110,16 @@ def knn_join(
         cand = cand_cells.join(
             d, (F.col("cix") == F.col("dix")) & (F.col("ciy") == F.col("diy"))
         ).withColumn("distance", dist_col())
-        # persist the round's top-k (≤ queries×k rows): the remaining-count
-        # action below materializes it ONCE, and both the escalation
-        # anti-join and the final union reuse it — without this, round r
-        # recomputes rounds 1..r-1 and the loop costs O(rounds²) jobs.
-        topk = _topk(cand, query_id, k).persist()
-        to_release.append(topk)
+        # localCheckpoint the round's top-k (≤ queries×k rows): cuts the
+        # per-round lineage so round r never recomputes rounds 1..r-1 (the
+        # former O(rounds²) job blow-up), stores RDD-level blocks the
+        # context cleaner frees once the result DataFrame is dropped (a
+        # SQL-level persist() would sit in the CacheManager for the session
+        # lifetime, leaking one cache entry per knn_join call), and keeps
+        # the RETURNED plan lazy — the caller's first action just reads
+        # these small checkpointed blocks instead of paying an extra eager
+        # materialization of the full result here.
+        topk = _topk(cand, query_id, k).localCheckpoint(eager=True)
         stats = topk.groupBy(query_id).agg(
             F.count(F.lit(1)).alias("__nk"), F.max("distance").alias("__kdist")
         )
@@ -124,9 +127,10 @@ def knn_join(
             (F.col("__nk") >= k) & (F.col("__kdist") <= F.lit(float(ring) * cell_size))
         ).select(query_id)
         finished.append(topk.join(done_ids, query_id, "left_semi"))
-        remaining = remaining.join(done_ids, query_id, "left_anti").persist()
-        to_release.append(remaining)
-        n_rem = remaining.count()  # one job per round, everything above cached
+        remaining = remaining.join(done_ids, query_id, "left_anti").localCheckpoint(
+            eager=True
+        )
+        n_rem = remaining.count()  # cheap: counts the checkpointed blocks
         if n_rem == 0:
             remaining = None
             break
@@ -141,18 +145,11 @@ def knn_join(
     drop = [c for c in ("qix", "qiy", "cix", "ciy", "dix", "diy", "__did", "nb___did",
                         "nb_dix", "nb_diy") if c in out.columns]
     out = out.drop(*drop)
-    # materialize the result once (RDD-level blocks, released by the
-    # context cleaner when the DataFrame is dropped), then unpersist every
-    # intermediate — SQL-level persist() registers in the CacheManager and
-    # would otherwise leak those cached partitions for the session
-    # lifetime, one set per knn_join call. The union stacks every round's
-    # partitioning (~rounds × shuffle.partitions of mostly-empty tasks);
-    # coalesce to the session parallelism before storing.
+    # the union stacks every round's partitioning (~rounds ×
+    # shuffle.partitions of mostly-empty tasks); coalesce to the session
+    # parallelism so downstream stages schedule sensibly
     sc = data.sparkSession.sparkContext
-    out = out.coalesce(sc.defaultParallelism).localCheckpoint(eager=True)
-    for cached in to_release:
-        cached.unpersist()
-    return out
+    return out.coalesce(sc.defaultParallelism)
 
 
 class KNeighbors(BaseGridder):
