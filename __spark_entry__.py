@@ -556,6 +556,23 @@ def _q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sample (rank-by-hash window).
+
+    The ranking key (doc_id·7919 mod 9973) is INJECTIVE for doc_id < 9973
+    (9973 prime, coprime multiplier), so both engines order identically
+    with no tie ambiguity — xxhash64 (the production default) has no
+    DuckDB twin.
+    """
+    from verde_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(
+        docs, "lang", 5, hash_expr=(F.col("doc_id") * 7919) % 9973
+    )
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup closure (VERDICT #5) as a driver-checkable query.
 
@@ -716,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "dedup_components": _q_dedup_components,
+        "stratified_sample": _q_stratified_sample,
         "spline_grid": _q_spline_grid,
         "linear_grid": _q_linear_grid,
         "cubic_grid": _q_cubic_grid,
@@ -1031,6 +1049,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id < 10
               AND list_cosine_similarity(embedding, embedding) >= 0.99
             ORDER BY id_a
+        """,
+        "stratified_sample": """
+            -- injective arithmetic rank key (see _q_stratified_sample)
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY (doc_id * 7919) % 9973
+                     ) AS rnk
+              FROM documents
+            ) WHERE rnk <= 5
+            ORDER BY lang, doc_id
         """,
         "dedup_components": """
             -- independent formulation: recursive reachability closure, then

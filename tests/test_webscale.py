@@ -580,3 +580,52 @@ def test_datasets_standins_feed_the_pipeline(spark):
     assert out["air_temperature_c"].notna().all()
     with pytest.raises(NotImplementedError):
         datasets.setup_texas_wind_map(None)
+
+
+# --- sampling / splits ---------------------------------------------------------
+
+
+def test_stratified_and_deterministic_sample(spark):
+    from verde_spark.operators.sampling import deterministic_sample, stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = stratified_sample(docs, "lang", 7).groupBy("lang").count().toPandas()
+    assert (got["count"] == 7).all() and len(got) == 5
+    # deterministic: same rows at any partitioning
+    a = stratified_sample(docs.repartition(3), "lang", 7).select("doc_id").toPandas()
+    b = stratified_sample(docs.repartition(17), "lang", 7).select("doc_id").toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # n larger than a stratum → whole stratum kept
+    small = stratified_sample(docs, "lang", 10_000)
+    assert small.count() == docs.count()
+    # global deterministic sample plans a TakeOrderedAndProject (partial
+    # per-partition top-n, no full sort/shuffle of the corpus)
+    samp = deterministic_sample(docs, 25)
+    assert samp.count() == 25
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    c = deterministic_sample(docs.repartition(5), 25).select("doc_id").toPandas()
+    d = deterministic_sample(docs.repartition(11), 25).select("doc_id").toPandas()
+    assert sorted(c["doc_id"]) == sorted(d["doc_id"])
+
+
+def test_hash_split_stability_and_no_shuffle(spark):
+    from verde_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = hash_split(docs, "doc_id", weights=(0.8, 0.1, 0.1)).cache()
+    counts = dict(out.groupBy("split").count().toPandas().itertuples(index=False))
+    n = docs.count()
+    assert 0.7 * n < counts["train"] < 0.9 * n
+    assert set(counts) == {"train", "val", "test"}
+    # pure projection: no Exchange in the executed plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # key-stability: the same key gets the same split in a DIFFERENT table
+    # (leakage control across tables sharing the key)
+    other = docs.select("doc_id", "lang").repartition(13)
+    o = hash_split(other, "doc_id", weights=(0.8, 0.1, 0.1)).select("doc_id", "split").toPandas()
+    s = out.select("doc_id", "split").toPandas()
+    merged = o.merge(s, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+    out.unpersist()

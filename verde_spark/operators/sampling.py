@@ -1,0 +1,97 @@
+"""Deterministic sampling + dataset-split operators for training pipelines.
+
+All three are rank-by-hash constructions, so the result is a pure
+function of the data — stable under retries, repartitioning, and
+cluster size (unlike ``DataFrame.sample``, whose Bernoulli draw depends
+on partition boundaries):
+
+* ``stratified_sample`` — exactly ≤ n rows per stratum: one window per
+  stratum key (single shuffle, ``WindowGroupLimit`` partial top-k below
+  the exchange).
+* ``deterministic_sample`` — global n rows by minimal hash: Spark plans
+  a ``TakeOrderedAndProject`` (per-partition partial top-n, no full
+  sort).
+* ``hash_split`` — train/val/test labels from a bucketed hash of a key
+  column: a stateless projection, no shuffle at all; every row of a key
+  lands in the same split on any machine.
+
+The hash is ``xxhash64`` by default; pass ``hash_expr`` for a custom
+(e.g. SQL-portable arithmetic) ranking key.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    hash_expr: Optional[Column] = None,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """At most *n_per_stratum* rows per value of *strata_col*, chosen by
+    minimal hash rank within the stratum (deterministic pseudo-random).
+
+    One hash-partition window; skewed strata (one viral language/domain)
+    stay a single partition's problem and AQE can split the exchange.
+    """
+    h = hash_expr if hash_expr is not None else F.xxhash64(*[F.col(c) for c in df.columns])
+    win = Window.partitionBy(strata_col).orderBy(h.asc())
+    out = df.withColumn("__rank", F.row_number().over(win)).filter(
+        F.col("__rank") <= n_per_stratum
+    )
+    return out if keep_rank else out.drop("__rank")
+
+
+def deterministic_sample(
+    df: DataFrame, n: int, hash_expr: Optional[Column] = None
+) -> DataFrame:
+    """Global deterministic sample of *n* rows (minimal-hash order).
+
+    ``orderBy(hash).limit(n)`` plans as ``TakeOrderedAndProject``:
+    each partition keeps its local top-n, the driver merges — no global
+    sort, no full shuffle.
+    """
+    h = hash_expr if hash_expr is not None else F.xxhash64(*[F.col(c) for c in df.columns])
+    return df.withColumn("__h", h).orderBy(F.col("__h").asc()).limit(n).drop("__h")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Sequence[float] = (0.9, 0.05, 0.05),
+    labels: Optional[Sequence[str]] = None,
+    split_col: str = "split",
+    buckets: int = 10_000,
+    seed: int = 0,
+) -> DataFrame:
+    """Stable train/val/test assignment from a hash of *key_col*.
+
+    ``pmod(xxhash64(key, seed), buckets)`` maps each key to a bucket;
+    cumulative weight boundaries map buckets to labels. Properties a
+    training pipeline needs: (a) pure projection — no shuffle, survives
+    any repartition; (b) same key → same split across runs AND across
+    tables (join-free leakage control: a url never straddles train and
+    test); (c) re-running with one more label only moves the boundary
+    buckets.
+    """
+    if labels is None:
+        labels = ["train", "val", "test"][: len(weights)]
+    if len(labels) != len(weights):
+        raise ValueError("labels and weights must have the same length")
+    total = float(sum(weights))
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(buckets))
+    expr = None
+    acc = 0.0
+    for label, wgt in zip(labels, weights):
+        acc += wgt / total
+        bound = int(round(acc * buckets))
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    return df.withColumn(split_col, expr.otherwise(F.lit(labels[-1])))
