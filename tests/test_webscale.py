@@ -629,3 +629,48 @@ def test_hash_split_stability_and_no_shuffle(spark):
     merged = o.merge(s, on="doc_id", suffixes=("_a", "_b"))
     assert (merged["split_a"] == merged["split_b"]).all()
     out.unpersist()
+
+
+def test_resize_raw_images_exact_values(spark):
+    """The raw-bitmap path is REAL end-to-end: known gradient image in,
+    exact block means out."""
+    from verde_spark.operators.multimodal import resize_raw_images
+
+    h, w, c = 16, 16, 3
+    img = np.arange(h * w * c, dtype=np.uint64).reshape(h, w, c) % 256
+    img = img.astype(np.uint8)
+    rows = [
+        (1, img.tobytes(), w, h, c),
+        (2, b"too short", w, h, c),  # malformed → nulls
+        (3, None, w, h, c),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, payload binary, width int, height int, channels int"
+    )
+    out = resize_raw_images(df, out_width=4, out_height=4).orderBy("id").toPandas()
+    got = np.frombuffer(out["pixels"][0], dtype=np.uint8).reshape(4, 4, 3)
+    want = img.reshape(4, 4, 4, 4, 3).mean(axis=(1, 3)).astype(np.uint8)
+    npt.assert_array_equal(got, want)
+    assert out["pixels"][1] is None and out["pixels"][2] is None
+    assert out["out_width"][0] == 4 and pd.isna(out["out_width"][1])
+
+
+def test_pcm_band_energies_pure_tone(spark):
+    """A pure tone's energy must land in the band containing its
+    frequency — real DSP, no stub."""
+    from verde_spark.operators.multimodal import pcm_band_energies
+
+    n = 4096
+    t = np.arange(n)
+    def tone(cycles):
+        return (10000 * np.sin(2 * np.pi * cycles * t / n)).astype("<i2").tobytes()
+
+    # cycles 100 → bin 100 of 2048 → band 0 of 8; cycles 1900 → band 7
+    rows = [(1, tone(100)), (2, tone(1900)), (3, None), (4, b"\x01")]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = pcm_band_energies(df, n_bands=8).orderBy("id").toPandas()
+    e1 = np.array(out["band_energies"][0])
+    e2 = np.array(out["band_energies"][1])
+    assert e1.argmax() == 0 and e2.argmax() == 7
+    assert len(e1) == 8
+    assert out["band_energies"][2] is None and out["band_energies"][3] is None

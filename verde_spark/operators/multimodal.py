@@ -199,3 +199,115 @@ def sample_frames(
             yield out
 
     return df.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL paths for header-free raw payloads (no codec library required)
+# ---------------------------------------------------------------------------
+
+
+def resize_raw_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    width_col: str = "width",
+    height_col: str = "height",
+    channels_col: str = "channels",
+    out_width: int = 8,
+    out_height: int = 8,
+) -> DataFrame:
+    """REAL image path for raw (header-free) bitmaps: ``binary`` payload +
+    typed shape metadata columns → area-average downsampled pixels.
+
+    ``np.frombuffer(payload).reshape(h, w, c)`` IS the decoder for raw
+    uint8 bitmaps — no PIL needed — so unlike :func:`resize_images`
+    (stubbed decode for compressed formats) every byte of this path is
+    real and value-testable.  Rows whose dimensions don't divide into the
+    output grid use truncating block means (same policy as
+    ``resize_images``); malformed rows (length ≠ h·w·c) yield nulls
+    instead of failing the task.
+    """
+    fields = list(df.schema.fields) + [
+        T.StructField("pixels", T.BinaryType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+    ]
+    schema = T.StructType(fields)
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = pdf.copy()
+            pixels = []
+            for payload, w, h, c in zip(
+                pdf[payload_col], pdf[width_col], pdf[height_col], pdf[channels_col]
+            ):
+                if payload is None or len(payload) != int(w) * int(h) * int(c):
+                    pixels.append(None)
+                    continue
+                img = np.frombuffer(payload, dtype=np.uint8).reshape(int(h), int(w), int(c))
+                fy, fx = max(1, int(h) // out_height), max(1, int(w) // out_width)
+                small = (
+                    img[: fy * out_height, : fx * out_width]
+                    .reshape(out_height, fy, out_width, fx, int(c))
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+                pixels.append(small.tobytes())
+            out["pixels"] = pixels
+            out["out_width"] = pd.array(
+                [None if p is None else out_width for p in pixels], dtype="Int32"
+            )
+            out["out_height"] = pd.array(
+                [None if p is None else out_height for p in pixels], dtype="Int32"
+            )
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def pcm_band_energies(
+    df: DataFrame,
+    payload_col: str = "payload",
+    n_bands: int = 8,
+    output_col: str = "band_energies",
+    batch_limit: int = 256,
+) -> DataFrame:
+    """REAL audio featurization: int16 little-endian PCM payload →
+    log-scaled spectral band energies (``array<double>``, length
+    *n_bands*).
+
+    The "decode" for raw PCM is ``np.frombuffer(int16)`` and the feature
+    is an rFFT magnitude spectrum split into *n_bands* equal bands — all
+    NumPy, no audio library, fully value-testable (a pure tone must land
+    its energy in the band containing its frequency).  Odd-length or
+    empty payloads yield null features.  ``batch_limit`` bounds peak
+    memory at ``batch_limit × payload`` bytes per task.
+    """
+    fields = list(df.schema.fields) + [
+        T.StructField(output_col, T.ArrayType(T.DoubleType()))
+    ]
+    schema = T.StructType(fields)
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[lo : lo + batch_limit].copy()
+                feats = []
+                for payload in chunk[payload_col]:
+                    if payload is None or len(payload) < 2 or len(payload) % 2:
+                        feats.append(None)
+                        continue
+                    samples = np.frombuffer(payload, dtype="<i2").astype("float64")
+                    mag = np.abs(np.fft.rfft(samples))
+                    # drop DC, split the spectrum into n_bands equal slices
+                    mag = mag[1:]
+                    usable = (len(mag) // n_bands) * n_bands
+                    if usable == 0:
+                        feats.append(None)
+                        continue
+                    bands = mag[:usable].reshape(n_bands, -1)
+                    energy = (bands**2).sum(axis=1)
+                    feats.append(np.log1p(energy).tolist())
+                chunk[output_col] = feats
+                yield chunk
+
+    return df.mapInPandas(run, schema)
