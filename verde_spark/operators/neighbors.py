@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..base import BaseGridder
-from ..geometry import get_region
 
 
 def _cell_index(coord, origin: float, cell_size: float):
@@ -47,6 +46,8 @@ def knn_join(
     query_northing: str = "northing",
     query_id: str = "__qid",
     max_rounds: int = 5,
+    bbox: Optional[Tuple[float, float, float, float]] = None,
+    count: Optional[int] = None,
 ) -> DataFrame:
     """Top-k nearest data points per query point.
 
@@ -65,13 +66,18 @@ def knn_join(
         queries = queries.withColumn(query_id, F.monotonically_increasing_id())
     data = data.withColumn("__did", F.xxhash64(*[F.col(c) for c in data.columns]))
 
-    # one scan for bbox + count (two separate jobs would scan data twice)
-    row = data.agg(
-        F.min(data_easting).alias("w"), F.max(data_easting).alias("e"),
-        F.min(data_northing).alias("s"), F.max(data_northing).alias("n"),
-        F.count(F.lit(1)).alias("cnt"),
-    ).first()
-    w, e, s, n, cnt = row["w"], row["e"], row["s"], row["n"], row["cnt"]
+    # one scan for bbox + count (two separate jobs would scan data twice);
+    # callers that already know both (e.g. KNeighbors.fit) pass them in and
+    # skip this scan entirely — one job saved per predict call
+    if bbox is not None and count is not None:
+        (w, e, s, n), cnt = bbox, count
+    else:
+        row = data.agg(
+            F.min(data_easting).alias("w"), F.max(data_easting).alias("e"),
+            F.min(data_northing).alias("s"), F.max(data_northing).alias("n"),
+            F.count(F.lit(1)).alias("cnt"),
+        ).first()
+        w, e, s, n, cnt = row["w"], row["e"], row["s"], row["n"], row["cnt"]
     if cell_size is None:
         extent = max(e - w, n - s) or 1.0
         cells = max(1, int(np.sqrt(max(cnt, 1) / 64.0)))
@@ -184,7 +190,14 @@ class KNeighbors(BaseGridder):
             )
         self._names = (easting, northing, data_col)
         self.data_ = df.select(easting, northing, data_col)
-        self.region_ = get_region(self.data_, easting, northing)
+        # bbox AND count in one scan, reused by every predict (knn_join
+        # skips its own bbox/count job when both are supplied)
+        row = self.data_.agg(
+            F.min(easting), F.max(easting), F.min(northing), F.max(northing),
+            F.count(F.lit(1)),
+        ).first()
+        self.region_ = (row[0], row[1], row[2], row[3])
+        self._count = row[4]
         return self
 
     def predict(
@@ -215,6 +228,8 @@ class KNeighbors(BaseGridder):
             query_easting=safe[easting],
             query_northing=safe[northing],
             query_id=qid,
+            bbox=self.region_,
+            count=self._count,
         )
         red = {"mean": F.avg, "median": F.median, "min": F.min, "max": F.max}[self.reduction]
         # single pass: carry the query columns through the agg (no join back,
