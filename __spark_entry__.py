@@ -556,6 +556,33 @@ def _q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_project_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 projection hook through the Arrow-UDF path, value-checked: a
+    linear map (2e+1, 0.5n−3) is IEEE-exact in both engines (×2 and ×0.5
+    are exponent shifts; the adds round identically)."""
+    from verde_spark.operators.projections import project_points
+
+    pts = _points(spark, sf_dir)
+    out = project_points(
+        pts, lambda e, n: (2.0 * e + 1.0, 0.5 * n - 3.0),
+        out_easting="pe", out_northing="pn",
+    )
+    return out.select("event_id", "pe", "pn").orderBy("event_id")
+
+
+def _q_longitude_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: dateline-crossing region (355°..5°) forces the ±180 interval;
+    the operator returns a pmod column expression applied lazily."""
+    from verde_spark.coordinates import longitude_continuity
+
+    pts = _points(spark, sf_dir).withColumn(
+        "lon", ((F.col("event_id") * 13) % 360).cast("double")
+    )
+    new_region, lon_expr = longitude_continuity((355.0, 5.0, 5.0, 10.0), "lon")
+    assert new_region[:2] == (-5.0, 5.0)
+    return pts.select("event_id", lon_expr.alias("lon_fixed")).orderBy("event_id")
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic sample (rank-by-hash window).
 
@@ -734,6 +761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "dedup_components": _q_dedup_components,
         "stratified_sample": _q_stratified_sample,
+        "project_points": _q_project_points,
+        "longitude_continuity": _q_longitude_continuity,
         "spline_grid": _q_spline_grid,
         "linear_grid": _q_linear_grid,
         "cubic_grid": _q_cubic_grid,
@@ -1049,6 +1078,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id < 10
               AND list_cosine_similarity(embedding, embedding) >= 0.99
             ORDER BY id_a
+        """,
+        "project_points": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT event_id, 2.0 * easting + 1.0 AS pe, 0.5 * northing - 3.0 AS pn
+            FROM pts ORDER BY event_id
+        """,
+        "longitude_continuity": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT event_id,
+                   (((CAST((event_id * 13) % 360 AS DOUBLE) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0)
+                     AS lon_fixed
+            FROM pts ORDER BY event_id
         """,
         "stratified_sample": """
             -- injective arithmetic rank key (see _q_stratified_sample)
