@@ -267,6 +267,17 @@ def _q_distance_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("iy", "ix", "in_range").orderBy("iy", "ix")
 
 
+def _q_mask_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector: RLE-vectorize the distance-mask grid (one window +
+    one groupBy, both keyed by grid row)."""
+    from verde_spark.sources.grid_io import mask_to_runs
+
+    pts = _points(spark, sf_dir).filter(F.col("event_id") % 100 == 0)
+    nodes = grid_coordinates(spark, REGION, spacing=0.5)
+    masked = distance_mask(pts, nodes, maxdist=0.75)
+    return mask_to_runs(masked, flag_col="in_range").orderBy("iy", "start_ix")
+
+
 def _q_convexhull(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hull of the 4 bbox corners of a sub-rectangle → membership must equal
     # the inside() predicate: a known-geometry oracle for the hull machinery.
@@ -745,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window": _q_rolling_window,
         "expanding_window": _q_expanding_window,
         "distance_mask": _q_distance_mask,
+        "mask_runs": _q_mask_runs,
         "convexhull_mask": _q_convexhull,
         "cell_counts": _q_cell_counts,
         "geotag_roundtrip": _q_geotag_roundtrip,
@@ -926,6 +938,28 @@ def oracle_sql() -> dict[str, str]:
                               + (d.northing-nodes.northing)*(d.northing-nodes.northing)
                               <= 0.75*0.75) AS in_range
             FROM nodes ORDER BY iy, ix
+        """,
+        "mask_runs": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            data AS (SELECT easting, northing FROM pts WHERE event_id % 100 = 0),
+            nodes AS ({grid_nodes_sql}),
+            flags AS (
+              SELECT iy, ix,
+                     EXISTS(SELECT 1 FROM data d
+                            WHERE (d.easting-nodes.easting)*(d.easting-nodes.easting)
+                                + (d.northing-nodes.northing)*(d.northing-nodes.northing)
+                                <= 0.75*0.75) AS in_range
+              FROM nodes
+            ),
+            grp AS (
+              SELECT iy, ix,
+                     ix - row_number() OVER (PARTITION BY iy ORDER BY ix) AS g
+              FROM flags WHERE in_range
+            )
+            SELECT iy, min(ix) AS start_ix, max(ix) AS end_ix,
+                   count(*) AS run_length
+            FROM grp GROUP BY iy, g
+            ORDER BY iy, start_ix
         """,
         "convexhull_mask": f"""
             WITH nodes AS ({grid_nodes_sql})

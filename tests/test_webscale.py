@@ -674,3 +674,23 @@ def test_pcm_band_energies_pure_tone(spark):
     assert e1.argmax() == 0 and e2.argmax() == 7
     assert len(e1) == 8
     assert out["band_energies"][2] is None and out["band_energies"][3] is None
+
+
+def test_mask_to_runs(spark):
+    from verde_spark.sources.grid_io import mask_to_runs
+
+    rows = []
+    #  row 0: ..XX.X  row 1: XXXXXX  row 2: ......
+    pattern = {0: [2, 3, 5], 1: [0, 1, 2, 3, 4, 5], 2: []}
+    for iy, on in pattern.items():
+        for ix in range(6):
+            rows.append((iy, ix, ix in on))
+    df = spark.createDataFrame(rows, "iy long, ix long, inside boolean")
+    got = (
+        mask_to_runs(df).orderBy("iy", "start_ix").toPandas()
+    )
+    assert got.values.tolist() == [
+        [0, 2, 3, 2],
+        [0, 5, 5, 1],
+        [1, 0, 5, 6],
+    ]

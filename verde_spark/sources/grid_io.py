@@ -112,3 +112,39 @@ def load_surfer(fname: str, spark: Optional[SparkSession] = None):
     if spark is not None:
         return values, region, grid_to_table(values, region, spark)
     return values, region
+
+
+def mask_to_runs(
+    df,
+    flag_col: str = "inside",
+    row_col: str = "iy",
+    col_col: str = "ix",
+):
+    """Raster→vector: run-length encode a boolean grid mask.
+
+    Each grid row's contiguous True cells collapse to one (row, start,
+    end, length) run — the primitive under mask vectorization, polygon
+    tracing, and sparse-mask storage (a 100k×100k mask with a compact
+    region becomes thousands of runs instead of 10^10 cells).
+
+    Pure Catalyst gaps-and-islands: within a grid row ordered by column,
+    ``ix − row_number()`` is constant exactly on each contiguous run, so
+    one window + one groupBy (both keyed by the grid row — a single
+    shuffle) produce the runs. No UDF, no driver-side pass.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    win = Window.partitionBy(row_col).orderBy(col_col)
+    runs = (
+        df.filter(F.col(flag_col))
+        .withColumn("__grp", F.col(col_col) - F.row_number().over(win))
+        .groupBy(row_col, "__grp")
+        .agg(
+            F.min(col_col).alias("start_ix"),
+            F.max(col_col).alias("end_ix"),
+            F.count(F.lit(1)).alias("run_length"),
+        )
+        .drop("__grp")
+    )
+    return runs
