@@ -267,6 +267,53 @@ def _q_distance_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("iy", "ix", "in_range").orderBy("iy", "ix")
 
 
+def _poly_props_sql() -> str:
+    """Shoelace properties of _POLY as SQL over an edge VALUES list."""
+    n = len(_POLY)
+    rows = []
+    for i in range(n):
+        ax, ay = _POLY[i]
+        bx, by = _POLY[(i + 1) % n]
+        rows.append(f"({ax!r}, {ay!r}, {bx!r}, {by!r})")
+    values = ", ".join(rows)
+    xs = ", ".join(repr(x) for x, _ in _POLY)
+    ys = ", ".join(repr(y) for _, y in _POLY)
+    return f"""
+        WITH e(ax, ay, bx, by) AS (VALUES {values}),
+        s AS (
+          SELECT sum(ax*by - bx*ay) / 2.0 AS sa,
+                 sum((ax+bx) * (ax*by - bx*ay)) AS cx6,
+                 sum((ay+by) * (ax*by - bx*ay)) AS cy6
+          FROM e
+        )
+        SELECT round(abs(sa), 9) + 0.0 AS area,
+               round(sa, 9) + 0.0 AS signed_area,
+               round(cx6 / (6.0 * sa), 9) + 0.0 AS centroid_x,
+               round(cy6 / (6.0 * sa), 9) + 0.0 AS centroid_y,
+               round(least({xs}), 9) + 0.0 AS bbox_w,
+               round(greatest({xs}), 9) + 0.0 AS bbox_e,
+               round(least({ys}), 9) + 0.0 AS bbox_s,
+               round(greatest({ys}), 9) + 0.0 AS bbox_n
+        FROM s
+    """
+
+
+def _q_polygon_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace area / centroid / bbox of the shared _POLY as Catalyst
+    aggregates; round(9) absorbs the fold-order ulp between engines."""
+    from verde_spark.operators.polygons import polygon_literal, polygon_properties
+
+    df = spark.range(1).select(polygon_literal(_POLY).alias("vertices"))
+    out = polygon_properties(df)
+    return out.select(
+        *[
+            (F.round(c, 9) + F.lit(0.0)).alias(c)
+            for c in ("area", "signed_area", "centroid_x", "centroid_y",
+                      "bbox_w", "bbox_e", "bbox_s", "bbox_n")
+        ]
+    )
+
+
 def _q_mask_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector: RLE-vectorize the distance-mask grid (one window +
     one groupBy, both keyed by grid row)."""
@@ -757,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding_window": _q_expanding_window,
         "distance_mask": _q_distance_mask,
         "mask_runs": _q_mask_runs,
+        "polygon_properties": _q_polygon_properties,
         "convexhull_mask": _q_convexhull,
         "cell_counts": _q_cell_counts,
         "geotag_roundtrip": _q_geotag_roundtrip,
@@ -939,6 +987,7 @@ def oracle_sql() -> dict[str, str]:
                               <= 0.75*0.75) AS in_range
             FROM nodes ORDER BY iy, ix
         """,
+        "polygon_properties": _poly_props_sql(),
         "mask_runs": f"""
             WITH pts AS ({_POINTS_SQL}),
             data AS (SELECT easting, northing FROM pts WHERE event_id % 100 = 0),

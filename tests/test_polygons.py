@@ -221,3 +221,29 @@ def test_zonal_stats_requires_polygon_id_column(spark):
     )
     with _pytest.raises(ValueError, match="id column"):
         zonal_stats(pts, polys, "v")
+
+
+def test_polygon_properties(spark):
+    from verde_spark.operators.polygons import polygon_literal, polygon_properties
+
+    # CCW unit square offset to (2,3) + a CW triangle
+    square = [(2.0, 3.0), (3.0, 3.0), (3.0, 4.0), (2.0, 4.0)]
+    tri = [(0.0, 0.0), (0.0, 2.0), (4.0, 0.0)]  # CW → negative signed area
+    df = spark.range(2).withColumn(
+        "vertices",
+        F.when(F.col("id") == 0, polygon_literal(square)).otherwise(
+            polygon_literal(tri)
+        ),
+    )
+    got = polygon_properties(df).orderBy("id").toPandas()
+    assert got["area"].tolist() == [1.0, 4.0]
+    assert got["signed_area"].tolist() == [1.0, -4.0]
+    assert got["centroid_x"].tolist() == [2.5, pytest.approx(4 / 3)]
+    assert got["centroid_y"].tolist() == [3.5, pytest.approx(2 / 3)]
+    assert got[["bbox_w", "bbox_e", "bbox_s", "bbox_n"]].values.tolist() == [
+        [2.0, 3.0, 3.0, 4.0],
+        [0.0, 4.0, 0.0, 2.0],
+    ]
+    # zero Python, zero shuffle: pure projection plan
+    plan = polygon_properties(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

@@ -19,10 +19,16 @@ from typing import List, Optional, Sequence, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..base import BaseGridder
 
-class Chain:
+
+class Chain(BaseGridder):
     """steps = [(name, operator)]; operators expose ``filter(df, ...)`` and
-    (for gridders) ``predict(df, output_col, ...)``."""
+    (for gridders) ``predict(df, output_col, ...)``.
+
+    grid/scatter/profile/score come from :class:`verde_spark.base.BaseGridder`
+    (the reference Chain inherits BaseGridder the same way, chain.py:20-40).
+    """
 
     def __init__(self, steps: Sequence[Tuple[str, object]]):
         self.steps = list(steps)
@@ -79,15 +85,4 @@ class Chain:
             total = total + F.col(c)
         return out.withColumn(output_col, total).drop(*parts)
 
-    def score(
-        self,
-        df: DataFrame,
-        data_col: str = "scalars",
-        weight_col: Optional[str] = None,
-        easting: str = "easting",
-        northing: str = "northing",
-    ) -> float:
-        from ..model_selection import r2_score
 
-        pred = self.predict(df, "__pred", easting=easting, northing=northing)
-        return r2_score(pred, data_col, "__pred", weight_col)

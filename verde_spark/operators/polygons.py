@@ -207,3 +207,58 @@ def zonal_stats(
     )
     aggs = [fns[s](F.col(value_col)).alias(f"{s}_{value_col}") for s in stats]
     return pairs.groupBy(*keys).agg(*aggs)
+
+
+def polygon_area_expr(verts: Column | str) -> Column:
+    """Signed shoelace area of an ``array<struct<x,y>>`` polygon — one
+    ``aggregate`` over the closing edge list, no UDF.  Positive for
+    counter-clockwise vertex order."""
+    v = F.col(verts) if isinstance(verts, str) else verts
+    cross = F.aggregate(
+        _edges(v),
+        F.lit(0.0),
+        lambda acc, e: acc + (e["a"]["x"] * e["b"]["y"] - e["b"]["x"] * e["a"]["y"]),
+    )
+    return cross / F.lit(2.0)
+
+
+def polygon_properties(
+    polygons: DataFrame, verts_col: str = "vertices"
+) -> DataFrame:
+    """area / centroid / bbox per polygon — all Catalyst ``aggregate``
+    expressions over the vertex array (raster↔vector support layer; the
+    centroid is the area-weighted polygon centroid, not the vertex mean).
+
+    One projection, zero shuffles, zero Python: at 10^9 polygons this is
+    a single codegen'd map stage.
+    """
+    v = F.col(verts_col)
+    area = polygon_area_expr(v)
+
+    def _centroid(which: str) -> Column:
+        # Cx = 1/(6A) Σ (x_a + x_b)(x_a·y_b − x_b·y_a)  (same for y)
+        return (
+            F.aggregate(
+                _edges(v),
+                F.lit(0.0),
+                lambda acc, e: acc
+                + (e["a"][which] + e["b"][which])
+                * (e["a"]["x"] * e["b"]["y"] - e["b"]["x"] * e["a"]["y"]),
+            )
+            / (F.lit(6.0) * area)
+        )
+
+    xs = F.transform(v, lambda p: p["x"])
+    ys = F.transform(v, lambda p: p["y"])
+    return polygons.withColumns(
+        {
+            "area": F.abs(area),
+            "signed_area": area,
+            "centroid_x": _centroid("x"),
+            "centroid_y": _centroid("y"),
+            "bbox_w": F.array_min(xs),
+            "bbox_e": F.array_max(xs),
+            "bbox_s": F.array_min(ys),
+            "bbox_n": F.array_max(ys),
+        }
+    )
