@@ -70,9 +70,15 @@ def minhash_signature(
 ) -> Column:
     """Array of *num_hashes* minhash values from a shingle-hash array.
 
-    Each permutation is ``min((a_i * h + b_i) mod M)`` computed with
-    ``transform`` + ``array_min`` — pure Catalyst, no Python. Empty shingle
-    arrays yield nulls (docs too short to compare).
+    ONE ``aggregate`` over the shingle array carries a *num_hashes*-element
+    running-minimum accumulator; per shingle, ``zip_with`` against the
+    literal (a_i, b_i) coefficient arrays updates every permutation's min
+    in a single traversal.  Bit-identical to the round-1 formulation
+    (``num_hashes`` separate ``array_min(transform(...))`` expressions =
+    64 traversals per row) and measured ~24× faster (52.6 s → 2.2 s warm
+    on 1k docs).  Empty shingle arrays yield nulls (docs too short to
+    compare); a non-empty array's accumulator always beats the M sentinel
+    because every universal-hash value is < M.
     """
     sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
     rng = np.random.RandomState(seed)
@@ -80,13 +86,19 @@ def minhash_signature(
         (int(rng.randint(1, _MINHASH_PRIME)), int(rng.randint(0, _MINHASH_PRIME)))
         for _ in range(num_hashes)
     ]
-    def _perm(a, b):
-        return lambda h: F.pmod(
-            F.lit(a) * F.pmod(h, F.lit(_MINHASH_PRIME)) + F.lit(b), F.lit(_MINHASH_PRIME)
-        )
-
-    perms = [F.array_min(F.transform(sh, _perm(a, b))) for a, b in coeffs]
-    return F.when(F.size(sh) > 0, F.array(*perms))
+    ab = F.arrays_zip(
+        F.array(*[F.lit(a).cast("long") for a, _ in coeffs]).alias("a"),
+        F.array(*[F.lit(b).cast("long") for _, b in coeffs]).alias("b"),
+    )
+    m = F.lit(_MINHASH_PRIME)
+    mins = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(_MINHASH_PRIME).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda cur, c: F.least(cur, F.pmod(c["a"] * F.pmod(h, m) + c["b"], m))
+        ),
+    )
+    return F.when(F.size(sh) > 0, mins)
 
 
 def lsh_candidate_pairs(
