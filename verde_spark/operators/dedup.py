@@ -213,6 +213,26 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # size the iterative joins' shuffle width from the (already
+    # materialized) edge count: duplicate-pair graphs are usually tiny
+    # relative to the corpus, and at the session default (e.g. 64) each
+    # of the ~4 exchanges × log(n) rounds schedules a full width of
+    # near-empty tasks — pure scheduling overhead (measured 11 s for a
+    # 100-edge graph at 64 partitions).  The conf is session-scoped, so
+    # it is restored in the finally below; this operator is a
+    # driver-side loop and runs its jobs sequentially anyway.
+    spark = pairs.sparkSession
+    n_edges = edges.count()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    target = max(1, min(int(old_parts), n_edges // 50_000 + 1))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        return _cc_loop(edges, max_iters)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
