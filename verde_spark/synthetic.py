@@ -16,6 +16,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .base import BaseGridder
 from .coordinates import grid_coordinates, scatter_points
 from .geometry import check_region
 
@@ -37,13 +38,16 @@ def checkerboard_expr(
     )
 
 
-class CheckerBoard:
+class CheckerBoard(BaseGridder):
     """Verde's CheckerBoard synthetic gridder (synthetic.py:16-197).
 
     ``predict_expr`` evaluates on any DataFrame; ``scatter``/``grid``
     produce verde-identical fixtures (NumPy for values so floats match the
     reference's np.sin/np.cos bit-for-bit — Spark's JVM sin/cos may differ
-    in the last ulp, which matters for value-hash comparisons).
+    in the last ulp, which matters for value-hash comparisons; that is why
+    ``scatter``/``grid`` intentionally OVERRIDE the BaseGridder versions).
+    ``predict``/``profile``/``score`` come from
+    :class:`verde_spark.base.BaseGridder`.
     """
 
     def __init__(
@@ -58,6 +62,11 @@ class CheckerBoard:
         w, e, s, n = self.region
         self.w_east = float(w_east) if w_east is not None else (e - w) / 2
         self.w_north = float(w_north) if w_north is not None else (n - s) / 2
+        self.region_ = self.region  # fitted-region contract (synthetic: fixed)
+
+    def predict(self, df, output_col: str = "prediction",
+                easting: str = "easting", northing: str = "northing"):
+        return df.withColumn(output_col, self.predict_expr(easting, northing))
 
     def predict_expr(self, easting="easting", northing="northing") -> Column:
         return checkerboard_expr(easting, northing, self.amplitude, self.w_east, self.w_north)
