@@ -1,5 +1,6 @@
 """Streaming forms agree with the batch plans on identical input."""
 
+import numpy.testing as npt
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -87,3 +88,74 @@ def test_streaming_cell_reservoir_stateful(spark, pages_dir):
     # (zip, not iterrows: iterrows would upcast the int64 cell id to float)
     for cell_id, lon in zip(got["cell"], got["lon"]):
         assert lon in set(per_cell.loc[cell_id, "lons"])
+
+
+def test_stream_to_tile_store_upsert_and_resume(spark, tmp_path):
+    """foreachBatch + dynamic partition overwrite = exact upsert when the
+    partition cols cover the grouping key; restart processes only new
+    files; result equals the batch aggregate over all data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from verde_spark.streaming import (
+        stream_pages,
+        stream_to_tile_store,
+        streaming_cell_blockmean,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    synthesize_pages(spark, 400, seed=42).write.mode("append").parquet(pages_dir)
+    synthesize_pages(spark, 400, seed=43).write.mode("append").parquet(pages_dir)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def flat(df):
+        return df.select(
+            F.col("win.start").cast("long").alias("win_start"),
+            "cell", "n_pages", "mean_value",
+        )
+
+    agg = flat(streaming_cell_blockmean(stream_pages(spark, pages_dir), resolution=4))
+    q = stream_to_tile_store(agg, store, ckpt, partition_cols=("win_start", "cell"))
+    q.awaitTermination()
+    # restart with one more source file: only the new file is processed
+    synthesize_pages(spark, 300, seed=44).write.mode("append").parquet(pages_dir)
+    agg2 = flat(streaming_cell_blockmean(stream_pages(spark, pages_dir), resolution=4))
+    q2 = stream_to_tile_store(agg2, store, ckpt, partition_cols=("win_start", "cell"))
+    q2.awaitTermination()
+
+    got = (
+        spark.read.parquet(store)
+        .select("win_start", "cell", "n_pages", "mean_value")
+        .orderBy("win_start", "cell")
+        .toPandas()
+    )
+    # batch oracle over ALL data
+    from verde_spark.functions.cells import cell_encode
+    from verde_spark.functions.text import geotag_lat, geotag_lon, quality_score
+
+    pages = spark.read.parquet(pages_dir)
+    tagged = pages.withColumn("lon", geotag_lon("text")).withColumn("lat", geotag_lat("text"))
+    want = (
+        tagged.filter(F.col("lon").isNotNull())
+        .select(
+            F.window("warc_ts", "10 minutes").alias("win"),
+            cell_encode("lon", "lat", 4).alias("cell"),
+            quality_score("text").alias("value"),
+        )
+        .groupBy("win", "cell")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.avg("value").alias("mean_value"))
+        .select(
+            F.col("win.start").cast("long").alias("win_start"),
+            "cell", "n_pages", "mean_value",
+        )
+        .orderBy("win_start", "cell")
+        .toPandas()
+    )
+    assert got["n_pages"].tolist() == want["n_pages"].tolist()
+    npt.assert_allclose(got["mean_value"], want["mean_value"], rtol=1e-12)
+    # layout: physically partitioned by (win_start, cell) → pruning works
+    assert any(d.startswith("win_start=") for d in os.listdir(store))
+    with pytest.raises(ValueError, match="partition_cols"):
+        stream_to_tile_store(agg2, store, ckpt, partition_cols=("nope",))

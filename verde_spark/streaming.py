@@ -182,3 +182,56 @@ def streaming_cell_reservoir(
     return cells.groupBy("cell").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_to_tile_store(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_location: str,
+    partition_cols=("cell",),
+    mode: str = "update",
+    trigger_available_now: bool = True,
+):
+    """Continuously materialize a streaming aggregate as a partitioned
+    parquet store (the streaming counterpart of ``TileCheckpoint``).
+
+    ``foreachBatch`` + **dynamic partition overwrite**: each micro-batch
+    of an update-mode aggregate contains exactly the group rows whose
+    values changed, and ``partitionOverwriteMode=dynamic`` replaces ONLY
+    those groups' directories — untouched groups are never rewritten or
+    read, so batch cost is O(changed groups), the same incremental
+    contract as ``TileCheckpoint.write``.  Readers see a plain
+    partitioned parquet table with partition pruning on *partition_cols*,
+    and the stream's ``checkpointLocation`` makes the sink resumable (a
+    restarted query replays only unprocessed source files).
+
+    CORRECTNESS REQUIREMENT: *partition_cols* must cover the aggregate's
+    FULL grouping key (e.g. ``("win_start", "cell")`` for a windowed
+    per-cell mean with the window start flattened to a column).  Dynamic
+    overwrite deletes everything in a replaced directory, so with a
+    coarser partitioning an update to one group would silently drop its
+    unchanged siblings in the same directory.  The writer raises if a
+    partition column is missing from the stream's schema.
+    """
+    partition_cols = list(partition_cols)
+    missing = [c for c in partition_cols if c not in stream_df.columns]
+    if missing:
+        raise ValueError(f"partition_cols not in stream schema: {missing}")
+
+    def write_batch(batch_df: DataFrame, _batch_id: int):
+        if not batch_df.rdd.isEmpty():
+            (
+                batch_df.write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_cols)
+                .mode("overwrite")
+                .parquet(path)
+            )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_location)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
