@@ -694,3 +694,68 @@ def test_mask_to_runs(spark):
         [0, 5, 5, 1],
         [1, 0, 5, 6],
     ]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_random_graphs_vs_union_find(spark, seed):
+    """Random sparse graphs: the distributed closure must match a plain
+    union-find computed driver-side."""
+    from verde_spark.operators.dedup import connected_components
+
+    rng = np.random.RandomState(seed)
+    n_nodes, n_edges = 60, 45
+    ea = rng.randint(0, n_nodes, n_edges)
+    eb = rng.randint(0, n_nodes, n_edges)
+    keep = ea != eb
+    ea, eb = ea[keep], eb[keep]
+
+    parent = list(range(n_nodes))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in zip(ea, eb):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in component, only for touched nodes
+    touched = sorted(set(ea.tolist()) | set(eb.tolist()))
+    want = {}
+    roots = {}
+    for x in touched:
+        r = find(x)
+        roots.setdefault(r, x)  # touched asc → first hit is the min
+        want[x] = roots[r]
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": ea.astype("int64"), "id_b": eb.astype("int64")})
+    )
+    got = connected_components(edges).toPandas()
+    assert dict(zip(got["id"], got["comp"])) == want
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_mask_to_runs_random_vs_naive(spark, seed):
+    from verde_spark.sources.grid_io import mask_to_runs
+
+    rng = np.random.RandomState(seed)
+    grid = rng.rand(6, 20) < 0.45
+    rows = [
+        (iy, ix, bool(grid[iy, ix]))
+        for iy in range(grid.shape[0]) for ix in range(grid.shape[1])
+    ]
+    df = spark.createDataFrame(rows, "iy long, ix long, inside boolean")
+    got = mask_to_runs(df).orderBy("iy", "start_ix").toPandas().values.tolist()
+    want = []
+    for iy in range(grid.shape[0]):
+        ix = 0
+        while ix < grid.shape[1]:
+            if grid[iy, ix]:
+                start = ix
+                while ix < grid.shape[1] and grid[iy, ix]:
+                    ix += 1
+                want.append([iy, start, ix - 1, ix - start])
+            else:
+                ix += 1
+    assert got == want
