@@ -759,3 +759,34 @@ def test_mask_to_runs_random_vs_naive(spark, seed):
             else:
                 ix += 1
     assert got == want
+
+
+def test_main_entrypoint_dedup_and_ivf_jobs(spark, tmp_path, capsys):
+    """--job dedup and --job ivf-index through the same spark-submit
+    entrypoint (main() invoked in-process against the live session)."""
+    import json
+
+    from verde_spark.__main__ import main
+
+    # dedup: plant exact duplicates by doubling a synthesized table
+    from verde_spark.sources.pages import synthesize_pages
+
+    src = str(tmp_path / "pages")
+    p = synthesize_pages(spark, 100, seed=9)
+    p.unionByName(p).write.parquet(src)  # every text exactly duplicated
+    out = str(tmp_path / "deduped")
+    assert main(["--input", src, "--job", "dedup", "--output", out]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_in"] == 200 and stats["rows_out"] == 100
+    assert spark.read.parquet(out).count() == 100
+
+    # ivf-index over the driver embeddings table
+    out2 = str(tmp_path / "ivf")
+    assert main([
+        "--input", "/root/testdata/sf0.01/embeddings.parquet",
+        "--job", "ivf-index", "--centroids", "4", "--output", out2,
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_centroids"] == 4 and stats["rows"] == 500
+    back = spark.read.parquet(out2)
+    assert "cluster" in back.columns

@@ -41,6 +41,15 @@ def main(argv=None) -> int:
     ap.add_argument("--damping", type=float, default=1e-6)
     ap.add_argument("--shape", default="400x400", help="grid shape ROWSxCOLS")
     ap.add_argument("--checkpoint", default=None, help="per-tile checkpoint dir (resumable)")
+    ap.add_argument(
+        "--job", default="grid", choices=("grid", "dedup", "ivf-index"),
+        help="grid: flagship gridding pipeline (default); "
+             "dedup: exact + transitive-MinHash dedup of the page table; "
+             "ivf-index: build a cluster-partitioned ANN index from an "
+             "embeddings parquet (--input must carry vec_id + embedding)",
+    )
+    ap.add_argument("--threshold", type=float, default=0.8, help="dedup Jaccard threshold")
+    ap.add_argument("--centroids", type=int, default=64, help="ivf-index centroid count")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -61,6 +70,40 @@ def main(argv=None) -> int:
         pages = spark.read.parquet(args.input)
     else:
         pages = synthesize_pages(spark, args.synthesize)
+
+    if args.job == "dedup":
+        from verde_spark.operators.dedup import dedup_exact, dedup_minhash
+
+        before = pages.count()
+        # transitive closure needs a NUMERIC id (decimal-sum convergence);
+        # hash the url into one, drop it after
+        hashed = pages.withColumn("__docid", F.xxhash64("url"))
+        kept = dedup_minhash(
+            dedup_exact(hashed, id_col="__docid", text_col="text"),
+            id_col="__docid", text_col="text", threshold=args.threshold,
+        ).drop("__docid")
+        kept.write.mode("overwrite").parquet(args.output)
+        after = spark.read.parquet(args.output).count()
+        print(json.dumps({
+            "job": "dedup", "rows_in": before, "rows_out": after,
+            "dropped": before - after, "sec": round(time.time() - t0, 3),
+        }))
+        return 0
+
+    if args.job == "ivf-index":
+        from verde_spark.operators.similarity import (
+            build_ivf_index,
+            train_ivf_centroids,
+        )
+
+        cents = train_ivf_centroids(pages, n_centroids=args.centroids)
+        build_ivf_index(pages, args.output, cents)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({
+            "job": "ivf-index", "rows": n, "n_centroids": int(cents.shape[0]),
+            "dim": int(cents.shape[1]), "sec": round(time.time() - t0, 3),
+        }))
+        return 0
     pts = geotagged(pages).select(
         F.col("lon").alias("easting"), F.col("lat").alias("northing")
     )

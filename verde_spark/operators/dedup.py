@@ -205,6 +205,15 @@ def connected_components(
     millions of copies) become hot labels, which the min-agg absorbs
     map-side.
     """
+    for c in (id_a, id_b):
+        if pairs.schema[c].dataType.typeName() not in (
+            "long", "integer", "short", "byte", "decimal"
+        ):
+            raise ValueError(
+                f"connected_components needs numeric node ids; column {c!r} "
+                f"is {pairs.schema[c].dataType.simpleString()} — hash string "
+                "ids first (e.g. xxhash64)"
+            )
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.unionByName(
