@@ -790,3 +790,28 @@ def test_main_entrypoint_dedup_and_ivf_jobs(spark, tmp_path, capsys):
     assert stats["n_centroids"] == 4 and stats["rows"] == 500
     back = spark.read.parquet(out2)
     assert "cluster" in back.columns
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """Flip-one-bit multiprobe must be a superset of the single-bucket
+    candidates and raise (or match) recall vs exact top-1."""
+    from verde_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+
+    corpus = _planted_embeddings(spark, n=400)
+    queries = corpus.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(corpus, queries, k=1).toPandas()
+    truth = dict(zip(exact["query_id"], exact["neighbor_id"]))
+
+    def recall(df):
+        got = df.toPandas()
+        top1 = got[got["rank"] == 1]
+        hits = sum(truth[q] == n for q, n in zip(top1["query_id"], top1["neighbor_id"]))
+        return hits / len(truth)
+
+    base = lsh_bucketed_topk(corpus, queries, k=1, num_planes=14)
+    probed = lsh_bucketed_topk(corpus, queries, k=1, num_planes=14, multiprobe=6)
+    r0, r1 = recall(base), recall(probed)
+    assert r1 >= r0
+    assert r1 > 0.8  # probing 7 buckets on planted clusters: high recall

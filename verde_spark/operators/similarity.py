@@ -132,6 +132,7 @@ def lsh_bucketed_topk(
     k: int = 10,
     dim: Optional[int] = None,
     num_planes: int = 12,
+    multiprobe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -140,7 +141,14 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: equi-join corpus and queries on the hyperplane
     bucket, exact cosine within the bucket, row_number top-k. Bounded
-    shuffle (bucket key), approximate recall."""
+    shuffle (bucket key), approximate recall.
+
+    ``multiprobe=p`` additionally probes, per query, the ``p`` buckets at
+    Hamming distance 1 from its own (one sign bit flipped — the buckets a
+    near-neighbor most likely fell into): recall rises roughly like
+    adding tables, but with NO second corpus pass or signature — only the
+    tiny query side explodes ×(p+1).  The join stays an equi-join.
+    """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     c = corpus.select(
@@ -153,9 +161,24 @@ def lsh_bucketed_topk(
         F.col(query_vec_col).alias("__qvec"),
         hyperplane_signature(query_vec_col, dim, num_planes, seed).alias("bucket"),
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), p))
+                for p in range(min(multiprobe, num_planes))
+            ],
+        )
+        q = q.select(
+            "query_id", "__qvec", F.explode(probes).alias("bucket")
+        )
     joined = q.join(c, "bucket").withColumn(
         "cosine", cosine_expr(F.col("__qvec").cast("array<double>"), F.col("__cvec").cast("array<double>"))
     )
+    if multiprobe:
+        # multiprobe can rediscover the same neighbor via several buckets;
+        # without it pairs are unique and the extra shuffle is skipped
+        joined = joined.dropDuplicates(["query_id", "neighbor_id"])
     win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         joined.withColumn("rank", F.row_number().over(win))
