@@ -157,3 +157,31 @@ def test_blockmean_requires_weights_for_uncertainty(spark):
     df = _constant_grid_df(spark)
     with pytest.raises(ValueError):
         block_mean(df, spacing=1, uncertainty=True)
+
+
+def test_block_median_approx_close_to_exact(spark):
+    """median_approx (percentile_approx sketch, map-side mergeable) tracks
+    the exact median on every block."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "easting": rng.uniform(0, 10, n),
+            "northing": rng.uniform(0, 10, n),
+            "scalars": rng.normal(size=n) * 50,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    exact, _ = block_reduce(df, "median", spacing=2.5, region=(0, 10, 0, 10))
+    approx, _ = block_reduce(df, "median_approx", spacing=2.5, region=(0, 10, 0, 10))
+    e = exact.orderBy("block").toPandas()["scalars"].to_numpy()
+    a = approx.orderBy("block").toPandas()["scalars"].to_numpy()
+    # percentile_approx returns an actual sample; the exact even-count
+    # median interpolates between the two middle samples — the gap is
+    # bounded by the local sample spacing (~N(0,50)/250 per block ≈ 1-2)
+    np.testing.assert_allclose(a, e, atol=2.5)
+    # and the plan keeps the map-side partial before the exchange
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "partial_percentile_approx" in plan

@@ -39,6 +39,10 @@ _REDUCTIONS = {
     "std": F.stddev_pop,
     "var": F.var_pop,
     "first": F.first,
+    # the 100 TB median: a bounded t-digest-style sketch with map-side
+    # partial merge (exact `median` buffers every value of a block on one
+    # task — fine at decimation scale, a skew hazard for raw-scale blocks)
+    "median_approx": lambda c: F.percentile_approx(c, 0.5, 10_000),
 }
 
 
