@@ -298,6 +298,17 @@ def _poly_props_sql() -> str:
     """
 
 
+def _q_salted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew salting (north rule): the two-level salted mean must equal the
+    plain per-block mean EXACTLY — integer-valued data keeps every partial
+    sum exact, so the salt decomposition is arithmetically invisible."""
+    from verde_spark.operators.salting import salted_mean
+
+    pts = _points(spark, sf_dir).withColumn("block", GRID.label_expr())
+    out = salted_mean(pts, key="block", value="scalars", n_salts=8)
+    return out.select("block", "mean", "n").orderBy("block")
+
+
 def _q_polygon_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shoelace area / centroid / bbox of the shared _POLY as Catalyst
     aggregates; round(9) absorbs the fold-order ulp between engines."""
@@ -805,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_mask": _q_distance_mask,
         "mask_runs": _q_mask_runs,
         "polygon_properties": _q_polygon_properties,
+        "salted_mean": _q_salted_mean,
         "convexhull_mask": _q_convexhull,
         "cell_counts": _q_cell_counts,
         "geotag_roundtrip": _q_geotag_roundtrip,
@@ -986,6 +998,13 @@ def oracle_sql() -> dict[str, str]:
                               + (d.northing-nodes.northing)*(d.northing-nodes.northing)
                               <= 0.75*0.75) AS in_range
             FROM nodes ORDER BY iy, ix
+        """,
+        "salted_mean": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT {_LABEL_SQL} AS block,
+                   sum(1.0 * scalars) / sum(1.0) AS mean,
+                   count(*) AS n
+            FROM pts GROUP BY 1 ORDER BY block
         """,
         "polygon_properties": _poly_props_sql(),
         "mask_runs": f"""
