@@ -815,3 +815,20 @@ def test_lsh_multiprobe_improves_recall(spark):
     r0, r1 = recall(base), recall(probed)
     assert r1 >= r0
     assert r1 > 0.8  # probing 7 buckets on planted clusters: high recall
+
+
+def test_topk_empty_query_set(spark):
+    """Empty probe sets return empty results with the contract schema
+    instead of crashing in np.stack."""
+    from verde_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    none = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, none, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    out2 = ivf_topk(emb, none, k=3, n_centroids=4)
+    assert out2.count() == 0
+    assert out2.columns == ["query_id", "neighbor_id", "cosine", "rank"]

@@ -52,6 +52,12 @@ def cosine_topk(
     fit in a broadcast (typical for probe sets)."""
     spark = corpus.sparkSession
     qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    if len(qpdf) == 0:
+        # np.stack on an empty query set would raise; the right answer is
+        # an empty result with the contract schema
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     qids = qpdf[query_id_col].to_numpy()
     qmat = np.stack(qpdf[query_vec_col].to_numpy()).astype("float64")
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -318,6 +324,10 @@ def ivf_topk(
         else ivf_assign(corpus.select(id_col, vec_col), C, vec_col)
     )
     qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    if len(qpdf) == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     qmat = np.stack(qpdf[query_vec_col].to_numpy()).astype("float64")
     qn = np.linalg.norm(qmat, axis=1)
     qn[qn == 0] = 1.0
