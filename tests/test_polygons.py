@@ -247,3 +247,13 @@ def test_polygon_properties(spark):
     # zero Python, zero shuffle: pure projection plan
     plan = polygon_properties(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_polygon_properties_degenerate(spark):
+    from verde_spark.operators.polygons import polygon_literal, polygon_properties
+
+    seg = [(0.0, 0.0), (4.0, 2.0)]  # 2 vertices: zero area
+    df = spark.range(1).withColumn("vertices", polygon_literal(seg))
+    got = polygon_properties(df).toPandas()
+    assert got["area"][0] == 0.0
+    assert got["centroid_x"][0] == 2.0 and got["centroid_y"][0] == 1.0

@@ -240,7 +240,10 @@ def resize_raw_images(
             for payload, w, h, c in zip(
                 pdf[payload_col], pdf[width_col], pdf[height_col], pdf[channels_col]
             ):
-                if payload is None or len(payload) != int(w) * int(h) * int(c):
+                if (
+                    payload is None or pd.isna(w) or pd.isna(h) or pd.isna(c)
+                    or len(payload) != int(w) * int(h) * int(c)
+                ):
                     pixels.append(None)
                     continue
                 img = np.frombuffer(payload, dtype=np.uint8).reshape(int(h), int(w), int(c))

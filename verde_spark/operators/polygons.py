@@ -236,8 +236,10 @@ def polygon_properties(
     area = polygon_area_expr(v)
 
     def _centroid(which: str) -> Column:
-        # Cx = 1/(6A) Σ (x_a + x_b)(x_a·y_b − x_b·y_a)  (same for y)
-        return (
+        # Cx = 1/(6A) Σ (x_a + x_b)(x_a·y_b − x_b·y_a)  (same for y);
+        # degenerate polygons (area 0: <3 verts or collinear) fall back to
+        # the vertex mean instead of dividing by zero
+        weighted = (
             F.aggregate(
                 _edges(v),
                 F.lit(0.0),
@@ -247,6 +249,10 @@ def polygon_properties(
             )
             / (F.lit(6.0) * area)
         )
+        vertex_mean = F.aggregate(
+            F.transform(v, lambda p: p[which]), F.lit(0.0), lambda a, x: a + x
+        ) / F.size(v)
+        return F.when(area != 0, weighted).otherwise(vertex_mean)
 
     xs = F.transform(v, lambda p: p["x"])
     ys = F.transform(v, lambda p: p["y"])
