@@ -832,3 +832,29 @@ def test_topk_empty_query_set(spark):
     out2 = ivf_topk(emb, none, k=3, n_centroids=4)
     assert out2.count() == 0
     assert out2.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_hash_sample_deterministic_consistent_and_stratified(spark):
+    from verde_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = hash_sample(docs, 0.3, key_col="doc_id").select("doc_id").toPandas()
+    b = hash_sample(docs.repartition(13), 0.3, key_col="doc_id").select("doc_id").toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # partition-invariant
+    assert 0.2 < len(a) / 500 < 0.4
+    # cross-table consistency: same keys survive in a projected table
+    other = hash_sample(docs.select("doc_id", "lang"), 0.3, key_col="doc_id").toPandas()
+    assert sorted(other["doc_id"]) == sorted(a["doc_id"])
+    # pure projection: no shuffle
+    plan = hash_sample(docs, 0.3, key_col="doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # per-stratum rates
+    s = hash_sample(
+        docs, {"en": 0.5, "de": 1.0}, key_col="doc_id", strata_col="lang"
+    ).groupBy("lang").count().toPandas()
+    got = dict(zip(s["lang"], s["count"]))
+    assert set(got) == {"en", "de"}  # unlisted strata dropped
+    assert got["de"] == 70  # fraction 1.0 keeps the whole stratum
+    assert 80 < got["en"] < 140  # ~50% of 218
+    with pytest.raises(ValueError, match="strata_col"):
+        hash_sample(docs, {"en": 0.5})

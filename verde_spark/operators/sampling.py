@@ -95,3 +95,42 @@ def hash_split(
         cond = bucket < F.lit(bound)
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
     return df.withColumn(split_col, expr.otherwise(F.lit(labels[-1])))
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction,
+    key_col: Optional[str] = None,
+    strata_col: Optional[str] = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic Bernoulli-by-hash sample — a pure projection.
+
+    Keeps rows where ``pmod(xxhash64(key, seed), 2^20) < fraction·2^20``:
+    no shuffle, stable under retries/repartitioning (unlike
+    ``DataFrame.sample``), and — when *key_col* is a cross-table key like
+    a url — CONSISTENT across tables: every table sampled with the same
+    key/seed keeps the same entities, so sampled joins stay complete.
+
+    *fraction* is a float, or a ``{stratum: float}`` dict with
+    *strata_col* set (per-language/per-domain rates; unlisted strata get
+    0).  Default key is all columns (row-content hash).
+    """
+    buckets = 1 << 20
+    key = (
+        F.xxhash64(F.col(key_col), F.lit(seed))
+        if key_col
+        else F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    )
+    bucket = F.pmod(key, F.lit(buckets))
+    if isinstance(fraction, dict):
+        if not strata_col:
+            raise ValueError("per-stratum fractions need strata_col")
+        expr = None
+        for stratum, frac in fraction.items():
+            cond = (F.col(strata_col) == F.lit(stratum)) & (
+                bucket < F.lit(int(round(frac * buckets)))
+            )
+            expr = cond if expr is None else expr | cond
+        return df.filter(expr)
+    return df.filter(bucket < F.lit(int(round(float(fraction) * buckets))))
