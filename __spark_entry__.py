@@ -298,6 +298,19 @@ def _poly_props_sql() -> str:
     """
 
 
+def _q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic sample (TakeOrderedAndProject — per-partition
+    partial top-n, no full sort); injective arithmetic rank key keeps both
+    engines tie-free (doc_id < 9973, prime modulus, coprime multiplier)."""
+    from verde_spark.operators.sampling import deterministic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = deterministic_sample(
+        docs, 20, hash_expr=(F.col("doc_id") * 7919) % 9973
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def _q_salted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew salting (north rule): the two-level salted mean must equal the
     plain per-block mean EXACTLY — integer-valued data keeps every partial
@@ -833,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "dedup_components": _q_dedup_components,
         "stratified_sample": _q_stratified_sample,
+        "deterministic_sample": _q_deterministic_sample,
         "project_points": _q_project_points,
         "longitude_continuity": _q_longitude_continuity,
         "spline_grid": _q_spline_grid,
@@ -998,6 +1012,12 @@ def oracle_sql() -> dict[str, str]:
                               + (d.northing-nodes.northing)*(d.northing-nodes.northing)
                               <= 0.75*0.75) AS in_range
             FROM nodes ORDER BY iy, ix
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang FROM documents
+              ORDER BY (doc_id * 7919) % 9973 LIMIT 20
+            ) ORDER BY doc_id
         """,
         "salted_mean": f"""
             WITH pts AS ({_POINTS_SQL})
