@@ -139,3 +139,34 @@ def test_r2_score_perfect_and_weighted(spark):
         pd.DataFrame({"d": [3.0, -0.5, 2.0, 7.0], "p": [2.5, 0.0, 2.0, 8.0]})
     )
     assert r2_score(df2, "d", "p") == pytest.approx(0.948608137)
+
+
+def test_readme_migration_example(spark):
+    """The README's switch-your-import workflow runs verbatim: datasets →
+    blocked split → Chain(BlockReduce, Spline) with NON-DEFAULT column
+    names → grid → held-out score. Regression for the Chain step protocol
+    (singular data_col/weight_col must reach the BlockReduce wrapper —
+    the round-1 TypeError fallback silently dropped custom easting/
+    northing and broke any table not using the default names)."""
+    import warnings
+
+    import verde_spark as vd
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        df = spark.createDataFrame(vd.datasets.fetch_texas_wind())
+        train, test = vd.train_test_split(
+            df, spacing=2.0, easting="longitude", northing="latitude",
+            random_state=0,
+        )
+        chain = vd.Chain([
+            ("mean", vd.BlockReduce("mean", spacing=0.5)),
+            ("spline", vd.Spline()),
+        ])
+        chain.fit(train, easting="longitude", northing="latitude",
+                  data_col="air_temperature_c")
+        grid = chain.grid(spark, spacing=0.5)
+        assert grid.count() > 100
+        score = chain.score(test, easting="longitude", northing="latitude",
+                            data_col="air_temperature_c")
+    assert 0.7 < score <= 1.0

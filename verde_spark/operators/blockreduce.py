@@ -286,7 +286,16 @@ class BlockReduce:
         self.center_coordinates = center_coordinates
         self.shape = shape
 
-    def filter(self, df: DataFrame, **kwargs) -> DataFrame:
+    def filter(self, df: DataFrame, data_col: Optional[str] = None,
+               weight_col: Optional[str] = None, **kwargs) -> DataFrame:
+        # Chain's step protocol passes SINGULAR data_col/weight_col; map to
+        # the plural block_reduce params (round-1 behavior raised TypeError
+        # here and Chain's no-kwargs fallback silently dropped custom
+        # easting/northing column names)
+        if data_col is not None and "data_cols" not in kwargs:
+            kwargs["data_cols"] = (data_col,)
+        if weight_col is not None and "weight_cols" not in kwargs:
+            kwargs["weight_cols"] = (weight_col,)
         out, _ = block_reduce(
             df,
             reduction=self.reduction,
@@ -325,7 +334,14 @@ class BlockMean:
         self.uncertainty = uncertainty
         self.shape = shape
 
-    def filter(self, df: DataFrame, **kwargs) -> DataFrame:
+    def filter(self, df: DataFrame, data_col: Optional[str] = None,
+               weight_col: Optional[str] = None, **kwargs) -> DataFrame:
+        # singular Chain-protocol kwargs → plural block_mean params (same
+        # mapping as BlockReduce.filter)
+        if data_col is not None and "data_cols" not in kwargs:
+            kwargs["data_cols"] = (data_col,)
+        if weight_col is not None and "weight_cols" not in kwargs:
+            kwargs["weight_cols"] = (weight_col,)
         out, _ = block_mean(
             df,
             spacing=self.spacing,
