@@ -201,3 +201,28 @@ def test_run_resumable_count_col_ignores_sentinels(spark, tmp_path):
     man = TileCheckpoint(path).manifest(spark).toPandas().set_index("tile")
     assert man.loc[0, "rows_in"] == 2
     assert man.loc[1, "rows_in"] == 0  # sentinel-only tile still completed
+
+
+def test_vector_grid_methods(spark):
+    """Vector and VectorSpline2D expose .grid like the reference (both
+    inherit BaseGridder there); multi-output here, custom input column
+    names supported."""
+    import warnings
+
+    import verde_spark as vd
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pdf = vd.datasets.fetch_california_gps().sample(300, random_state=2)
+    df = spark.createDataFrame(pdf)
+    vs2d = vd.VectorSpline2D(damping=1e-6)
+    vs2d.fit(df, data_cols=("velocity_east", "velocity_north"),
+             easting="longitude", northing="latitude")
+    out = vs2d.grid(spark, spacing=1.0)
+    assert {"east_component_pred", "north_component_pred"} <= set(out.columns)
+    assert out.count() > 50
+    vec = vd.Vector([("velocity_up", lambda: vd.Spline(damping=1e-6))])
+    vec.fit(df, easting="longitude", northing="latitude")
+    g = vec.grid(spark, spacing=1.0)
+    assert "velocity_up_pred" in g.columns
+    assert g.count() == out.count()

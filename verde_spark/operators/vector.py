@@ -46,7 +46,18 @@ class Vector:
             w = weight_cols[i] if weight_cols else None
             est.fit(df, data_col=col, weight_col=w, easting=easting, northing=northing)
             self.fitted_.append((col, est))
+        self.region_ = self.fitted_[0][1].region_ if self.fitted_ else None
         return self
+
+    def grid(self, spark, region=None, shape=None, spacing=None,
+             suffix: str = "_pred") -> DataFrame:
+        """All components evaluated on one regular grid (reference
+        Vector inherits BaseGridder.grid; multi-output here)."""
+        from ..coordinates import grid_coordinates
+
+        nodes = grid_coordinates(spark, region or self.region_, shape=shape,
+                                 spacing=spacing)
+        return self.predict(nodes, suffix=suffix)
 
     def predict(self, df: DataFrame, suffix: str = "_pred",
                 easting: str = "easting", northing: str = "northing") -> DataFrame:
@@ -195,6 +206,16 @@ class VectorSpline2D:
 
         self.forces_ = exploded.groupBy("tile").applyInPandas(solve, schema)
         return self
+
+    def grid(self, spark, region=None, shape=None, spacing=None,
+             output_cols: Sequence[str] = ("east_component_pred", "north_component_pred")) -> DataFrame:
+        """Both velocity components on one regular grid (reference
+        VectorSpline2D inherits BaseGridder.grid; two outputs here)."""
+        from ..coordinates import grid_coordinates
+
+        nodes = grid_coordinates(spark, region or self.region_, shape=shape,
+                                 spacing=spacing)
+        return self.predict(nodes, output_cols=output_cols)
 
     def predict(
         self,
