@@ -46,7 +46,13 @@ class Vector:
             w = weight_cols[i] if weight_cols else None
             est.fit(df, data_col=col, weight_col=w, easting=easting, northing=northing)
             self.fitted_.append((col, est))
-        self.region_ = self.fitted_[0][1].region_ if self.fitted_ else None
+        # first component that records a fitted region (Trend, for one,
+        # doesn't track a region)
+        self.region_ = next(
+            (r for _, est in self.fitted_
+             if (r := getattr(est, "region_", None)) is not None),
+            None,
+        )
         return self
 
     def grid(self, spark, region=None, shape=None, spacing=None,
