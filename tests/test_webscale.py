@@ -858,3 +858,25 @@ def test_hash_sample_deterministic_consistent_and_stratified(spark):
     assert 80 < got["en"] < 140  # ~50% of 218
     with pytest.raises(ValueError, match="strata_col"):
         hash_sample(docs, {"en": 0.5})
+
+
+def test_runs_mask_roundtrip(spark):
+    from verde_spark.sources.grid_io import mask_to_runs, runs_to_mask
+
+    rng = np.random.RandomState(5)
+    grid = rng.rand(5, 12) < 0.4
+    rows = [
+        (iy, ix, bool(grid[iy, ix]))
+        for iy in range(grid.shape[0]) for ix in range(grid.shape[1])
+    ]
+    df = spark.createDataFrame(rows, "iy long, ix long, inside boolean")
+    runs = mask_to_runs(df)
+    back = runs_to_mask(runs)
+    # cells reconstructed exactly = the True cells of the original mask
+    want = sorted((iy, ix) for iy in range(5) for ix in range(12) if grid[iy, ix])
+    got = sorted(map(tuple, back.select("iy", "ix").toPandas().values.tolist()))
+    assert got == want
+    # and runs(mask(runs)) is the identity on the run table
+    again = mask_to_runs(back).orderBy("iy", "start_ix").toPandas().values.tolist()
+    orig = runs.orderBy("iy", "start_ix").toPandas().values.tolist()
+    assert again == orig

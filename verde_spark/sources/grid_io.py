@@ -148,3 +148,19 @@ def mask_to_runs(
         .drop("__grp")
     )
     return runs
+
+
+def runs_to_mask(runs, row_col: str = "iy", n_cols: int = None):
+    """Vector→raster inverse of :func:`mask_to_runs`: expand (row, start,
+    end) runs back to per-cell (iy, ix, inside=True) rows via one
+    ``explode(sequence(start, end))`` — pure Catalyst, the row count is
+    exactly the mask's True-cell count (dense False cells are implied, as
+    in any sparse raster encoding).  ``mask_to_runs ∘ runs_to_mask`` is
+    the identity on run tables."""
+    from pyspark.sql import functions as F
+
+    return runs.select(
+        F.col(row_col),
+        F.explode(F.sequence(F.col("start_ix"), F.col("end_ix"))).alias("ix"),
+        F.lit(True).alias("inside"),
+    )
