@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .coordinates import BlockGrid
+from .base import BaseBlockCrossValidator
 from .geometry import get_region
 
 
@@ -154,7 +155,7 @@ def _block_counts(
     return pdf["block"].to_numpy(), pdf["cnt"].to_numpy()
 
 
-class BlockShuffleSplit:
+class BlockShuffleSplit(BaseBlockCrossValidator):
     """verde BlockShuffleSplit (model_selection.py:23-215): shuffle blocks
     into train/test; generate ``balancing`` candidate shuffles per split and
     keep the one whose point ratio best matches the block ratio."""
@@ -220,7 +221,7 @@ class BlockShuffleSplit:
             )
 
 
-class BlockKFold:
+class BlockKFold(BaseBlockCrossValidator):
     """verde BlockKFold (model_selection.py:218-423): K folds over blocks,
     optionally shuffled and balanced by per-block point counts via
     :func:`partition_by_sum`."""
