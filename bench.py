@@ -170,12 +170,19 @@ def bench_queries(spark):
         "ivf_topk",  # round 2: IVF ANN probe path
     ]
     times = {}
-    for _rep in range(2):  # best-of-2: the VM has noisy-neighbor bursts
+    # Rep 0 is a DISCARDED warm-up (per-query first calls pay Python-worker
+    # spin-up / Arrow init / JIT: r2 published those cold numbers and falsely
+    # recorded a regression — VERDICT r2 #1).  Reps stay interleaved across
+    # queries so one noise burst can't own both of a single query's samples;
+    # the published figure is the min of the post-warm-up reps.
+    for _rep in range(3):
         for name in picks:
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
+            if _rep == 0:
+                continue  # warm-up rep: discard
             times[name] = min(times.get(name, float("inf")), dt)
     return times
 
