@@ -6,6 +6,7 @@ CheckerBoard + linear trend (no network data in this environment)."""
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from verde_spark import (
@@ -77,3 +78,21 @@ def synth_grid_nodes(spark, region, spacing):
     from verde_spark.coordinates import grid_coordinates
 
     return grid_coordinates(spark, region, spacing=spacing)
+
+
+def test_check_fit_input_validates_sizes():
+    """A plain n>1 data array is ONE component (reference check_data); the
+    r2 formulation iterated its elements and rejected every valid call
+    (ADVICE r2)."""
+    from verde_spark.base import check_fit_input
+
+    coords = (np.linspace(0, 1, 5), np.linspace(2, 3, 5))
+    data = np.arange(5.0)
+    assert check_fit_input(coords, data, None)[1] is data
+    check_fit_input(coords, (data, data), (np.ones(5), np.ones(5)))
+    with pytest.raises(ValueError):
+        check_fit_input(coords, np.arange(4.0), None)
+    with pytest.raises(ValueError):
+        check_fit_input(coords, data, np.ones(3))
+    with pytest.raises(ValueError):
+        check_fit_input(coords, (data, np.arange(6.0)), None)

@@ -35,7 +35,12 @@ def check_fit_input(coordinates, data, weights):
     """Validate sizes like the reference's check_fit_input (base/utils.py):
     all coordinate/data/weight arrays must share one size."""
     sizes = {np.asarray(c).size for c in coordinates}
-    sizes |= {np.asarray(d).size for d in np.atleast_1d(data)} if not isinstance(data, tuple) else {np.asarray(d).size for d in data}
+    if isinstance(data, tuple):
+        sizes |= {np.asarray(d).size for d in data}
+    else:
+        # a non-tuple array is ONE data component (reference check_data):
+        # iterating its elements would register each scalar as size 1
+        sizes |= {np.asarray(data).size}
     if weights is not None:
         ws = weights if isinstance(weights, tuple) else (weights,)
         sizes |= {np.asarray(w).size for w in ws}
