@@ -188,6 +188,31 @@ def test_checkpoint_write_is_incremental(spark, tmp_path):
     assert (full["rows_out"] > 0).all()
 
 
+def test_checkpoint_orphan_attempt_excluded(spark, tmp_path):
+    # a crash between the data append and the manifest append leaves an
+    # uncommitted attempt directory; load() must never surface its rows,
+    # and the tile's re-run on resume must not double-count (ADVICE r2:
+    # the manifest row is the commit marker for its attempt)
+    import os
+
+    path = str(tmp_path / "ckpt")
+    ckpt = TileCheckpoint(path)
+    ckpt.write(spark.createDataFrame(pd.DataFrame({"tile": [0, 1], "x": [1.0, 2.0]})))
+    # simulate the crash: attempt data on disk, manifest append never ran
+    spark.createDataFrame(pd.DataFrame({"tile": [2], "x": [99.0]})).write.partitionBy(
+        "tile"
+    ).mode("append").parquet(os.path.join(ckpt.data_path, "attempt=deadbeef"))
+    assert {r["tile"]: r["x"] for r in ckpt.load(spark).collect()} == {0: 1.0, 1: 2.0}
+    # tile 2 was never committed → still in the resume set; its re-run
+    # lands exactly once despite the orphan rows sitting next to it
+    assert 2 not in {
+        r["tile"] for r in ckpt.completed_tiles(spark).collect()
+    }
+    ckpt.write(spark.createDataFrame(pd.DataFrame({"tile": [2], "x": [7.0]})))
+    got = sorted((r["tile"], r["x"]) for r in ckpt.load(spark).collect())
+    assert got == [(0, 1.0), (1, 2.0), (2, 7.0)]
+
+
 def test_run_resumable_count_col_ignores_sentinels(spark, tmp_path):
     # rows_in lineage counts only non-null count_col rows (sentinel padding)
     path = str(tmp_path / "ckpt")

@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,9 +69,23 @@ class TileCheckpoint:
         return inputs.join(done, self.tile_col, "left_anti")
 
     def load(self, spark: SparkSession) -> DataFrame:
-        """All checkpointed output rows (completed tiles only)."""
+        """All checkpointed output rows (committed attempts only).
+
+        Data lives under ``data/attempt=<id>/tile=<t>/`` and a manifest row
+        is the COMMIT MARKER for its (tile, attempt): a crash between the
+        data append and the manifest append leaves orphan attempt data that
+        this semi-join (on both keys) excludes, so the tile's re-run on
+        resume cannot surface duplicated rows (ADVICE r2).  ``attempt`` is
+        a hive partition column, so the exclusion prunes whole directories.
+        """
         out = spark.read.parquet(self.data_path)
-        return out.join(self.completed_tiles(spark), self.tile_col, "left_semi")
+        man = self.manifest(spark)
+        committed = man.filter(F.col("status") == "ok").select(
+            F.col("tile").alias(self.tile_col), "attempt"
+        ).distinct()
+        return out.join(
+            committed, [self.tile_col, "attempt"], "left_semi"
+        ).drop("attempt")
 
     # -- writing ---------------------------------------------------------------
 
@@ -87,17 +102,21 @@ class TileCheckpoint:
         that keeps resume viable at 100 TB). ``input_counts``
         (tile, rows_in) joins lineage from the stage input. Each tile is
         expected to be written at most once (``run_resumable`` guarantees
-        this via the completed-tiles anti-join). Returns the manifest rows
-        written.
+        this via the completed-tiles anti-join). Data is written under a
+        fresh ``attempt=<id>`` subdirectory and the manifest row carrying
+        that id is the commit marker — a crash between the two appends
+        leaves an orphan attempt that ``load`` never reads. Returns the
+        manifest rows written.
         """
         spark = result.sparkSession
         t0 = time.time()
+        attempt = uuid.uuid4().hex
         result = result.persist()
         try:
             (
                 result.write.partitionBy(self.tile_col)
                 .mode("append")
-                .parquet(self.data_path)
+                .parquet(os.path.join(self.data_path, f"attempt={attempt}"))
             )
             duration = time.time() - t0
             hash_cols = [c for c in result.columns if c != self.tile_col]
@@ -124,6 +143,7 @@ class TileCheckpoint:
                 F.lit(round(duration, 3)).alias("stage_seconds"),
                 F.current_timestamp().alias("completed_at"),
                 F.lit("ok").alias("status"),
+                F.lit(attempt).alias("attempt"),
             )
             manifest.write.mode("append").parquet(self.manifest_path)
             # the returned rows must survive the unpersist below without
