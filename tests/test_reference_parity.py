@@ -475,6 +475,19 @@ def test_ref_score_and_cross_val_score(spark, fixture):
     npt.assert_allclose(our_scores, ref_scores, rtol=1e-8)
 
 
+def test_ref_cross_val_score_default_cv(spark, fixture):
+    # verde's DEFAULT cv is row-wise KFold(5, shuffle=True, random_state=0)
+    # (reference model_selection.py:759-760), NOT a blocked split; our
+    # KFoldRows replicates the exact sklearn fold membership at fixture
+    # sizes, so default-cv scores match through both engines (VERDICT r2 #8)
+    e, n, d, _ = fixture
+    ref_scores = vd.cross_val_score(vd.Trend(degree=2), (e, n), d)
+    our_scores = vs.cross_val_score(
+        lambda: vs.Trend(degree=2), _scatter_df(spark, e, n, d)
+    )
+    npt.assert_allclose(our_scores, np.asarray(ref_scores), rtol=1e-8)
+
+
 def test_ref_splinecv(spark, fixture):
     e, n, d, _ = fixture
     from verde_spark.operators.splinecv import SplineCV
@@ -550,6 +563,59 @@ def test_ref_vector_independent_components(spark, fixture):
     got = ours.predict(qdf).orderBy("easting").toPandas()
     npt.assert_allclose(got["east_component_pred"], we, rtol=1e-6)
     npt.assert_allclose(got["north_component_pred"], wn, rtol=1e-6)
+
+
+def test_ref_vector_score_scatter_profile(spark, fixture):
+    # the reference's Vector inherits scatter/profile/score from
+    # BaseGridder; score averages per-component R² (base/utils.py:15-66).
+    # Noise keeps R² non-trivially below 1 so the average is load-bearing.
+    e, n, d, _ = fixture
+    rng = np.random.RandomState(1)
+    c1 = d + rng.normal(0, 25, d.size)
+    c2 = 0.5 * d - 3.0 + rng.normal(0, 10, d.size)
+    ref = vd.Vector([vd.Trend(degree=1), vd.Trend(degree=2)]).fit((e, n), (c1, c2))
+    want = ref.score((e, n), (c1, c2))
+
+    from verde_spark.operators.vector import Vector
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"easting": e, "northing": n, "east_component": c1, "north_component": c2})
+    )
+    ours = Vector(
+        [
+            ("east_component", lambda: vs.Trend(degree=1)),
+            ("north_component", lambda: vs.Trend(degree=2)),
+        ]
+    ).fit(df)
+    npt.assert_allclose(ours.score(df), want, rtol=1e-8)
+
+    sc = ours.scatter(spark, region=(0, 10, -10, 0), size=40, random_state=0).toPandas()
+    assert len(sc) == 40
+    assert {"east_component_pred", "north_component_pred"} <= set(sc.columns)
+    pr = ours.profile(spark, (0, -5), (10, -5), size=30).orderBy("distance").toPandas()
+    assert len(pr) == 30 and pr["distance"].iloc[-1] == 10.0
+
+
+def test_ref_vector_spline2d_score(spark):
+    # VectorSpline2D.score: component-averaged R², parity vs the reference
+    # on the same (global, untiled) solve
+    rng = np.random.RandomState(3)
+    e = rng.uniform(0, 5000, 120)
+    n = rng.uniform(-5000, 0, 120)
+    de = np.sin(e / 1000) * np.cos(n / 1000) * 10
+    dn = np.cos(e / 1000) * np.sin(n / 1000) * 5
+    ref = vd.VectorSpline2D(damping=1e-4).fit((e, n), (de, dn))
+    want = ref.score((e, n), (de, dn))
+
+    from verde_spark.operators.vector import VectorSpline2D
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"easting": e, "northing": n, "east_component": de, "north_component": dn})
+    )
+    ours = VectorSpline2D(damping=1e-4).fit(df)
+    npt.assert_allclose(ours.score(df), want, rtol=1e-6)
+    sc = ours.scatter(spark, region=(0, 5000, -5000, 0), size=25, random_state=1)
+    assert sc.count() == 25
 
 
 def test_ref_distance_mask_projection(spark, fixture):

@@ -64,8 +64,10 @@ make_xarray_grid = table_to_grid
 from .model_selection import (
     BlockKFold,
     BlockShuffleSplit,
+    KFoldRows,
     cross_val_score,
     r2_score,
+    r2_score_multi,
     train_test_split,
 )
 

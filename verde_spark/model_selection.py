@@ -19,6 +19,7 @@ import warnings
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -52,6 +53,40 @@ def r2_score(
     if ss_tot == 0:
         return 1.0 if row["ss_res"] == 0 else 0.0
     return 1.0 - row["ss_res"] / ss_tot
+
+
+def r2_score_multi(
+    df: DataFrame,
+    pairs: Sequence[Tuple[str, str]],
+    weight_cols: Optional[Sequence[Optional[str]]] = None,
+) -> List[float]:
+    """Per-component R² for several (data_col, pred_col) *pairs* in ONE
+    aggregate pass over *df*.  The reference's multi-component ``score``
+    averages these across components (base/utils.py:15-66); callers do
+    ``float(np.mean(r2_score_multi(...)))``."""
+    aggs = []
+    for i, (dc, pc) in enumerate(pairs):
+        w = (
+            F.col(weight_cols[i])
+            if weight_cols is not None and weight_cols[i] is not None
+            else F.lit(1.0)
+        )
+        d, p = F.col(dc), F.col(pc)
+        aggs += [
+            F.sum(w * (d - p) * (d - p)).alias(f"res{i}"),
+            F.sum(w * d).alias(f"swd{i}"),
+            F.sum(w * d * d).alias(f"swd2{i}"),
+            F.sum(w).alias(f"sw{i}"),
+        ]
+    row = df.agg(*aggs).first()
+    scores = []
+    for i in range(len(pairs)):
+        ss_tot = row[f"swd2{i}"] - row[f"swd{i}"] ** 2 / row[f"sw{i}"]
+        if ss_tot == 0:
+            scores.append(1.0 if row[f"res{i}"] == 0 else 0.0)
+        else:
+            scores.append(1.0 - row[f"res{i}"] / ss_tot)
+    return scores
 
 
 # ---------------------------------------------------------------------------
@@ -153,6 +188,86 @@ def _block_counts(
         .toPandas()
     )
     return pdf["block"].to_numpy(), pdf["cnt"].to_numpy()
+
+
+class KFoldRows:
+    """Row-wise shuffled KFold — the reference ``cross_val_score``'s
+    DEFAULT cv (verde model_selection.py:759-760: ``KFold(shuffle=True,
+    random_state=0, n_splits=5)`` over rows, not blocks).
+
+    Split decisions are row-position permutations.  When the row count
+    fits driver-side (≤ ``exact_threshold``) the folds replicate
+    sklearn KFold's exact permutation algorithm (seeded
+    ``np.random.RandomState``, :func:`kfold_indices`) and membership
+    returns to the cluster as a broadcast (row index → fold) mapping
+    join — bit-identical fold membership to the reference on the same
+    row order.  Beyond the threshold a driver-side permutation of every
+    row is no longer viable, so fold = ``pmod(xxhash64(index, seed),
+    k)`` — deterministic, uniform, fully distributed (a documented
+    approximation with the same statistical contract).
+
+    Row identity: ``index_col`` names a stable unique row id (the scale
+    path — no global sort needed in hash mode).  Without it a synthetic
+    zero-based index in the DataFrame's current order is derived via
+    ``row_number`` over ``monotonically_increasing_id`` (one global
+    window — fine at fixture sizes, pass ``index_col`` at scale).
+    """
+
+    def __init__(self, n_splits: int = 5, shuffle: bool = True, random_state=0,
+                 index_col: Optional[str] = None, exact_threshold: int = 2_000_000):
+        if n_splits < 2:
+            raise ValueError(f"Number of splits must be >=2. Given {n_splits}.")
+        self.n_splits = n_splits
+        self.shuffle = shuffle
+        self.random_state = random_state
+        self.index_col = index_col
+        self.exact_threshold = exact_threshold
+
+    def get_n_splits(self) -> int:
+        return self.n_splits
+
+    def split(
+        self, df: DataFrame, easting: str = "easting", northing: str = "northing"
+    ) -> Iterator[Tuple[DataFrame, DataFrame]]:
+        # easting/northing accepted for splitter-interface symmetry with the
+        # blocked CVs; row-wise folds don't use coordinates
+        from pyspark.sql import Window
+
+        idx = self.index_col
+        synthetic = idx is None
+        if synthetic:
+            idx = "__ridx"
+            win = Window.orderBy(F.monotonically_increasing_id())
+            df = df.withColumn(idx, F.row_number().over(win) - 1)
+        n = df.count()
+        if n <= self.exact_threshold:
+            if synthetic:
+                ids = np.arange(n)  # __ridx already IS the 0-based position
+            else:
+                ids = df.select(idx).orderBy(idx).toPandas()[idx].to_numpy()
+                if len(np.unique(ids)) != n:
+                    raise ValueError(f"index_col {idx!r} is not unique")
+            fold_of = np.empty(n, dtype=np.int64)
+            for i, (_, test) in enumerate(
+                kfold_indices(n, self.n_splits, self.shuffle, self.random_state)
+            ):
+                fold_of[test] = i
+            mapping = df.sparkSession.createDataFrame(
+                pd.DataFrame({idx: ids, "__fold": fold_of})
+            )
+            labeled = df.join(F.broadcast(mapping), idx)
+        else:
+            seed = self.random_state if isinstance(self.random_state, int) else 0
+            labeled = df.withColumn(
+                "__fold",
+                F.pmod(F.xxhash64(F.col(idx), F.lit(seed)), F.lit(self.n_splits)),
+            )
+        drop = ["__fold", "__ridx"] if synthetic else ["__fold"]
+        for i in range(self.n_splits):
+            yield (
+                labeled.filter(F.col("__fold") != i).drop(*drop),
+                labeled.filter(F.col("__fold") == i).drop(*drop),
+            )
 
 
 class BlockShuffleSplit(BaseBlockCrossValidator):
@@ -344,12 +459,14 @@ def cross_val_score(
     """verde cross_val_score (model_selection.py:582-788): per fold, fit a
     fresh estimator on train and R²-score on test. *make_estimator* is a
     zero-arg factory (the reference clones; factories are the Spark-safe
-    equivalent). Default cv = 5-fold blocked KFold is NOT used here to match
-    verde's default of shuffled KFold(5, seed 0) over rows — pass a
-    BlockKFold/BlockShuffleSplit for the blocked variants.
+    equivalent). Default cv matches the reference's default —
+    :class:`KFoldRows` = row-wise ``KFold(5, shuffle=True, random_state=0)``
+    (verde model_selection.py:759-760), exact sklearn fold membership at
+    driver-viable sizes. Pass a BlockKFold/BlockShuffleSplit for the
+    blocked (spatially honest) variants.
     """
     if cv is None:
-        cv = BlockKFold(shape=(5, 5), n_splits=5, shuffle=True, random_state=0)
+        cv = KFoldRows(n_splits=5, shuffle=True, random_state=0)
     scores = []
     for train, test in cv.split(df, easting, northing):
         est = make_estimator()

@@ -72,6 +72,39 @@ class Vector:
             out = est.predict(out, f"{col}{suffix}", easting=easting, northing=northing)
         return out
 
+    def scatter(self, spark, region=None, size: int = 300, random_state=0,
+                suffix: str = "_pred") -> DataFrame:
+        """All components on seeded uniform random points (reference Vector
+        inherits BaseGridder.scatter, base/base_classes.py:502-560)."""
+        from ..coordinates import scatter_points_df
+
+        pts = scatter_points_df(spark, region or self.region_, size, random_state)
+        return self.predict(pts, suffix=suffix)
+
+    def profile(self, spark, point1, point2, size: int,
+                suffix: str = "_pred") -> DataFrame:
+        """All components along a straight segment, with distances
+        (reference BaseGridder.profile, base/base_classes.py:594-660)."""
+        import pandas as pd
+
+        from ..coordinates import profile_coordinates
+
+        (e, n), dist = profile_coordinates(point1, point2, size)
+        pts = spark.createDataFrame(
+            pd.DataFrame({"easting": e, "northing": n, "distance": dist})
+        )
+        return self.predict(pts, suffix=suffix)
+
+    def score(self, df: DataFrame, weight_cols: Optional[Sequence[str]] = None,
+              easting: str = "easting", northing: str = "northing") -> float:
+        """Mean R² across components (the reference averages per-component
+        scores, base/utils.py:15-66) — one predict plan + ONE aggregate."""
+        from ..model_selection import r2_score_multi
+
+        pred = self.predict(df, suffix="__pred", easting=easting, northing=northing)
+        pairs = [(col, f"{col}__pred") for col, _ in self.fitted_]
+        return float(np.mean(r2_score_multi(pred, pairs, weight_cols)))
+
 
 def greens_func_2d(east, north, mindist: float, poisson: float):
     """Elastic 2D Green's functions (verde vector.py:393-405), bit-exact."""
@@ -155,6 +188,7 @@ class VectorSpline2D:
     ) -> "VectorSpline2D":
         if len(data_cols) != 2:
             raise ValueError(f"Need two data components. Only {len(data_cols)} given.")
+        self.data_cols_ = tuple(data_cols)
         self.region_ = get_region(df, easting, northing)
         if self.tile_spacing is None:
             self.tile_grid_ = BlockGrid.from_region(self.region_, shape=(1, 1))
@@ -222,6 +256,44 @@ class VectorSpline2D:
         nodes = grid_coordinates(spark, region or self.region_, shape=shape,
                                  spacing=spacing)
         return self.predict(nodes, output_cols=output_cols)
+
+    def scatter(self, spark, region=None, size: int = 300, random_state=0,
+                output_cols: Sequence[str] = ("east_component_pred", "north_component_pred")) -> DataFrame:
+        """Both components on seeded uniform random points (reference
+        inherits BaseGridder.scatter)."""
+        from ..coordinates import scatter_points_df
+
+        pts = scatter_points_df(spark, region or self.region_, size, random_state)
+        return self.predict(pts, output_cols=output_cols)
+
+    def profile(self, spark, point1, point2, size: int,
+                output_cols: Sequence[str] = ("east_component_pred", "north_component_pred")) -> DataFrame:
+        """Both components along a straight segment, with distances
+        (reference inherits BaseGridder.profile)."""
+        from ..coordinates import profile_coordinates
+
+        (e, n), dist = profile_coordinates(point1, point2, size)
+        pts = spark.createDataFrame(
+            pd.DataFrame({"easting": e, "northing": n, "distance": dist})
+        )
+        return self.predict(pts, output_cols=output_cols)
+
+    def score(self, df: DataFrame, data_cols: Optional[Sequence[str]] = None,
+              weight_cols: Optional[Sequence[str]] = None,
+              easting: str = "easting", northing: str = "northing") -> float:
+        """Mean R² of the two components (reference base/utils.py:15-66
+        averages component scores) — one cogrouped predict + ONE aggregate."""
+        from ..model_selection import r2_score_multi
+
+        data_cols = tuple(
+            data_cols or getattr(self, "data_cols_", ("east_component", "north_component"))
+        )
+        pred = self.predict(df, output_cols=("__pe", "__pn"),
+                            easting=easting, northing=northing)
+        scores = r2_score_multi(
+            pred, [(data_cols[0], "__pe"), (data_cols[1], "__pn")], weight_cols
+        )
+        return float(np.mean(scores))
 
     def predict(
         self,
