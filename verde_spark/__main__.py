@@ -76,8 +76,14 @@ def main(argv=None) -> int:
 
         before = pages.count()
         # transitive closure needs a NUMERIC id (decimal-sum convergence);
-        # hash the url into one, drop it after
-        hashed = pages.withColumn("__docid", F.xxhash64("url"))
+        # hash (url, warc_ts) into one — url alone would collapse recrawls
+        # of the same page into a single id and the final left_anti would
+        # then drop ALL of a url's rows.  64-bit ids can birthday-collide
+        # around ~2^32 distinct docs, which silently merges unrelated rows
+        # into one dedup decision; acceptable for dedup (a false merge
+        # drops one extra near-random row), but pipelines needing exact
+        # lineage should carry their own unique numeric id column.
+        hashed = pages.withColumn("__docid", F.xxhash64("url", "warc_ts"))
         kept = dedup_minhash(
             dedup_exact(hashed, id_col="__docid", text_col="text"),
             id_col="__docid", text_col="text", threshold=args.threshold,

@@ -9,9 +9,9 @@ Four families, all shuffle-conscious:
   R rows hashed to buckets → self-join per bucket → candidate pairs →
   exact Jaccard verify. The only shuffle keys are (band, bucket) — bounded
   by construction; identical docs collide in every band.
-* **SimHash** — 64-bit signature from per-token hash bit votes
-  (Arrow pandas UDF, vectorized bit arithmetic in NumPy) → near-dups =
-  signatures at Hamming distance ≤ d found by 4-way table splits.
+* **SimHash** — 64-bit signature from per-token hash bit votes (one
+  pure-Catalyst ``aggregate`` carrying a 64-vote accumulator) → near-dups
+  = signatures at Hamming distance ≤ d found by 4-way table splits.
 * **n-gram Jaccard** — direct pairwise verify for candidate pairs.
 """
 
@@ -222,28 +222,32 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # size the iterative joins' shuffle width from the (already
-    # materialized) edge count: duplicate-pair graphs are usually tiny
-    # relative to the corpus, and at the session default (e.g. 64) each
-    # of the ~4 exchanges × log(n) rounds schedules a full width of
-    # near-empty tasks — pure scheduling overhead (measured 11 s for a
-    # 100-edge graph at 64 partitions).  The conf is session-scoped, so
-    # it is restored in the finally below; this operator is a
-    # driver-side loop and runs its jobs sequentially anyway.
+    # size the iterative shuffles from the (already materialized) edge
+    # count: duplicate-pair graphs are usually tiny relative to the
+    # corpus, and at the session default (e.g. 64) each of the ~4
+    # exchanges × log(n) rounds schedules a full width of near-empty
+    # tasks — pure scheduling overhead (measured 11 s for a 100-edge
+    # graph at 64 partitions).  The width is applied with explicit
+    # ``repartition(width, key)`` on the loop DataFrames (r2 temporarily
+    # rewrote session-wide spark.sql.shuffle.partitions, which any
+    # concurrent query/stream on the same session would inherit —
+    # ADVICE r2); a hash distribution on the join/group key at width N
+    # satisfies the downstream requirement, so Catalyst inserts no
+    # second exchange on top.
     spark = pairs.sparkSession
     n_edges = edges.count()
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    target = max(1, min(int(old_parts), n_edges // 50_000 + 1))
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(target))
-        return _cc_loop(edges, max_iters)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = max(1, min(session_width, n_edges // 50_000 + 1))
+    return _cc_loop(edges, max_iters, width)
 
 
-def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
+def _cc_loop(edges: DataFrame, max_iters: int, width: int) -> DataFrame:
+    # edges partitioned on dst ONCE and reused by every round's neighbor
+    # join (localCheckpoint preserves the physical partitioning)
+    edges = edges.repartition(width, "dst").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
+        .repartition(width, "id")
         .distinct()
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
@@ -251,6 +255,13 @@ def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
     # labels only decrease ⇒ the (overflow-proof) sum is a convergence scalar
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
     for _ in range(max_iters):
+        # the alias projection (id→dst) keeps the checkpointed hash(id,
+        # width) distribution, so the equi-join adds no exchange; the
+        # explicit repartition before the min-agg replaces the agg's own
+        # session-width exchange with one at the edge-derived width (the
+        # per-partition combine moves after it — acceptable because the
+        # join output is bounded by the edge count and a hot viral-family
+        # label is AQE-skew-split eligible)
         nbr = (
             edges.join(
                 labels.select(
@@ -258,6 +269,7 @@ def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
                 ),
                 "dst",
             )
+            .repartition(width, "src")
             .groupBy("src")
             .agg(F.min("dst_comp").alias("nbr_comp"))
         )
@@ -268,8 +280,10 @@ def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
         # pointer jump: comp ← comp(comp)
         jump = new.select(F.col("id").alias("comp"), F.col("comp").alias("comp2"))
         new = (
-            new.join(jump, "comp", "left")
+            new.repartition(width, "comp")
+            .join(jump.repartition(width, "comp"), "comp", "left")
             .select("id", F.least("comp", F.coalesce("comp2", "comp")).alias("comp"))
+            .repartition(width, "id")
             .localCheckpoint(eager=True)
         )
         new_sum = new.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
@@ -314,37 +328,6 @@ def dedup_minhash(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-
-
-def simhash_expr_udf():
-    """Vectorized SimHash-64: per-token 64-bit hashes vote per bit.
-
-    NumPy bit unpacking per Arrow batch (no per-row Python loops except the
-    token split, which pandas vectorizes at the C level via str.split).
-    """
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def simhash(text: pd.Series) -> pd.Series:
-        out = np.zeros(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            if not t:
-                continue
-            toks = t.lower().split()
-            if not toks:
-                continue
-            hashes = np.array(
-                [np.int64(hash(tok) & 0x7FFFFFFFFFFFFFFF) for tok in toks], dtype=np.uint64
-            )
-            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-            votes = bits.sum(axis=0) * 2 - len(toks)  # +1 / -1 votes
-            sig = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
-
-    return simhash
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
