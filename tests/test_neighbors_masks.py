@@ -101,6 +101,33 @@ def test_convexhull_mask_golden(spark):
     npt.assert_array_equal(got_mat, np.array(true))
 
 
+def test_convexhull_mask_projection(spark):
+    # verde mask.py:120,146-152: projection applied to the data AND target
+    # coordinates before the hull test (same F5 hook as distance_mask).
+    # |easting| folds negative targets onto the data's hull, so membership
+    # provably differs from the unprojected mask.
+    proj = lambda e, n: (np.abs(e), n)
+    data = spark.createDataFrame(
+        pd.DataFrame({"easting": [1.0, 3.0, 1.0, 3.0], "northing": [0.0, 0.0, 2.0, 2.0]})
+    )
+    targets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "easting": [-2.0, 2.0, 4.0, -0.5],
+                "northing": [1.0, 1.0, 1.0, 1.0],
+                "tag": [0, 1, 2, 3],
+            }
+        )
+    )
+    got = convexhull_mask(data, targets, projection=proj).orderBy("tag").toPandas()
+    # (-2,1) folds to (2,1) ∈ hull; (-0.5,1) folds to (0.5,1) ∉ hull
+    assert got["in_hull"].tolist() == [True, True, False, False]
+    # passthrough contract: temp projected columns are dropped
+    assert list(got.columns) == ["easting", "northing", "tag", "in_hull"]
+    plain = convexhull_mask(data, targets).orderBy("tag").toPandas()
+    assert plain["in_hull"].tolist() == [False, True, False, False]
+
+
 def test_median_distance_golden(spark):
     # verde distances.py:16-111 — per-point median of k nearest distances,
     # self excluded; cross-checked against a NumPy brute force

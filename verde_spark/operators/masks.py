@@ -128,9 +128,33 @@ def convexhull_mask(
     data_northing: str = "northing",
     easting: str = "easting",
     northing: str = "northing",
+    projection=None,
 ) -> DataFrame:
     """verde ``convexhull_mask`` (mask.py:116-219): True where a target point
-    lies inside the convex hull of the data points."""
+    lies inside the convex hull of the data points.
+
+    ``projection`` (verde mask.py:120,146-152): a vectorized
+    ``(east, north) -> (east', north')`` callable applied to BOTH the data
+    and the target coordinates before the hull test — the same F5 CRS hook
+    as ``distance_mask``, so the hull is convex in *projected* space.
+    The data side projects inside the distributed hull pass (Arrow UDF);
+    the target side projects into temp columns that are dropped after the
+    half-plane test.
+    """
+    if projection is not None:
+        from .projections import project_points
+
+        data = project_points(
+            data, projection, easting=data_easting, northing=data_northing
+        )
+        targets_p = project_points(
+            targets, projection, easting=easting, northing=northing,
+            out_easting="__pe", out_northing="__pn",
+        )
+        hull = convex_hull(data, data_easting, data_northing)
+        return targets_p.withColumn(
+            mask_col, inside_hull_expr(hull, "__pe", "__pn")
+        ).drop("__pe", "__pn")
     hull = convex_hull(data, data_easting, data_northing)
     return targets.withColumn(mask_col, inside_hull_expr(hull, easting, northing))
 

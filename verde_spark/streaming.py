@@ -219,7 +219,9 @@ def stream_to_tile_store(
         raise ValueError(f"partition_cols not in stream schema: {missing}")
 
     def write_batch(batch_df: DataFrame, _batch_id: int):
-        if not batch_df.rdd.isEmpty():
+        # DataFrame-native emptiness probe: .rdd.isEmpty() would rebuild the
+        # plan as an RDD and deserialize a row through Python per micro-batch
+        if not batch_df.isEmpty():
             (
                 batch_df.write.option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*partition_cols)
