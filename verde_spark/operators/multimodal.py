@@ -1,17 +1,28 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are ``binary`` columns; decode/feature steps
-run as Arrow-batched ``mapInPandas`` so the Spark-side contract (schema,
-batching, partition behavior) is real and tested even though the actual
-codecs are STUBBED in this container (no image/audio libraries): the
-default ``decoder`` is a deterministic fake that derives a feature vector
-from the payload bytes; passing a real decoder callable (PIL/librosa/…)
-drops straight in.
+run as Arrow-batched ``mapInPandas``.
+
+Fully REAL paths (no codec library needed, value-tested end to end):
+
+* raw uint8 bitmaps — :func:`resize_raw_images`;
+* int16 PCM — :func:`pcm_band_energies`;
+* **PNG** — :func:`decode_png` (stdlib ``zlib`` inflate + NumPy scanline
+  unfilter: None/Sub/Up/Average/Paeth) feeding :func:`resize_png_images`;
+* **WAV** — :func:`decode_wav` (RIFF/fmt/data parse over the PCM path)
+  feeding :func:`wav_band_energies`.
+
+Codecs that genuinely need third-party libraries (JPEG entropy coding,
+ffmpeg video demux) remain STUBBED behind deterministic fakes so the
+Spark-side contract (schema, batching, 1→N row shapes) is still real and
+tested; passing a real decoder callable (PIL/ffmpeg/…) drops straight in.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Callable, Iterable, Optional
 
 import numpy as np
@@ -300,17 +311,269 @@ def pcm_band_energies(
                         feats.append(None)
                         continue
                     samples = np.frombuffer(payload, dtype="<i2").astype("float64")
-                    mag = np.abs(np.fft.rfft(samples))
-                    # drop DC, split the spectrum into n_bands equal slices
-                    mag = mag[1:]
-                    usable = (len(mag) // n_bands) * n_bands
-                    if usable == 0:
-                        feats.append(None)
-                        continue
-                    bands = mag[:usable].reshape(n_bands, -1)
-                    energy = (bands**2).sum(axis=1)
-                    feats.append(np.log1p(energy).tolist())
+                    feats.append(_fft_band_energies(samples, n_bands))
                 chunk[output_col] = feats
+                yield chunk
+
+    return df.mapInPandas(run, schema)
+
+
+def _fft_band_energies(samples: np.ndarray, n_bands: int):
+    """rFFT magnitude spectrum → log1p energy of *n_bands* equal slices
+    (DC dropped); None when too short. Shared by the raw-PCM and WAV paths
+    so their features are bit-identical on the same samples."""
+    mag = np.abs(np.fft.rfft(samples))[1:]
+    usable = (len(mag) // n_bands) * n_bands
+    if usable == 0:
+        return None
+    energy = (mag[:usable].reshape(n_bands, -1) ** 2).sum(axis=1)
+    return np.log1p(energy).tolist()
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-codec paths: PNG (stdlib zlib) and WAV (RIFF header)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type → samples per pixel (palette expands to RGB after unfilter)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> Optional[np.ndarray]:
+    """REAL PNG decoder — stdlib ``zlib`` inflate + NumPy scanline
+    unfiltering; no image library.
+
+    Supports the common web-PNG shapes: bit depth 8, color types 0
+    (gray) / 2 (RGB) / 3 (palette, expanded to RGB) / 4 (gray+alpha) /
+    6 (RGBA), non-interlaced, any number of IDAT chunks. All five
+    scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9) are
+    reconstructed: None/Up/Sub vectorize (Sub is a per-channel cumsum
+    mod 256); Average/Paeth carry a left-pixel dependency and walk the
+    scanline. Returns a ``(height, width, channels)`` uint8 array, or
+    ``None`` for anything malformed / unsupported (16-bit, Adam7) — the
+    mapInPandas callers turn that into null rows, never task failures.
+    """
+    if payload is None:
+        return None
+    data = bytes(payload)
+    if not data.startswith(_PNG_SIG):
+        return None
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    palette = None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            return None
+        pos += 12 + length  # 4 len + 4 type + body + 4 crc (crc not checked)
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body[: (length // 3) * 3], np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    nch = _PNG_CHANNELS.get(color_type) if color_type is not None else None
+    if (
+        not idat or not width or not height or bit_depth != 8 or interlace != 0
+        or nch is None or (color_type == 3 and palette is None)
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = width * nch
+    if len(raw) != (stride + 1) * height:
+        return None
+    raw = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((height, stride), np.int64)
+    zero_row = np.zeros(stride, np.int64)
+    for y in range(height):
+        f = int(filters[y])
+        cur = rows[y].astype(np.int64)
+        prev = out[y - 1] if y else zero_row
+        if f == 0:  # None
+            rec = cur
+        elif f == 1:  # Sub: per-channel cumulative sum mod 256
+            rec = np.cumsum(cur.reshape(width, nch), axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            rec = (cur + prev) % 256
+        elif f == 3:  # Average
+            rec = cur
+            for x in range(stride):
+                left = rec[x - nch] if x >= nch else 0
+                rec[x] = (rec[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = cur
+            for x in range(stride):
+                a = rec[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) % 256
+        else:
+            return None
+        out[y] = rec
+    img = out.astype(np.uint8).reshape(height, width, nch)
+    if color_type == 3:
+        idx = img[:, :, 0]
+        if idx.max() >= len(palette):
+            return None
+        img = palette[idx]
+    return img
+
+
+def resize_png_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_width: int = 8,
+    out_height: int = 8,
+) -> DataFrame:
+    """REAL compressed-image path: PNG ``binary`` column → area-average
+    downsampled pixels + typed shape metadata, end to end with no image
+    library (:func:`decode_png` + the same truncating block mean as
+    :func:`resize_raw_images`).
+
+    Output columns: input columns + ``(pixels: binary, out_width,
+    out_height, channels: int)``; undecodable rows yield nulls. Replaces
+    the former "compressed codecs are stubbed" caveat for PNG.
+    """
+    fields = list(df.schema.fields) + [
+        T.StructField("pixels", T.BinaryType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+    schema = T.StructType(fields)
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = pdf.copy()
+            pixels, chs = [], []
+            for payload in pdf[payload_col]:
+                img = decode_png(payload)
+                if img is None or img.shape[0] < out_height or img.shape[1] < out_width:
+                    pixels.append(None)
+                    chs.append(None)
+                    continue
+                h, w, c = img.shape
+                fy, fx = h // out_height, w // out_width
+                small = (
+                    img[: fy * out_height, : fx * out_width]
+                    .reshape(out_height, fy, out_width, fx, c)
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+                pixels.append(small.tobytes())
+                chs.append(c)
+            out["pixels"] = pixels
+            out["out_width"] = pd.array(
+                [None if p is None else out_width for p in pixels], dtype="Int32"
+            )
+            out["out_height"] = pd.array(
+                [None if p is None else out_height for p in pixels], dtype="Int32"
+            )
+            out["channels"] = pd.array(chs, dtype="Int32")
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def decode_wav(payload: bytes):
+    """REAL WAV decoder — RIFF/``fmt ``/``data`` chunk walk over the raw
+    int16-PCM path; no audio library.
+
+    Returns ``(sample_rate, n_channels, samples)`` with ``samples`` shaped
+    ``(frames, n_channels)`` int16, or ``None`` for malformed headers /
+    non-PCM (format tag ≠ 1) / non-16-bit payloads. Chunks are walked with
+    RIFF word alignment, so extra chunks (LIST, fact, …) are skipped.
+    """
+    if payload is None:
+        return None
+    data = bytes(payload)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are 2-byte aligned
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+    if fmt is None or pcm is None:
+        return None
+    audio_format, n_channels, sample_rate, _brate, _align, bits = fmt
+    if audio_format != 1 or bits != 16 or n_channels < 1:
+        return None
+    frame_bytes = 2 * n_channels
+    usable = len(pcm) - (len(pcm) % frame_bytes)
+    if usable == 0:
+        return None
+    samples = np.frombuffer(pcm[:usable], "<i2").reshape(-1, n_channels)
+    return sample_rate, n_channels, samples
+
+
+def wav_band_energies(
+    df: DataFrame,
+    payload_col: str = "payload",
+    n_bands: int = 8,
+    output_col: str = "band_energies",
+    batch_limit: int = 256,
+) -> DataFrame:
+    """REAL compressed-audio path: WAV ``binary`` column → log-scaled
+    spectral band energies + typed audio metadata, end to end with no
+    audio library (:func:`decode_wav` + the same rFFT band core as
+    :func:`pcm_band_energies` — a mono WAV wrapping the same samples
+    yields bit-identical features).
+
+    Multi-channel audio is mixed to mono (mean of channels) before the
+    FFT. Output columns: input columns + ``(band_energies:
+    array<double>, sample_rate: int, n_channels: int)``; undecodable
+    rows yield nulls. ``batch_limit`` bounds peak memory per task.
+    """
+    fields = list(df.schema.fields) + [
+        T.StructField(output_col, T.ArrayType(T.DoubleType())),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+    ]
+    schema = T.StructType(fields)
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[lo : lo + batch_limit].copy()
+                feats, rates, chans = [], [], []
+                for payload in chunk[payload_col]:
+                    decoded = decode_wav(payload)
+                    if decoded is None:
+                        feats.append(None)
+                        rates.append(None)
+                        chans.append(None)
+                        continue
+                    rate, nch, samples = decoded
+                    mono = samples.astype("float64").mean(axis=1)
+                    feats.append(_fft_band_energies(mono, n_bands))
+                    rates.append(rate)
+                    chans.append(nch)
+                chunk[output_col] = feats
+                chunk["sample_rate"] = pd.array(rates, dtype="Int32")
+                chunk["n_channels"] = pd.array(chans, dtype="Int32")
                 yield chunk
 
     return df.mapInPandas(run, schema)
