@@ -465,6 +465,51 @@ def _q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-language marker suffixes planted onto ``documents.text`` by doc_id
+#: residue so the lang-ID argmax is exercised across all five languages
+#: (the base fixture text is English-ish, so without planting every row
+#: would resolve to 'en'/'und'). Mirrored verbatim in the oracle SQL.
+_LANG_PLANT = {
+    1: " der die und das ist der die und",
+    2: " le la les et est le la les",
+    3: " el los que y es el los",
+    4: " o os que e um o os",
+}
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram/stopword language-ID (functions/text.lang_id_expr):
+    one JVM-side regexp_count per language marker + a greatest-based argmax
+    with 'en'>'de'>'fr'>'es'>'pt' tie precedence and 'und' on zero hits.
+    Value-oracled against a DuckDB regexp_extract_all argmax twin."""
+    from verde_spark.functions.text import lang_id_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plant = F.lit("")
+    for residue, suffix in _LANG_PLANT.items():
+        plant = F.when(F.col("doc_id") % 5 == residue, F.lit(suffix)).otherwise(plant)
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), plant).alias("ptext")
+    )
+    return planted.select(
+        "doc_id", lang_id_expr("ptext").alias("lang_guess")
+    ).orderBy("doc_id")
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (functions/text.quality_score): blend of
+    length, alpha ratio, punctuation ratio and mean word length — pure
+    column expressions, value-oracled per doc (round 9 + 0.0 both sides)."""
+    from verde_spark.functions.text import bpe_ish_token_count, quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        (F.round(quality_score("text"), 9) + F.lit(0.0)).alias("quality"),
+        bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -839,6 +884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_groups": _q_duplicate_groups,
         "token_counts": _q_token_counts,
         "lang_stats": _q_lang_stats,
+        "lang_id": _q_lang_id,
+        "quality_scores": _q_quality_scores,
         "cosine_topk": _q_cosine_topk,
         "ivf_topk": _q_ivf_topk,
         "simhash_exact_pairs": _q_simhash_pairs,
@@ -1130,6 +1177,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN trim(text) = '' THEN 0
                             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "lang_id": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || CASE doc_id % 5
+                       WHEN 1 THEN ' der die und das ist der die und'
+                       WHEN 2 THEN ' le la les et est le la les'
+                       WHEN 3 THEN ' el los que y es el los'
+                       WHEN 4 THEN ' o os que e um o os'
+                       ELSE '' END AS ptext
+              FROM documents
+            ),
+            padded AS (
+              SELECT doc_id, ' ' || lower(ptext) || ' ' AS p FROM planted
+            ),
+            scores AS (
+              SELECT doc_id,
+                len(regexp_extract_all(p, '\sthe\s')) + len(regexp_extract_all(p, '\sand\s'))
+                  + len(regexp_extract_all(p, '\sof\s')) + len(regexp_extract_all(p, '\sto\s'))
+                  + len(regexp_extract_all(p, '\sis\s')) AS s_en,
+                len(regexp_extract_all(p, '\sder\s')) + len(regexp_extract_all(p, '\sdie\s'))
+                  + len(regexp_extract_all(p, '\sund\s')) + len(regexp_extract_all(p, '\sdas\s'))
+                  + len(regexp_extract_all(p, '\sist\s')) AS s_de,
+                len(regexp_extract_all(p, '\sle\s')) + len(regexp_extract_all(p, '\sla\s'))
+                  + len(regexp_extract_all(p, '\sles\s')) + len(regexp_extract_all(p, '\set\s'))
+                  + len(regexp_extract_all(p, '\sest\s')) AS s_fr,
+                len(regexp_extract_all(p, '\sel\s')) + len(regexp_extract_all(p, '\slos\s'))
+                  + len(regexp_extract_all(p, '\sque\s')) + len(regexp_extract_all(p, '\sy\s'))
+                  + len(regexp_extract_all(p, '\ses\s')) AS s_es,
+                len(regexp_extract_all(p, '\so\s')) + len(regexp_extract_all(p, '\sos\s'))
+                  + len(regexp_extract_all(p, '\sque\s')) + len(regexp_extract_all(p, '\se\s'))
+                  + len(regexp_extract_all(p, '\sum\s')) AS s_pt
+              FROM padded
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN greatest(s_en, s_de, s_fr, s_es, s_pt) = 0 THEN 'und'
+                     WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_pt) THEN 'en'
+                     WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_pt) THEN 'de'
+                     WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_pt) THEN 'fr'
+                     WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_pt) THEN 'es'
+                     ELSE 'pt'
+                   END AS lang_guess
+            FROM scores ORDER BY doc_id
+        """,
+        "quality_scores": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     CAST(len(text) AS DOUBLE) AS n,
+                     greatest(CAST(len(text) AS DOUBLE), 1.0) AS safe_n,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE)
+                       AS words
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, n, words,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / safe_n AS alpha,
+                     CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / safe_n AS punct,
+                     CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS bpe_tokens
+              FROM base
+            )
+            SELECT doc_id,
+                   round(
+                     0.3 * least(n / 500.0, 1.0)
+                     + 0.3 * alpha
+                     + 0.2 * (CASE WHEN n / greatest(words, 1.0) >= 3
+                                    AND n / greatest(words, 1.0) <= 10
+                                   THEN 1.0 ELSE 0.3 END)
+                     + 0.2 * (CASE WHEN punct <= 0.2 THEN 1.0
+                                   ELSE greatest(0.0, 1.0 - punct) END), 9) + 0.0
+                     AS quality,
+                   bpe_tokens
+            FROM feats ORDER BY doc_id
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
