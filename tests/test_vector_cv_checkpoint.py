@@ -251,3 +251,65 @@ def test_vector_grid_methods(spark):
     g = vec.grid(spark, spacing=1.0)
     assert "velocity_up_pred" in g.columns
     assert g.count() == out.count()
+
+
+def test_clone_reconstructs_unfitted(spark):
+    """base.clone: sklearn semantics — constructor params preserved,
+    fitted state dropped, nested estimators (Chain steps) deep-cloned."""
+    import verde_spark as vd
+    from verde_spark.base import clone, get_params
+
+    df = _vector_scatter(spark)
+    t = Trend(degree=2).fit(df, data_col="east_component")
+    c = clone(t)
+    assert c.degree == 2 and c.coef_ is None and t.coef_ is not None
+    chain = vd.Chain([("t", Trend(degree=1)), ("s", Spline(damping=1e-3))])
+    cc = clone(chain)
+    assert cc.steps[0][1] is not chain.steps[0][1]
+    assert get_params(cc.steps[1][1])["damping"] == 1e-3
+
+
+def test_cross_val_score_accepts_instance(spark):
+    """Reference API: cross_val_score(estimator_instance, ...) — cloned
+    per fold (model_selection.py:771); same scores as the factory form."""
+    from verde_spark.model_selection import cross_val_score
+
+    df = _vector_scatter(spark)
+    inst = cross_val_score(Trend(degree=1), df, data_col="east_component")
+    fact = cross_val_score(lambda: Trend(degree=1), df, data_col="east_component")
+    npt.assert_allclose(inst, fact, rtol=1e-12)
+    assert len(inst) == 5
+
+
+def test_trend_inherits_basegridder(spark):
+    """Trend records region_ at fit and exposes grid/score like the
+    reference (trend.py:133, BaseGridder inheritance)."""
+    df = _vector_scatter(spark)
+    t = Trend(degree=1).fit(df, data_col="east_component")
+    assert t.region_ is not None
+    w, e, s, n = t.region_
+    assert w < e and s < n
+    g = t.grid(spark, spacing=1000.0)
+    assert g.count() > 0
+    assert isinstance(t.score(df, data_col="east_component"), float)
+
+
+def test_vector_reference_style_components(spark):
+    """Vector accepts bare estimator instances (reference form) with
+    default east/north component columns, data_col override at fit, and
+    clone-per-fit (no fitted-state leak on refit)."""
+    df = _vector_scatter(spark)
+    vec = Vector([Trend(degree=1), Trend(degree=1)])
+    vec.fit(df)  # default east_component / north_component
+    cols = [c for c, _ in vec.fitted_]
+    assert cols == ["east_component", "north_component"]
+    first_fitted = vec.fitted_[0][1]
+    g = vec.grid(spark, spacing=1000.0)
+    assert {"east_component_pred", "north_component_pred"} <= set(g.columns)
+    # data_col override maps positionally
+    vec.fit(df, data_col=("north_component", "east_component"))
+    assert [c for c, _ in vec.fitted_] == ["north_component", "east_component"]
+    # refit built fresh estimators (prototype instances were not mutated)
+    assert vec.fitted_[0][1] is not first_fitted
+    score = vec.score(df)  # linear trend on a sinusoidal field: R² ~ 0
+    assert isinstance(score, float) and np.isfinite(score)

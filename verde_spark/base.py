@@ -49,6 +49,45 @@ def check_fit_input(coordinates, data, weights):
     return coordinates, data, weights
 
 
+def get_params(estimator) -> dict:
+    """Constructor params of an estimator, sklearn-style (reference
+    estimators inherit ``sklearn.base.BaseEstimator.get_params``): every
+    named ``__init__`` argument read back from the attribute of the same
+    name — the convention all estimators here follow."""
+    import inspect
+
+    sig = inspect.signature(type(estimator).__init__)
+    params = {}
+    for name, p in sig.parameters.items():
+        if name == "self" or p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD):
+            continue
+        if not hasattr(estimator, name):
+            raise AttributeError(
+                f"{type(estimator).__name__} does not store init param {name!r}; "
+                "cannot introspect params for clone()"
+            )
+        params[name] = getattr(estimator, name)
+    return params
+
+
+def clone(estimator):
+    """Unfitted copy of an estimator, sklearn ``clone`` semantics
+    (reference cross_val_score clones per fold,
+    /root/reference/verde/model_selection.py:771): reconstruct from
+    constructor params, recursing into nested estimators so fitted state
+    is never shared between folds. Non-estimator values (including the
+    zero-arg factories used by :class:`~verde_spark.operators.vector.Vector`
+    components and ``Chain`` steps) pass through untouched."""
+    if isinstance(estimator, (list, tuple)):
+        return type(estimator)(clone(e) for e in estimator)
+    if hasattr(estimator, "fit") and (
+        hasattr(estimator, "predict") or hasattr(estimator, "filter")
+    ):
+        params = {k: clone(v) for k, v in get_params(estimator).items()}
+        return type(estimator)(**params)
+    return estimator
+
+
 class BaseGridder:
     """fit/predict → grid/scatter/profile/score, the Spark way.
 

@@ -457,9 +457,11 @@ def cross_val_score(
     northing: str = "northing",
 ) -> List[float]:
     """verde cross_val_score (model_selection.py:582-788): per fold, fit a
-    fresh estimator on train and R²-score on test. *make_estimator* is a
-    zero-arg factory (the reference clones; factories are the Spark-safe
-    equivalent). Default cv matches the reference's default —
+    fresh estimator on train and R²-score on test. *make_estimator* is
+    either an estimator INSTANCE (cloned per fold from its constructor
+    params, exactly the reference's sklearn-``clone`` protocol,
+    model_selection.py:771) or a zero-arg factory.
+    Default cv matches the reference's default —
     :class:`KFoldRows` = row-wise ``KFold(5, shuffle=True, random_state=0)``
     (verde model_selection.py:759-760), exact sklearn fold membership at
     driver-viable sizes. Pass a BlockKFold/BlockShuffleSplit for the
@@ -467,6 +469,11 @@ def cross_val_score(
     """
     if cv is None:
         cv = KFoldRows(n_splits=5, shuffle=True, random_state=0)
+    if hasattr(make_estimator, "fit"):  # estimator instance → clone per fold
+        from .base import clone
+
+        proto = make_estimator
+        make_estimator = lambda: clone(proto)  # noqa: E731
     scores = []
     for train, test in cv.split(df, easting, northing):
         est = make_estimator()

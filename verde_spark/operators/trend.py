@@ -22,6 +22,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..base import BaseGridder
+
 
 def polynomial_power_combinations(degree: int) -> Tuple[Tuple[int, int], ...]:
     """(i, j) pairs for ``x**i * y**j`` (verde trend.py:221-255)."""
@@ -104,8 +106,10 @@ def trend_predict_expr(
     return expr
 
 
-class Trend:
-    """Estimator-style wrapper (verde trend.py:17-218)."""
+class Trend(BaseGridder):
+    """Estimator-style wrapper (verde trend.py:17-218). Inherits
+    grid/scatter/profile/score from BaseGridder like the reference, and
+    records ``region_`` at fit (reference trend.py:133)."""
 
     def __init__(self, degree: int):
         self.degree = degree
@@ -113,7 +117,10 @@ class Trend:
 
     def fit(self, df: DataFrame, data_col: str = "scalars", weight_col: Optional[str] = None,
             easting: str = "easting", northing: str = "northing") -> "Trend":
+        from ..geometry import get_region
+
         self.coef_ = trend_fit(df, self.degree, easting, northing, data_col, weight_col)
+        self.region_ = get_region(df, easting, northing)
         return self
 
     def predict_expr(self, easting: str = "easting", northing: str = "northing") -> Column:

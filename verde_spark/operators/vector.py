@@ -27,22 +27,55 @@ from ..lstsq import least_squares
 from .spline import _halo_explode
 
 
+#: Reference default data names for vector components
+#: (/root/reference/verde/base/base_classes.py:219-223).
+_COMPONENT_COLS = ("east_component", "north_component", "vertical_component")
+
+
 class Vector:
     """Fit one estimator per component (verde vector.py:28-141).
 
-    ``components`` is a list of (data_col, estimator-factory) pairs; each
-    estimator must expose fit/predict with the standard signature.
+    ``components`` is either the reference's form — a sequence of
+    estimator instances (or zero-arg factories), one per data component,
+    with column names defaulting to ``east_component``/``north_component``
+    /``vertical_component`` and overridable per fit via ``data_col`` — or
+    a list of explicit (data_col, estimator-or-factory) pairs. Estimator
+    instances are cloned per fit (sklearn semantics), so one Vector can be
+    refit without leaking fitted state.
     """
 
     def __init__(self, components):
         self.components = list(components)
         self.fitted_ = []
 
+    def _pairs(self, data_col=None):
+        """Normalize to [(col, fresh-estimator), ...]."""
+        from ..base import clone
+
+        pairs = []
+        for i, comp in enumerate(self.components):
+            if isinstance(comp, (tuple, list)) and len(comp) == 2:
+                col, make = comp
+            else:
+                if i >= len(_COMPONENT_COLS) and data_col is None:
+                    raise ValueError(
+                        f"Vector supports at most {len(_COMPONENT_COLS)} default "
+                        "component columns; pass data_col or (col, estimator) pairs"
+                    )
+                col, make = (None, comp)
+            if data_col is not None:
+                col = data_col[i] if not isinstance(data_col, str) else data_col
+            elif col is None:
+                col = _COMPONENT_COLS[i]
+            est = make() if (callable(make) and not hasattr(make, "fit")) else clone(make)
+            pairs.append((col, est))
+        return pairs
+
     def fit(self, df: DataFrame, weight_cols: Optional[Sequence[str]] = None,
-            easting: str = "easting", northing: str = "northing") -> "Vector":
+            easting: str = "easting", northing: str = "northing",
+            data_col: Optional[Sequence[str]] = None) -> "Vector":
         self.fitted_ = []
-        for i, (col, make) in enumerate(self.components):
-            est = make()
+        for i, (col, est) in enumerate(self._pairs(data_col)):
             w = weight_cols[i] if weight_cols else None
             est.fit(df, data_col=col, weight_col=w, easting=easting, northing=northing)
             self.fitted_.append((col, est))
