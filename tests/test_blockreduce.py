@@ -185,3 +185,56 @@ def test_block_median_approx_close_to_exact(spark):
     # and the plan keeps the map-side partial before the exchange
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "partial_percentile_approx" in plan
+
+
+def test_block_reduce_numpy_callable_normalizes(spark):
+    """Reference API form BlockReduce(np.median, ...): known numpy
+    callables route to the native JVM aggregate — identical output to the
+    string form (blockreduce.py:100-117 takes any callable)."""
+    e, n = scatter_points((-5, 0, 5, 10), 400, random_state=7)
+    pdf = pd.DataFrame({"easting": e, "northing": n,
+                        "scalars": np.sin(e) + np.cos(n)})
+    df = spark.createDataFrame(pdf)
+    by_str, _ = block_reduce(df, "median", spacing=1.0)
+    by_np, _ = block_reduce(df, np.median, spacing=1.0)
+    pd.testing.assert_frame_equal(by_np.toPandas(), by_str.toPandas())
+
+
+def test_block_reduce_custom_callable_fallback(spark):
+    """Arbitrary callables run through the grouped-Arrow fallback and
+    match a pandas groupby oracle; weighted form passes weights= like the
+    reference's attach_weights (blockreduce.py:19-31)."""
+
+    def trimmed_range(values, weights=None):
+        if weights is not None:
+            return float(np.average(values, weights=weights))
+        return float(np.max(values) - np.min(values))
+
+    e, n = scatter_points((-5, 0, 5, 10), 300, random_state=3)
+    rng = np.random.RandomState(0)
+    pdf = pd.DataFrame({"easting": e, "northing": n,
+                        "scalars": np.sin(e) * n, "w": rng.uniform(1, 2, e.size)})
+    df = spark.createDataFrame(pdf)
+
+    out, grid = block_reduce(df, trimmed_range, spacing=2.5)
+    got = out.toPandas().set_index("block")
+    ix = np.clip(np.floor((e - (grid.east.start - grid.east.step / 2))
+                          / grid.east.step).astype(int), 0, grid.n_east - 1)
+    iy = np.clip(np.floor((n - (grid.north.start - grid.north.step / 2))
+                          / grid.north.step).astype(int), 0, grid.n_north - 1)
+    lab = iy * grid.n_east + ix
+    for b in np.unique(lab):
+        m = lab == b
+        npt.assert_allclose(got.loc[b, "scalars"],
+                            pdf["scalars"][m].max() - pdf["scalars"][m].min())
+        npt.assert_allclose(got.loc[b, "easting"],
+                            pdf["easting"][m].max() - pdf["easting"][m].min())
+
+    wout, _ = block_reduce(df, trimmed_range, spacing=2.5, weight_cols=("w",))
+    wgot = wout.toPandas().set_index("block")
+    for b in np.unique(lab):
+        m = lab == b
+        npt.assert_allclose(
+            wgot.loc[b, "scalars"],
+            np.average(pdf["scalars"][m], weights=pdf["w"][m]),
+        )

@@ -46,6 +46,87 @@ _REDUCTIONS = {
 }
 
 
+def _normalize_reduction(reduction):
+    """Map the reference's callable-reduction API onto the registry.
+
+    Verde's ``BlockReduce(np.median, ...)`` takes any callable
+    (blockreduce.py:100-117). Known numpy/builtin reductions normalize to
+    their native JVM aggregate (the fast path — map-side combine, no
+    Python); anything else is returned as-is for the grouped-Arrow
+    fallback in :func:`block_reduce`.
+    """
+    if isinstance(reduction, str):
+        return reduction
+    import builtins
+
+    import numpy as np
+
+    known = {
+        np.mean: "mean", np.nanmean: "mean", np.average: "mean",
+        np.median: "median", np.nanmedian: "median",
+        np.sum: "sum", np.nansum: "sum", builtins.sum: "sum",
+        np.min: "min", np.amin: "min", np.nanmin: "min", builtins.min: "min",
+        np.max: "max", np.amax: "max", np.nanmax: "max", builtins.max: "max",
+        np.std: "std", np.nanstd: "std",
+        np.var: "var", np.nanvar: "var",
+        builtins.len: "count",
+    }
+    try:
+        return known.get(reduction, reduction)
+    except TypeError:  # unhashable callable
+        return reduction
+
+
+def _block_reduce_callable(
+    labeled: DataFrame,
+    grid: BlockGrid,
+    reduction,
+    center_coordinates: bool,
+    easting: str,
+    northing: str,
+    extra_coord_cols: Sequence[str],
+    data_cols: Sequence[str],
+    weight_cols: Optional[Sequence[str]],
+    sort: bool,
+) -> DataFrame:
+    """Grouped-Arrow fallback for arbitrary callable reductions.
+
+    One ``applyInPandas`` per block — each block's values arrive as one
+    Arrow batch and the callable sees plain NumPy arrays, exactly the
+    reference's pandas-groupby contract (weights passed via the
+    ``weights`` kwarg, blockreduce.py:19-31; coordinates always reduced
+    unweighted). This is the documented slow path: per-block Python, no
+    map-side combine — use the named reductions where one exists.
+    """
+    import pandas as pd
+
+    coord_cols = [] if center_coordinates else [easting, northing]
+    out_cols = [*coord_cols, *extra_coord_cols, *data_cols]
+    schema = "block bigint, " + ", ".join(f"`{c}` double" for c in out_cols)
+    wcols = list(weight_cols) if weight_cols is not None else None
+    dcols = list(data_cols)
+    ucols = [*coord_cols, *extra_coord_cols]
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {"block": pdf["block"].iloc[0]}
+        for c in ucols:
+            row[c] = float(reduction(pdf[c].to_numpy()))
+        for i, c in enumerate(dcols):
+            v = pdf[c].to_numpy()
+            if wcols is not None:
+                row[c] = float(reduction(v, weights=pdf[wcols[i]].to_numpy()))
+            else:
+                row[c] = float(reduction(v))
+        return pd.DataFrame([row])
+
+    out = labeled.groupBy("block").applyInPandas(agg, schema)
+    if center_coordinates:
+        ce, cn = grid.center_exprs("block")
+        out = out.withColumn(easting, ce).withColumn(northing, cn)
+    out = out.select("block", easting, northing, *extra_coord_cols, *data_cols)
+    return out.orderBy("block") if sort else out
+
+
 def _weighted_agg(reduction: str, value: Column, weight: Column) -> Column:
     """Weighted version of a reduction, as aggregate algebra.
 
@@ -103,11 +184,20 @@ def block_reduce(
     """
     if grid is None:
         grid = _resolve_grid(df, spacing, shape, adjust, region, easting, northing)
+    reduction = _normalize_reduction(reduction)
+    labeled = df.withColumn("block", grid.label_expr(easting, northing))
+    if callable(reduction):
+        return (
+            _block_reduce_callable(
+                labeled, grid, reduction, center_coordinates, easting,
+                northing, extra_coord_cols, data_cols, weight_cols, sort,
+            ),
+            grid,
+        )
     if reduction not in _REDUCTIONS:
         raise ValueError(f"Unknown reduction '{reduction}'. One of {sorted(_REDUCTIONS)}.")
     agg_fn = _REDUCTIONS[reduction]
 
-    labeled = df.withColumn("block", grid.label_expr(easting, northing))
     aggs = []
     if center_coordinates:
         # centers are derived from the label after the agg — no coord agg.
