@@ -460,7 +460,9 @@ def test_connected_components_chain_star_and_pointer_jumping(spark):
     edges = spark.createDataFrame(
         pd.DataFrame(chain + star + pair, columns=["id_a", "id_b"])
     )
-    comp = connected_components(edges, max_iters=8).toPandas()
+    # driver_threshold=0 forces the distributed loop (the small-graph
+    # driver fast path would otherwise absorb this fixture)
+    comp = connected_components(edges, max_iters=8, driver_threshold=0).toPandas()
     got = dict(zip(comp["id"], comp["comp"]))
     assert all(got[i] == 100 for i in range(100, 120))
     assert all(got[i] == 200 for i in (200, 201, 202, 203))
@@ -731,8 +733,11 @@ def test_connected_components_random_graphs_vs_union_find(spark, seed):
     edges = spark.createDataFrame(
         pd.DataFrame({"id_a": ea.astype("int64"), "id_b": eb.astype("int64")})
     )
-    got = connected_components(edges).toPandas()
+    got = connected_components(edges, driver_threshold=0).toPandas()
     assert dict(zip(got["id"], got["comp"])) == want
+    # and the driver fast path must agree with the loop exactly
+    fast = connected_components(edges).toPandas()
+    assert dict(zip(fast["id"], fast["comp"])) == want
 
 
 @pytest.mark.parametrize("seed", [0, 7])

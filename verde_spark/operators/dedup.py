@@ -185,6 +185,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(id, component) for every node in *pairs*; component = min id reachable.
 
@@ -236,9 +237,54 @@ def connected_components(
     # second exchange on top.
     spark = pairs.sparkSession
     n_edges = edges.count()
+    # Adaptive small-graph path (same principle as AQE's runtime
+    # broadcast conversion): dedup-pair graphs are typically minuscule
+    # relative to the corpus — collecting ≤``driver_threshold`` edges
+    # (~16 bytes each) and running union-find at the driver replaces
+    # O(log n) rounds × ~6 distributed jobs each with ONE collect, for
+    # an identical (id, comp=min reachable id) result. Pass
+    # ``driver_threshold=0`` to force the distributed loop.
+    if n_edges <= driver_threshold:
+        return _cc_driver(spark, edges)
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     width = max(1, min(session_width, n_edges // 50_000 + 1))
     return _cc_loop(edges, max_iters, width)
+
+
+def _cc_driver(spark, edges: DataFrame) -> DataFrame:
+    """Driver union-find (path compression + union by size) over a
+    collected edge list; min-id per component as the label."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    size: dict = {}
+    for row in edges.select("src", "dst").toLocalIterator():
+        a, b = row[0], row[1]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+                size[v] = 1
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    rows = [(node, comp_min[find(node)]) for node in parent]
+    return spark.createDataFrame(rows, "id bigint, comp bigint")
 
 
 def _cc_loop(edges: DataFrame, max_iters: int, width: int) -> DataFrame:
