@@ -170,3 +170,57 @@ def test_readme_migration_example(spark):
         score = chain.score(test, easting="longitude", northing="latitude",
                             data_col="air_temperature_c")
     assert 0.7 < score <= 1.0
+
+
+def test_score_with_sklearn_scorer_names(spark):
+    """score_with: each named scorer matches its NumPy definition, sklearn
+    sign conventions included (reference cross_val_score scoring param,
+    model_selection.py:647-650)."""
+    import numpy as np
+    import pandas as pd
+
+    from verde_spark.model_selection import score_with
+
+    rng = np.random.RandomState(5)
+    d = rng.uniform(-3, 7, 400)
+    p = d + rng.normal(0, 0.5, 400)
+    df = spark.createDataFrame(pd.DataFrame({"d": d, "p": p}))
+    err = d - p
+    want = {
+        "neg_mean_squared_error": -np.mean(err**2),
+        "neg_root_mean_squared_error": -np.sqrt(np.mean(err**2)),
+        "neg_mean_absolute_error": -np.mean(np.abs(err)),
+        "neg_median_absolute_error": -np.median(np.abs(err)),
+        "max_error": -np.max(np.abs(err)),
+        "explained_variance": 1 - np.var(err) / np.var(d),
+        "r2": 1 - np.sum(err**2) / np.sum((d - d.mean()) ** 2),
+    }
+    for name, expect in want.items():
+        npt.assert_allclose(score_with(name, df, "d", "p"), expect, rtol=1e-9,
+                            err_msg=name)
+    # weighted MSE
+    w = rng.uniform(0.5, 2.0, 400)
+    dfw = spark.createDataFrame(pd.DataFrame({"d": d, "p": p, "w": w}))
+    npt.assert_allclose(
+        score_with("neg_mean_squared_error", dfw, "d", "p", "w"),
+        -np.average(err**2, weights=w), rtol=1e-9)
+    with pytest.raises(ValueError, match="Unknown scoring"):
+        score_with("accuracy", df, "d", "p")
+
+
+def test_cross_val_score_scoring_param(spark):
+    """cross_val_score(scoring=...) routes through score_with; a perfect
+    estimator scores 0.0 under neg_mean_squared_error."""
+    import numpy as np
+    import pandas as pd
+
+    from verde_spark import Trend
+    from verde_spark.model_selection import cross_val_score
+
+    rng = np.random.RandomState(3)
+    e, n = rng.uniform(0, 10, 300), rng.uniform(0, 10, 300)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"easting": e, "northing": n, "scalars": 3 + 2 * e - n}))
+    scores = cross_val_score(Trend(degree=1), df,
+                             scoring="neg_mean_squared_error")
+    npt.assert_allclose(scores, 0.0, atol=1e-12)

@@ -15,6 +15,7 @@ splits match sklearn's where the reference's tests pin them.
 
 from __future__ import annotations
 
+import math
 import warnings
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -53,6 +54,59 @@ def r2_score(
     if ss_tot == 0:
         return 1.0 if row["ss_res"] == 0 else 0.0
     return 1.0 - row["ss_res"] / ss_tot
+
+
+def score_with(
+    scoring,
+    df: DataFrame,
+    data_col: str,
+    pred_col: str,
+    weight_col: Optional[str] = None,
+) -> float:
+    """Score predictions with an sklearn-style scorer name (the reference's
+    ``scoring`` parameter, model_selection.py:647-650, routed through
+    sklearn ``check_scoring``). Each named scorer is ONE weighted aggregate
+    pass; sklearn sign conventions kept (``neg_*`` and ``max_error``
+    scorers return negated errors, greater-is-better). A callable gets the
+    Spark-shaped signature ``scoring(df, data_col, pred_col, weight_col)``.
+    """
+    if scoring is None or scoring == "r2":
+        return r2_score(df, data_col, pred_col, weight_col)
+    if callable(scoring):
+        return float(scoring(df, data_col, pred_col, weight_col))
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    err = F.col(data_col) - F.col(pred_col)
+    wmean = lambda x: F.sum(w * x) / F.sum(w)  # noqa: E731
+    if scoring == "neg_mean_squared_error":
+        return float(-df.agg(wmean(err * err)).first()[0])
+    if scoring == "neg_root_mean_squared_error":
+        return float(-math.sqrt(df.agg(wmean(err * err)).first()[0]))
+    if scoring == "neg_mean_absolute_error":
+        return float(-df.agg(wmean(F.abs(err))).first()[0])
+    if scoring == "neg_median_absolute_error":
+        # sklearn's median_absolute_error ignores sample_weight pre-1.4;
+        # exact median is fine at fold scale (percentile_approx at 100 TB)
+        return float(-df.agg(F.median(F.abs(err))).first()[0])
+    if scoring == "max_error":
+        return float(-df.agg(F.max(F.abs(err))).first()[0])
+    if scoring == "explained_variance":
+        row = df.agg(
+            wmean(err).alias("me"),
+            wmean(err * err).alias("me2"),
+            wmean(F.col(data_col)).alias("md"),
+            wmean(F.col(data_col) * F.col(data_col)).alias("md2"),
+        ).first()
+        var_err = row["me2"] - row["me"] ** 2
+        var_d = row["md2"] - row["md"] ** 2
+        if var_d == 0:
+            return 1.0 if var_err == 0 else 0.0
+        return float(1.0 - var_err / var_d)
+    raise ValueError(
+        f"Unknown scoring {scoring!r}. One of r2, neg_mean_squared_error, "
+        "neg_root_mean_squared_error, neg_mean_absolute_error, "
+        "neg_median_absolute_error, max_error, explained_variance, or a "
+        "callable(df, data_col, pred_col, weight_col)."
+    )
 
 
 def r2_score_multi(
@@ -455,6 +509,7 @@ def cross_val_score(
     weight_col: Optional[str] = None,
     easting: str = "easting",
     northing: str = "northing",
+    scoring=None,
 ) -> List[float]:
     """verde cross_val_score (model_selection.py:582-788): per fold, fit a
     fresh estimator on train and R²-score on test. *make_estimator* is
@@ -479,5 +534,5 @@ def cross_val_score(
         est = make_estimator()
         est.fit(train, data_col=data_col, weight_col=weight_col, easting=easting, northing=northing)
         pred = est.predict(test, "__pred", easting=easting, northing=northing)
-        scores.append(r2_score(pred, data_col, "__pred", weight_col))
+        scores.append(score_with(scoring, pred, data_col, "__pred", weight_col))
     return scores

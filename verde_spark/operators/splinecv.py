@@ -34,6 +34,7 @@ class SplineCV:
         tile_spacing: Optional[float] = None,
         halo: Optional[float] = None,
         parallel_candidates: int = 4,
+        scoring=None,
     ):
         self.dampings = list(dampings)
         self.mindists = list(mindists)
@@ -42,6 +43,7 @@ class SplineCV:
         self.tile_spacing = tile_spacing
         self.halo = halo
         self.parallel_candidates = parallel_candidates
+        self.scoring = scoring  # sklearn scorer name/callable (reference spline.py:97)
         self.scores_: Optional[list] = None
         self.damping_: Optional[float] = None
         self.mindist_: Optional[float] = None
@@ -75,6 +77,7 @@ class SplineCV:
                 weight_col=weight_col,
                 easting=easting,
                 northing=northing,
+                scoring=self.scoring,
             )
             return float(np.mean(scores))
 
