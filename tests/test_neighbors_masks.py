@@ -241,3 +241,26 @@ def test_basegridder_scatter_profile_score(spark):
     # spline reproduces the plane → R² ≈ 1
     sp = Spline(damping=None).fit(df, region=(0, 10, 0, 10))
     assert sp.score(df) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_kneighbors_numpy_callable_reduction(spark):
+    """Reference API: KNeighbors(reduction=np.median) — numpy callables
+    normalize to the native aggregate (reference neighbors.py:65 defaults
+    to np.mean)."""
+    import numpy as np
+    import pandas as pd
+
+    from verde_spark import KNeighbors
+
+    rng = np.random.RandomState(4)
+    pdf = pd.DataFrame({
+        "easting": rng.uniform(0, 10, 200),
+        "northing": rng.uniform(0, 10, 200),
+        "scalars": rng.uniform(-1, 1, 200),
+    })
+    df = spark.createDataFrame(pdf)
+    by_str = KNeighbors(k=3, reduction="median").fit(df).grid(spark, spacing=2.5).toPandas()
+    by_np = KNeighbors(k=3, reduction=np.median).fit(df).grid(spark, spacing=2.5).toPandas()
+    pd.testing.assert_frame_equal(by_np, by_str)
+    with pytest.raises(ValueError, match="not a recognized"):
+        KNeighbors(k=3, reduction=lambda v: v[0]).fit(df).grid(spark, spacing=5.0).count()

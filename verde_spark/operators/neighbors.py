@@ -231,7 +231,18 @@ class KNeighbors(BaseGridder):
             bbox=self.region_,
             count=self._count,
         )
-        red = {"mean": F.avg, "median": F.median, "min": F.min, "max": F.max}[self.reduction]
+        # the reference's reduction is a numpy callable over the k values
+        # (default np.mean, neighbors.py:65); known callables normalize to
+        # the native aggregate (same registry as block_reduce)
+        from .blockreduce import _REDUCTIONS, _normalize_reduction
+
+        name = _normalize_reduction(self.reduction)
+        if callable(name):
+            raise ValueError(
+                f"KNeighbors reduction {self.reduction!r} is not a recognized "
+                f"named/numpy reduction; use one of {sorted(_REDUCTIONS)}"
+            )
+        red = _REDUCTIONS[name]
         # single pass: carry the query columns through the agg (no join back,
         # so the generated qid is only ever used inside one lineage).
         aggs = [F.first(F.col(safe[c])).alias(c) for c in df.columns] + [
