@@ -151,3 +151,37 @@ def test_knn_cell_join_is_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_text_scoring_single_stage_no_python(spark, pages_parquet):
+    """lang_id_expr / quality_score / token counts are pure Catalyst
+    projections: no exchange, no Python eval — one codegen'd scan stage."""
+    from verde_spark.functions.text import (
+        bpe_ish_token_count,
+        lang_id_expr,
+        quality_score,
+        token_count,
+    )
+
+    docs = spark.read.parquet(pages_parquet).select(
+        lang_id_expr("text").alias("lang_guess"),
+        quality_score("text"),
+        token_count("text").alias("tokens"),
+        bpe_ish_token_count("text").alias("bpe"),
+    )
+    plan = _plan(docs)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WholeStageCodegen" in plan
+
+
+def test_connected_components_small_graph_driver_path(spark):
+    """The adaptive small-graph path returns a LocalTableScan plan (driver
+    union-find result) — no iterative join stages for tiny edge lists."""
+    from verde_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    )
+    out = connected_components(edges)
+    assert "LocalTableScan" in _plan(out)
