@@ -264,3 +264,24 @@ def test_kneighbors_numpy_callable_reduction(spark):
     pd.testing.assert_frame_equal(by_np, by_str)
     with pytest.raises(ValueError, match="not a recognized"):
         KNeighbors(k=3, reduction=lambda v: v[0]).fit(df).grid(spark, spacing=5.0).count()
+
+
+def test_basegridder_default_filter_residuals(spark):
+    """Every gridder inherits filter = fit + residuals (reference
+    base_classes.py:273-316); KNeighbors(k=1) interpolates its own data
+    exactly, so residuals at the data points are 0."""
+    import numpy as np
+    import pandas as pd
+
+    from verde_spark import KNeighbors
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({
+        "easting": rng.uniform(0, 10, 120),
+        "northing": rng.uniform(0, 10, 120),
+        "scalars": rng.uniform(-5, 5, 120),
+    })
+    df = spark.createDataFrame(pdf)
+    resid = KNeighbors(k=1).filter(df).toPandas()
+    assert set(resid.columns) == {"easting", "northing", "scalars"}
+    npt.assert_allclose(resid["scalars"], 0.0, atol=1e-12)

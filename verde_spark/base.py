@@ -135,6 +135,21 @@ class BaseGridder:
         )
         return self.predict(pts, output_col)
 
+    def filter(self, df: DataFrame, data_col: str = "scalars",
+               weight_col: Optional[str] = None, easting: str = "easting",
+               northing: str = "northing") -> DataFrame:
+        """fit + replace data with residuals — the default every gridder
+        inherits in the reference (base_classes.py:273-316), which is what
+        lets any gridder serve as a Chain step."""
+        from pyspark.sql import functions as F
+
+        self.fit(df, data_col=data_col, weight_col=weight_col,
+                 easting=easting, northing=northing)
+        pred = self.predict(df, "__filter_pred", easting=easting, northing=northing)
+        return pred.withColumn(
+            data_col, F.col(data_col) - F.col("__filter_pred")
+        ).drop("__filter_pred")
+
     def score(self, df: DataFrame, data_col: str = "scalars",
               weight_col: Optional[str] = None, easting: str = "easting",
               northing: str = "northing") -> float:
