@@ -658,6 +658,56 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a")
 
 
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS, SIGMOD'03) fingerprints of the first 20 documents.
+
+    The gram hash is an exact int64 polynomial (base 257, k=5) — no
+    modulus, no xxhash64 — so DuckDB's list_transform/list_min chain
+    reproduces every selected fingerprint bit-for-bit.  Zero-shuffle plan:
+    two projections + explode.
+    """
+    from verde_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 20
+    )
+    return winnow_fingerprints(docs).orderBy("doc_id", "fp")
+
+
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-winnow-fingerprint candidate pairs on doc_id < 50 plus
+    planted copies of doc_id < 10 (ids +1M).
+
+    Identical texts share their full fingerprint set → containment
+    exactly 1.0 (captured with probability 1), while same-vocabulary
+    unrelated docs top out at 0.8 on this fixture, so the containment
+    ≥ 0.9 cut returns exactly the 10 planted pairs — a discriminating
+    (non-vacuous) result.  Containment is a ratio of exact int64 counts,
+    so one IEEE division matches DuckDB bit-for-bit.
+    """
+    from verde_spark.operators.dedup import winnow_pairs
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+    )
+    copies = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    both = docs.unionByName(copies)
+    return (
+        winnow_pairs(both, min_shared=3, min_containment=0.9)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (F.round("containment", 6) + F.lit(0.0)).alias("containment"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH embedding near-dup on planted identical vectors.
 
@@ -890,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "simhash_exact_pairs": _q_simhash_pairs,
         "minhash_pairs": _q_minhash_pairs,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "dedup_components": _q_dedup_components,
         "stratified_sample": _q_stratified_sample,
@@ -902,6 +954,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon": _q_point_in_polygon,
         "zonal_stats": _q_zonal_stats,
     }
+
+
+def _winnow_sel_sql(src_sql: str) -> str:
+    """DuckDB twin of winnow_fingerprints' selection chain (k=5, w=4,
+    base=257; coefficients 257^4..257^0 as exact int64 literals) over the
+    (doc_id, text) rows produced by *src_sql*."""
+    return f"""
+        WITH src AS ({src_sql}),
+        g AS (
+          SELECT doc_id,
+            list_transform(range(0, greatest(length(s) - 4, 0)), i ->
+                ascii(s[i+1]) * 4362470401
+              + ascii(s[i+2]) * 16974593
+              + ascii(s[i+3]) * 66049
+              + ascii(s[i+4]) * 257
+              + ascii(s[i+5])) AS kg
+          FROM (SELECT doc_id, lower(text) AS s FROM src)
+        ),
+        sel AS (
+          SELECT doc_id,
+            list_sort(list_distinct(list_transform(
+              range(1, greatest(len(kg) - 3, 0) + 1),
+              j -> list_min(list_slice(kg, j, j + 3))))) AS fps
+          FROM g
+        )
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1165,6 +1243,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_copies, min(doc_id) AS keep_id
             FROM unioned GROUP BY text HAVING count(*) > 1
             ORDER BY keep_id
+        """,
+        "winnow_fingerprints": _winnow_sel_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id < 20"
+        )
+        + """
+            SELECT doc_id, unnest(fps) AS fp FROM sel ORDER BY doc_id, fp
+        """,
+        "winnow_pairs": _winnow_sel_sql(
+            """SELECT doc_id, text FROM documents WHERE doc_id < 50
+               UNION ALL
+               SELECT doc_id + 1000000 AS doc_id, text
+               FROM documents WHERE doc_id < 10"""
+        )
+        + """
+            , f AS (SELECT doc_id, len(fps) AS nfp, unnest(fps) AS fp FROM sel),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_shared,
+                     CAST(count(*) AS DOUBLE)
+                       / CAST(least(first(a.nfp), first(b.nfp)) AS DOUBLE)
+                       AS containment
+              FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            )
+            SELECT id_a, id_b, n_shared,
+                   round(containment, 6) + 0.0 AS containment
+            FROM p WHERE containment >= 0.9
+            ORDER BY id_a, id_b
         """,
         "token_counts": r"""
             SELECT doc_id,

@@ -885,3 +885,68 @@ def test_runs_mask_roundtrip(spark):
     again = mask_to_runs(back).orderBy("iy", "start_ix").toPandas().values.tolist()
     orig = runs.orderBy("iy", "start_ix").toPandas().values.tolist()
     assert again == orig
+
+
+def test_winnow_fingerprints_matches_numpy_and_guarantee(spark):
+    """Winnowing (MOSS): exact parity with a NumPy reimplementation of the
+    polynomial-gram + min-window chain, plus the coverage guarantee — two
+    docs sharing a substring of >= w+k-1 chars share >= 1 fingerprint —
+    and the short-text/identical-copy edge cases."""
+    from verde_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    k, w, base = 5, 4, 257
+    shared = "the quick brown fox jumps"   # >> w+k-1 = 8 chars
+    texts = {
+        0: f"AAAA {shared} zz01",
+        1: f"completely different start {shared} other tail",
+        2: f"AAAA {shared} zz01",           # identical to 0
+        3: "unrelated content entirely q9",
+        4: "ab",                            # shorter than k -> no fps
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    df = spark.createDataFrame(pdf)
+    got = winnow_fingerprints(df, k=k, w=w, base=base).toPandas()
+    sets = {i: set(g["fp"]) for i, g in got.groupby("doc_id")}
+
+    def ref_winnow(s):
+        s = s.lower()
+        kg = [sum(ord(s[i + j]) * base ** (k - 1 - j) for j in range(k))
+              for i in range(len(s) - k + 1)]
+        return set(min(kg[j:j + w]) for j in range(len(kg) - w + 1))
+
+    for i, t in texts.items():
+        assert sets.get(i, set()) == ref_winnow(t) if len(t) >= k + w - 1 else not sets.get(i)
+    assert sets[0] == sets[2]                       # identical docs: full overlap
+    assert sets[0] & sets[1]                        # guarantee: shared substring
+    assert not (sets[3] & sets[0])                  # unrelated: disjoint here
+
+    pairs = winnow_pairs(df, k=k, w=w, min_shared=2).toPandas()
+    got_pairs = {(a, b): (n, c) for a, b, n, c in pairs.itertuples(index=False)}
+    assert got_pairs[(0, 2)] == (len(sets[0]), 1.0)  # identical: all fps, cont 1
+    assert (0, 1) in got_pairs and (1, 2) in got_pairs
+    assert got_pairs[(0, 1)][1] < 1.0               # partial overlap < 1
+    assert (0, 3) not in got_pairs
+
+    # containment cut keeps only the identical pair
+    tight = winnow_pairs(df, k=k, w=w, min_containment=0.99).toPandas()
+    assert set(zip(tight["id_a"], tight["id_b"])) == {(0, 2)}
+
+    # max_df prunes fingerprints present in >max_df docs: the shared-phrase
+    # fps live in docs {0,1,2} so max_df=2 kills the cross pairs but the
+    # identical pair (0,2) still shares its unique non-phrase fps.
+    pruned = winnow_pairs(df, k=k, w=w, min_shared=1, max_df=2).toPandas()
+    pruned_pairs = set(zip(pruned["id_a"], pruned["id_b"]))
+    assert (0, 2) in pruned_pairs
+    assert (0, 1) not in pruned_pairs and (1, 2) not in pruned_pairs
+
+
+def test_winnow_fingerprints_plan_zero_shuffle(spark):
+    """The fingerprint extraction must stay a projection + Generate —
+    no Exchange, no Python/pandas nodes (scale contract: embarrassingly
+    parallel over the corpus)."""
+    from verde_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -112,6 +112,59 @@ def fingerprint(text: Column | str = "text") -> Column:
     return F.xxhash64(text)
 
 
+def kgram_hashes(text: Column | str = "text", k: int = 5, base: int = 257) -> Column:
+    """Array of exact polynomial character-``k``-gram hashes of
+    ``lower(text)``: ``hash(i) = Σ_j codepoint(s[i+j]) · base^(k-1-j)``.
+
+    Exact int64, no modulus — for ``k ≤ 6`` and BMP codepoints the sum
+    fits in 63 bits — so a DuckDB oracle reproduces it bit-for-bit
+    (``xxhash64`` has no DuckDB twin). Pure Catalyst: one ``transform``
+    over gram positions with the ``k`` per-character terms unrolled as
+    literal-coefficient multiplies. Empty array for texts shorter than
+    ``k``.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    s = F.lower(text)
+    n_g = F.greatest(F.length(s) - F.lit(k - 1), F.lit(0))
+
+    def gram(i: Column) -> Column:
+        total = F.lit(0).cast("bigint")
+        for j in range(k):
+            coef = base ** (k - 1 - j)
+            total = total + F.ascii(s.substr(i + F.lit(j + 1), F.lit(1))).cast(
+                "bigint"
+            ) * F.lit(coef)
+        return total
+
+    return F.when(n_g > 0, F.transform(F.sequence(F.lit(0), n_g - 1), gram)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def winnow_select(hashes: Column | str, w: int = 4) -> Column:
+    """Winnowing selection (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the
+    MOSS fingerprint): the min k-gram hash of every ``w``-window of
+    consecutive grams, deduplicated and sorted.
+
+    Guarantee: two documents sharing any substring of length
+    ``≥ w + k - 1`` characters share at least one selected fingerprint.
+    Takes the *name* (or column) of an already-materialized k-gram array
+    so the O(m·k) gram expression is evaluated once per row — embedding
+    :func:`kgram_hashes` directly here would re-evaluate it inside every
+    window's ``slice`` (Catalyst's CollapseProject keeps non-cheap
+    expressions used more than once in their own Project, but only
+    across separate projections).
+    """
+    hashes = F.col(hashes) if isinstance(hashes, str) else hashes
+    n_w = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(0))
+    sel = F.transform(
+        F.sequence(F.lit(1), n_w), lambda j: F.array_min(F.slice(hashes, j, w))
+    )
+    return F.when(n_w > 0, F.array_sort(F.array_distinct(sel))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def shingles(text: Column | str = "text", n: int = 3) -> Column:
     """Array of word n-gram shingle hashes (for MinHash/Jaccard dedup).
 

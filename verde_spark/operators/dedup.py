@@ -180,6 +180,123 @@ def jaccard_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    base: int = 257,
+) -> DataFrame:
+    """(id, fp) — the winnowing fingerprint set of each document
+    (Schleimer, Wilkerson & Aiken, SIGMOD'03; the MOSS algorithm).
+
+    Character k-gram rolling hashes → min-of-each-``w``-window selection →
+    distinct selected hashes, exploded one row per fingerprint.  Any two
+    documents sharing a substring of ``≥ w + k - 1`` characters share at
+    least one fingerprint, so partial/contained copies are caught — the
+    complement of whole-document ``fingerprint()`` exact dedup.
+
+    Scale shape: two narrow projections + a ``Generate`` (explode) — zero
+    shuffles; fingerprinting is embarrassingly parallel over the corpus.
+    The two-step projection keeps the O(m·k) gram array evaluated once per
+    row (see :func:`verde_spark.functions.text.winnow_select`).
+    """
+    from ..functions.text import kgram_hashes, winnow_select
+
+    grams = df.select(
+        F.col(id_col), kgram_hashes(text_col, k=k, base=base).alias("__kg")
+    )
+    sel = grams.select(F.col(id_col), winnow_select("__kg", w=w).alias("__fps"))
+    return sel.select(F.col(id_col), F.explode("__fps").alias("fp"))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    base: int = 257,
+    min_shared: int = 1,
+    min_containment: float = 0.0,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, n_shared, containment) candidate near-duplicate pairs:
+    documents sharing ``≥ min_shared`` winnowing fingerprints with
+    ``containment = n_shared / min(|fps_a|, |fps_b|) ≥ min_containment``.
+
+    Containment (not the raw count) is the discriminator: same-language
+    corpora share many common-phrase fingerprints, so long unrelated
+    documents can out-count short true copies — a copy/containment
+    relation always has containment 1.0 regardless of length.  The
+    per-document fingerprint cardinality rides through the explode as a
+    precomputed ``size()`` column, so containment costs no extra join or
+    shuffle beyond the pair groupBy.
+
+    The only join is an equi-self-join on the fingerprint value — bounded
+    buckets, never all-pairs.  ``max_df`` drops "stop fingerprints" that
+    occur in more than *max_df* documents before the join (a fingerprint
+    shared by f docs contributes O(f²) join rows, so boilerplate shared
+    across a crawl — headers, footers, licence blocks — would otherwise
+    dominate; standard document-frequency pruning, same role as minhash
+    banding).  At 10^12 docs set ``max_df`` to a few hundred and the join
+    fan-out is capped at ``max_df²`` per fingerprint with AQE skew-split
+    handling the residue.  Cardinalities are pre-pruning, so with
+    ``max_df`` set the containment of boilerplate-heavy pairs shrinks —
+    the conservative direction.
+    """
+    from ..functions.text import kgram_hashes, winnow_select
+
+    grams = df.select(
+        F.col(id_col), kgram_hashes(text_col, k=k, base=base).alias("__kg")
+    )
+    sel = grams.select(F.col(id_col), winnow_select("__kg", w=w).alias("__fps"))
+    fps = sel.select(
+        F.col(id_col),
+        F.size("__fps").alias("__nfp"),
+        F.explode("__fps").alias("fp"),
+    )
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp", "left_semi")
+    left, right = fps.alias("l"), fps.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.fp") == F.col("r.fp"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first(F.col("l.__nfp")).alias("__na"),
+            F.first(F.col("r.__nfp")).alias("__nb"),
+        )
+        .withColumn(
+            "containment",
+            F.col("n_shared").cast("double") / F.least("__na", "__nb").cast("double"),
+        )
+        .drop("__na", "__nb")
+    )
+    return pairs.filter(
+        (F.col("n_shared") >= min_shared)
+        & (F.col("containment") >= min_containment)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -216,13 +333,21 @@ def connected_components(
                 "ids first (e.g. xxhash64)"
             )
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    spark = pairs.sparkSession
+    # Adaptive small-graph path (same principle as AQE's runtime broadcast
+    # conversion): dedup-pair graphs are typically minuscule relative to
+    # the corpus. ONE job both sizes and fetches: limit(threshold+1) —
+    # if everything fit, run union-find at the driver (identical
+    # (id, comp=min reachable id) result) instead of O(log n) rounds of
+    # ~6 distributed jobs each. driver_threshold=0 forces the loop.
+    if driver_threshold > 0:
+        probe = edges.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            return _cc_driver(spark, probe)
+    edges = edges.localCheckpoint(eager=True)
     # size the iterative shuffles from the (already materialized) edge
     # count: duplicate-pair graphs are usually tiny relative to the
     # corpus, and at the session default (e.g. 64) each of the ~4
@@ -235,25 +360,16 @@ def connected_components(
     # ADVICE r2); a hash distribution on the join/group key at width N
     # satisfies the downstream requirement, so Catalyst inserts no
     # second exchange on top.
-    spark = pairs.sparkSession
     n_edges = edges.count()
-    # Adaptive small-graph path (same principle as AQE's runtime
-    # broadcast conversion): dedup-pair graphs are typically minuscule
-    # relative to the corpus — collecting ≤``driver_threshold`` edges
-    # (~16 bytes each) and running union-find at the driver replaces
-    # O(log n) rounds × ~6 distributed jobs each with ONE collect, for
-    # an identical (id, comp=min reachable id) result. Pass
-    # ``driver_threshold=0`` to force the distributed loop.
-    if n_edges <= driver_threshold:
-        return _cc_driver(spark, edges)
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     width = max(1, min(session_width, n_edges // 50_000 + 1))
     return _cc_loop(edges, max_iters, width)
 
 
-def _cc_driver(spark, edges: DataFrame) -> DataFrame:
-    """Driver union-find (path compression + union by size) over a
-    collected edge list; min-id per component as the label."""
+def _cc_driver(spark, edge_rows) -> DataFrame:
+    """Driver union-find (path compression + union by size) over an
+    already-collected (src, dst) row list; min-id per component as the
+    label."""
     parent: dict = {}
 
     def find(x):
@@ -265,7 +381,7 @@ def _cc_driver(spark, edges: DataFrame) -> DataFrame:
         return root
 
     size: dict = {}
-    for row in edges.select("src", "dst").toLocalIterator():
+    for row in edge_rows:
         a, b = row[0], row[1]
         for v in (a, b):
             if v not in parent:
