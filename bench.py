@@ -168,6 +168,7 @@ def bench_queries(spark):
         "spline_grid",
         "dedup_components",  # round 2: transitive closure (iterative joins)
         "ivf_topk",  # round 2: IVF ANN probe path
+        "winnow_pairs",  # round 3: rolling-hash fingerprint near-dup
     ]
     times = {}
     # Rep 0 is a DISCARDED warm-up (per-query first calls pay Python-worker
