@@ -313,3 +313,50 @@ def test_vector_reference_style_components(spark):
     assert vec.fitted_[0][1] is not first_fitted
     score = vec.score(df)  # linear trend on a sinusoidal field: R² ~ 0
     assert isinstance(score, float) and np.isfinite(score)
+
+
+def test_vector_data_cols_plural_and_score_override(spark):
+    """data_cols (plural, matching VectorSpline2D.score) works at fit and
+    score; passing both spellings raises; score(data_cols=...) compares
+    component i against the given column i."""
+    import pytest
+
+    df = _vector_scatter(spark)
+    vec = Vector([Trend(degree=1), Trend(degree=1)])
+    vec.fit(df, data_cols=("east_component", "north_component"))
+    assert [c for c, _ in vec.fitted_] == ["east_component", "north_component"]
+    with pytest.raises(TypeError, match="not both"):
+        vec.fit(df, data_col=("east_component",), data_cols=("east_component",))
+    s_default = vec.score(df)
+    s_named = vec.score(df, data_cols=("east_component", "north_component"))
+    assert s_default == s_named
+
+
+def test_scipygridder_full_basegridder_surface(spark):
+    """The reference's ScipyGridder inherits BaseGridder, so filter /
+    score / scatter / profile must all work — including as a non-final
+    Chain step (which calls filter on every earlier step)."""
+    import warnings
+
+    import pandas as pd
+
+    from verde_spark import Chain, ScipyGridder, Trend
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({
+        "easting": rng.uniform(0, 10, 150),
+        "northing": rng.uniform(0, 10, 150),
+        "scalars": rng.uniform(-2, 2, 150),
+    })
+    df = spark.createDataFrame(pdf)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", FutureWarning)
+        g = ScipyGridder("nearest").fit(df)
+        assert g.score(df) == 1.0          # nearest reproduces its own data
+        assert g.filter(df).count() == 150
+        assert g.scatter(spark, size=20).count() == 20
+        assert g.profile(spark, (0, 0), (10, 10), 15).count() == 15
+        chain = Chain([("trend", Trend(degree=1)),
+                       ("nearest", ScipyGridder("nearest"))])
+        chain.fit(df)
+        assert chain.grid(spark, spacing=2.0).count() > 0

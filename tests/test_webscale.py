@@ -950,3 +950,23 @@ def test_winnow_fingerprints_plan_zero_shuffle(spark):
     plan = winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_winnow_contained_copy(spark):
+    """A document embedded verbatim inside a longer one has winnow
+    containment 1.0 but low shingle-Jaccard — dedup_winnow drops it,
+    the Jaccard-threshold path would not."""
+    from verde_spark.operators.dedup import dedup_winnow, winnow_pairs
+
+    core = "the quick brown fox jumps over the lazy dog near the river"
+    filler = " ".join(f"filler{i} padding{i} noise{i}" for i in range(20))
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [core, f"{filler} {core} {filler}", "something else entirely x7"],
+    })
+    df = spark.createDataFrame(pdf)
+    pairs = winnow_pairs(df, min_shared=2).toPandas()
+    cont = {(a, b): c for a, b, _, c in pairs.itertuples(index=False)}
+    assert cont[(0, 1)] == 1.0                    # full containment
+    kept = dedup_winnow(df, min_containment=0.9).toPandas()
+    assert sorted(kept["doc_id"]) == [0, 2]       # min-id survives, container dropped

@@ -297,6 +297,38 @@ def winnow_pairs(
     )
 
 
+def dedup_winnow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_containment: float = 0.9,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    transitive: bool = True,
+) -> DataFrame:
+    """Drop winnow-fingerprint near-duplicates (containment ≥
+    *min_containment*): pairs → connected components → keep the min-id
+    member of each component.  Same keep policy as :func:`dedup_minhash`;
+    ``transitive=False`` = cheaper single-link drop of every ``id_b``.
+    Catches contained/partial copies exact dedup and shingle-Jaccard both
+    miss (a doc embedded inside a longer one has containment 1.0 but
+    Jaccard ≪ 1)."""
+    dups = winnow_pairs(
+        df, id_col, text_col, k=k, w=w,
+        min_shared=min_shared, min_containment=min_containment, max_df=max_df,
+    )
+    if transitive:
+        comp = connected_components(dups)
+        to_drop = comp.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_drop, id_col, "left_anti")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

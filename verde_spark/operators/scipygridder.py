@@ -76,6 +76,22 @@ class ScipyGridder:
     def predict(self, df: DataFrame, *args, **kwargs) -> DataFrame:
         return self._g.predict(df, *args, **kwargs)
 
+    # The reference's ScipyGridder inherits the full BaseGridder surface
+    # (filter/score/scatter/profile); delegate so e.g. Chain([...,
+    # ("nearest", ScipyGridder("nearest"))]) works here too.
+    def filter(self, df: DataFrame, **kwargs) -> DataFrame:
+        out = self._g.filter(df, **kwargs)
+        return out
+
+    def score(self, df: DataFrame, **kwargs) -> float:
+        return self._g.score(df, **kwargs)
+
+    def scatter(self, spark, *args, **kwargs) -> DataFrame:
+        return self._g.scatter(spark, *args, **kwargs)
+
+    def profile(self, spark, *args, **kwargs) -> DataFrame:
+        return self._g.profile(spark, *args, **kwargs)
+
     def grid(self, spark, region=None, shape=None, spacing=None, output_col="scalars"):
         return self._g.grid(
             spark, region=region, shape=shape, spacing=spacing, output_col=output_col

@@ -73,7 +73,16 @@ class Vector:
 
     def fit(self, df: DataFrame, weight_cols: Optional[Sequence[str]] = None,
             easting: str = "easting", northing: str = "northing",
-            data_col: Optional[Sequence[str]] = None) -> "Vector":
+            data_col: Optional[Sequence[str]] = None,
+            data_cols: Optional[Sequence[str]] = None) -> "Vector":
+        # data_cols is the natural plural for a multi-component fit and
+        # matches VectorSpline2D.score; data_col stays for BaseGridder
+        # keyword symmetry (the r2 Chain bug was exactly this kind of
+        # singular/plural trap)
+        if data_col is not None and data_cols is not None:
+            raise TypeError("pass data_col or data_cols, not both")
+        if data_cols is not None:
+            data_col = data_cols
         self.fitted_ = []
         for i, (col, est) in enumerate(self._pairs(data_col)):
             w = weight_cols[i] if weight_cols else None
@@ -129,13 +138,19 @@ class Vector:
         return self.predict(pts, suffix=suffix)
 
     def score(self, df: DataFrame, weight_cols: Optional[Sequence[str]] = None,
-              easting: str = "easting", northing: str = "northing") -> float:
+              easting: str = "easting", northing: str = "northing",
+              data_cols: Optional[Sequence[str]] = None) -> float:
         """Mean R² across components (the reference averages per-component
-        scores, base/utils.py:15-66) — one predict plan + ONE aggregate."""
+        scores, base/utils.py:15-66) — one predict plan + ONE aggregate.
+        ``data_cols`` scores against different column names than the fit
+        used (component i vs data_cols[i]); defaults to the fit columns."""
         from ..model_selection import r2_score_multi
 
         pred = self.predict(df, suffix="__pred", easting=easting, northing=northing)
-        pairs = [(col, f"{col}__pred") for col, _ in self.fitted_]
+        truth = list(data_cols) if data_cols is not None else [
+            col for col, _ in self.fitted_
+        ]
+        pairs = [(t, f"{col}__pred") for t, (col, _) in zip(truth, self.fitted_)]
         return float(np.mean(r2_score_multi(pred, pairs, weight_cols)))
 
 
