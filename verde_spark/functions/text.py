@@ -125,20 +125,28 @@ def kgram_hashes(text: Column | str = "text", k: int = 5, base: int = 257) -> Co
     """
     text = F.col(text) if isinstance(text, str) else text
     s = F.lower(text)
-    n_g = F.greatest(F.length(s) - F.lit(k - 1), F.lit(0))
+    # Split to a let-bound codepoint array FIRST: substr(s, i, 1) on a
+    # UTF8String is O(i) (it must scan for codepoint boundaries), so
+    # hashing grams straight off the string is O(m²·k) per document.
+    # One split + ascii pass is O(m), and element_at on the materialized
+    # int array is O(1), so the gram transform is the textbook O(m·k).
+    codes = F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("bigint"))
 
-    def gram(i: Column) -> Column:
-        total = F.lit(0).cast("bigint")
-        for j in range(k):
-            coef = base ** (k - 1 - j)
-            total = total + F.ascii(s.substr(i + F.lit(j + 1), F.lit(1))).cast(
-                "bigint"
-            ) * F.lit(coef)
-        return total
+    def grams(cs: Column) -> Column:
+        n_g = F.greatest(F.size(cs) - F.lit(k - 1), F.lit(0))
 
-    return F.when(n_g > 0, F.transform(F.sequence(F.lit(0), n_g - 1), gram)).otherwise(
-        F.array().cast("array<bigint>")
-    )
+        def gram(i: Column) -> Column:
+            total = F.lit(0).cast("bigint")
+            for j in range(k):
+                coef = base ** (k - 1 - j)
+                total = total + F.element_at(cs, (i + F.lit(j + 1)).cast("int")) * F.lit(coef)
+            return total
+
+        return F.when(
+            n_g > 0, F.transform(F.sequence(F.lit(0), n_g - 1), gram)
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    return F.element_at(F.transform(F.array(codes), grams), 1)
 
 
 def winnow_select(hashes: Column | str, w: int = 4) -> Column:
@@ -148,21 +156,30 @@ def winnow_select(hashes: Column | str, w: int = 4) -> Column:
 
     Guarantee: two documents sharing any substring of length
     ``≥ w + k - 1`` characters share at least one selected fingerprint.
-    Takes the *name* (or column) of an already-materialized k-gram array
-    so the O(m·k) gram expression is evaluated once per row — embedding
-    :func:`kgram_hashes` directly here would re-evaluate it inside every
-    window's ``slice`` (Catalyst's CollapseProject keeps non-cheap
-    expressions used more than once in their own Project, but only
-    across separate projections).
+
+    The input array is LET-BOUND before the window scan:
+    ``transform(array(hashes), h -> ...)`` materializes the (possibly
+    expensive, O(m·k)) gram expression exactly once per row and binds it
+    to a lambda variable, so every window's ``slice`` reads the
+    materialized array.  Referencing the raw expression inside the window
+    ``transform`` instead is an O(m²·k) trap: Catalyst's CollapseProject
+    inlines a producer Project's expression into its consumers — including
+    into lambda bodies — so the full gram array gets recomputed for every
+    one of the m windows (measured: 60 short docs took 70 s interpreted;
+    the let-bound form takes milliseconds).
     """
     hashes = F.col(hashes) if isinstance(hashes, str) else hashes
-    n_w = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(0))
-    sel = F.transform(
-        F.sequence(F.lit(1), n_w), lambda j: F.array_min(F.slice(hashes, j, w))
-    )
-    return F.when(n_w > 0, F.array_sort(F.array_distinct(sel))).otherwise(
-        F.array().cast("array<bigint>")
-    )
+
+    def _sel(h: Column) -> Column:
+        n_w = F.greatest(F.size(h) - F.lit(w - 1), F.lit(0))
+        sel = F.transform(
+            F.sequence(F.lit(1), n_w), lambda j: F.array_min(F.slice(h, j, w))
+        )
+        return F.when(n_w > 0, F.array_sort(F.array_distinct(sel))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    return F.element_at(F.transform(F.array(hashes), _sel), 1)
 
 
 def shingles(text: Column | str = "text", n: int = 3) -> Column:

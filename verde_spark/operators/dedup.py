@@ -202,10 +202,11 @@ def winnow_fingerprints(
     least one fingerprint, so partial/contained copies are caught — the
     complement of whole-document ``fingerprint()`` exact dedup.
 
-    Scale shape: two narrow projections + a ``Generate`` (explode) — zero
+    Scale shape: narrow projections + a ``Generate`` (explode) — zero
     shuffles; fingerprinting is embarrassingly parallel over the corpus.
-    The two-step projection keeps the O(m·k) gram array evaluated once per
-    row (see :func:`verde_spark.functions.text.winnow_select`).
+    :func:`verde_spark.functions.text.winnow_select` let-binds the gram
+    array so it is materialized once per row even after CollapseProject
+    inlines the projections (the alternative is O(m²·k) per document).
     """
     from ..functions.text import kgram_hashes, winnow_select
 
