@@ -970,3 +970,45 @@ def test_dedup_winnow_contained_copy(spark):
     assert cont[(0, 1)] == 1.0                    # full containment
     kept = dedup_winnow(df, min_containment=0.9).toPandas()
     assert sorted(kept["doc_id"]) == [0, 2]       # min-id survives, container dropped
+
+
+def test_winnow_arrow_engine_bit_identical(spark):
+    """The vectorized NumPy engine produces EXACTLY the interpreted-
+    Catalyst engine's fingerprint sets (same polynomial hash, same window
+    minima) — including unicode text, texts shorter than k, and texts with
+    fewer than w grams — and its plan is Arrow-batched with zero shuffle."""
+    from verde_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    edge = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [9001, 9002, 9003, 9004],
+            "text": ["ab", "abcdefg", "Ünïcødé tèxt ünïcødé tèxt", ""],
+        })
+    )
+    both = docs.unionByName(edge)
+    cat = winnow_fingerprints(both, engine="catalyst").toPandas()
+    arr = winnow_fingerprints(both, engine="arrow").toPandas()
+    key = ["doc_id", "fp"]
+    pd.testing.assert_frame_equal(
+        cat.sort_values(key).reset_index(drop=True),
+        arr.sort_values(key).reset_index(drop=True),
+    )
+
+    plan = (
+        winnow_fingerprints(docs, engine="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan and "Exchange" not in plan
+
+    p_cat = winnow_pairs(both, min_shared=2, engine="catalyst").toPandas()
+    p_arr = winnow_pairs(both, min_shared=2, engine="arrow").toPandas()
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        p_cat.sort_values(key).reset_index(drop=True),
+        p_arr.sort_values(key).reset_index(drop=True),
+    )
