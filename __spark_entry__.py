@@ -684,6 +684,13 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.9 cut returns exactly the 10 planted pairs — a discriminating
     (non-vacuous) result.  Containment is a ratio of exact int64 counts,
     so one IEEE division matches DuckDB bit-for-bit.
+
+    Runs the vectorized ``engine="arrow"`` path (bit-identical to the
+    Catalyst expressions by construction AND by test — see
+    test_winnow_arrow_engine_bit_identical), so the oracle validates the
+    engine a crawl-scale corpus would actually use; the sibling
+    ``winnow_fingerprints`` query keeps the pure-Catalyst engine under
+    the same oracle, so both paths are value-gated every round.
     """
     from verde_spark.operators.dedup import winnow_pairs
 
@@ -697,7 +704,7 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = docs.unionByName(copies)
     return (
-        winnow_pairs(both, min_shared=3, min_containment=0.9)
+        winnow_pairs(both, min_shared=3, min_containment=0.9, engine="arrow")
         .select(
             "id_a",
             "id_b",

@@ -1012,3 +1012,48 @@ def test_winnow_arrow_engine_bit_identical(spark):
         p_cat.sort_values(key).reset_index(drop=True),
         p_arr.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_minhash_simhash_arrow_engines_bit_identical(spark):
+    """The vectorized NumPy signature engines equal the Catalyst
+    aggregates exactly — coefficients come from one shared derivation and
+    the modular arithmetic stays < 2^62 (int64-exact) — including null
+    text, empty text, and shorter-than-shingle docs."""
+    from verde_spark.functions.text import shingles
+    from verde_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+        minhash_udf,
+        simhash_signatures,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    edge = spark.createDataFrame(
+        [(9001, "ab"), (9002, "one two"), (9003, ""), (9004, None)],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+
+    cat = both.select("doc_id", minhash_signature(shingles("text")).alias("sig"))
+    arr = both.select("doc_id", minhash_udf()(shingles("text")).alias("sig"))
+    pd.testing.assert_frame_equal(
+        cat.orderBy("doc_id").toPandas(), arr.orderBy("doc_id").toPandas()
+    )
+
+    s_cat = simhash_signatures(both, engine="catalyst")
+    s_arr = simhash_signatures(both, engine="arrow")
+    pd.testing.assert_frame_equal(
+        s_cat.orderBy("doc_id").toPandas(), s_arr.orderBy("doc_id").toPandas()
+    )
+
+    p_cat = lsh_candidate_pairs(docs, engine="catalyst").toPandas()
+    p_arr = lsh_candidate_pairs(docs, engine="arrow").toPandas()
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        p_cat.sort_values(key).reset_index(drop=True),
+        p_arr.sort_values(key).reset_index(drop=True),
+    )

@@ -242,14 +242,38 @@ def shingles(text: Column | str = "text", n: int = 3) -> Column:
     ``split`` → ``transform(sequence)`` over sliding windows → xxhash64 of
     the joined n-gram. Pure Catalyst; yields an empty array for texts
     shorter than n words.
+
+    The word array is let-bound (same trick as :func:`winnow_select`):
+    interpreted Catalyst has no common-subexpression elimination, so an
+    ``element_at(split(...), i)`` inside the window lambda re-runs the
+    full O(m) split per window per word — measured 0.05 Mchar/s
+    (quadratic) vs linear after binding.
     """
     text = F.col(text) if isinstance(text, str) else text
-    words = F.split(F.lower(F.trim(text)), r"\s+")
-    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), n_sh - 1)
-    gram = lambda i: F.xxhash64(  # noqa: E731
-        F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)])
-    )
-    return F.when(n_sh > 0, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<bigint>")
-    )
+    split_words = F.split(F.lower(F.trim(text)), r"\s+")
+
+    def _grams(words: Column) -> Column:
+        # Sliding windows as arrays_zip of n shifted slices — the inner
+        # transform's lambda touches ONLY its own zip element.  Two reasons
+        # over the index-and-element_at formulation: (1) it is ~1.7×
+        # faster interpreted (no per-window element_at dispatch), and
+        # (2) an inner lambda referencing the outer lambda variable more
+        # than once hits a Spark internal error ("Cannot evaluate
+        # expression") whenever the whole expression is an argument to a
+        # pandas UDF (e.g. minhash_udf).  arrays_zip pads the shifted
+        # slices with nulls, so the trailing (incomplete) windows are
+        # sliced off; guard-free — slice(x, 1, 0) = [] keeps
+        # short/empty/null texts at an empty gram array, bit-identical to
+        # the old CASE WHEN form.
+        big = F.size(words)
+        cols = [
+            F.slice(words, j + 1, F.greatest(big - j, F.lit(0))).alias(f"w{j}")
+            for j in range(n)
+        ]
+        grams = F.transform(
+            F.arrays_zip(*cols),
+            lambda e: F.xxhash64(F.concat_ws(" ", *[e[f"w{j}"] for j in range(n)])),
+        )
+        return F.slice(grams, 1, F.greatest(big - F.lit(n - 1), F.lit(0)))
+
+    return F.element_at(F.transform(F.array(split_words), _grams), 1)
