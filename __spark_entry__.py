@@ -808,14 +808,15 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POLY = [(-4.5, 5.5), (-0.5, 6.2), (-2.5, 7.8), (-0.2, 9.3), (-3.8, 9.6), (-4.8, 7.1)]
 
 
-def _poly_crossing_sql() -> str:
+def _poly_crossing_sql(poly=None) -> str:
     """Even-odd crossing count as SQL with the same operation order as
     ``point_in_polygon_expr`` (IEEE-exact parity)."""
+    poly = _POLY if poly is None else poly
     terms = []
-    n = len(_POLY)
+    n = len(poly)
     for i in range(n):
-        ax, ay = _POLY[i]
-        bx, by = _POLY[(i + 1) % n]
+        ax, ay = poly[i]
+        bx, by = poly[(i + 1) % n]
         terms.append(
             f"CASE WHEN (({ay!r} > northing) <> ({by!r} > northing)) AND "
             f"(easting < {ax!r} + ({bx!r} - {ax!r}) * (northing - {ay!r}) / ({by!r} - {ay!r})) "
@@ -914,6 +915,71 @@ def _q_cubic_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("iy", "ix")
 
 
+# second burn polygon for the rasterize query: triangle inside REGION, no
+# horizontal edges, vertices off the 0.5 node lattice
+_TRI2 = [(-3.2, 5.7), (-0.7, 6.9), (-2.1, 9.4)]
+
+
+def _q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster burn onto the 11×11 REGION grid (north rule:
+    raster↔vector).  Two overlapping polygons with burn values 2 and 5,
+    ``agg="max"`` priority, fill 0 — every arm (both memberships, the
+    overlap resolution, and the fill) is exercised.  Membership is the
+    same even-odd crossing arithmetic as ``point_in_polygon`` (IEEE-exact
+    SQL parity via ``_poly_crossing_sql``); burn values and max are exact
+    in both engines."""
+    from verde_spark.operators.polygons import rasterize
+
+    polys = spark.createDataFrame(
+        [
+            (2.0, [{"x": float(x), "y": float(y)} for x, y in _POLY]),
+            (5.0, [{"x": float(x), "y": float(y)} for x, y in _TRI2]),
+        ],
+        schema="val double, vertices array<struct<x:double,y:double>>",
+    )
+    return rasterize(
+        polys, REGION, spacing=0.5, value_col="val", fill=0.0, agg="max"
+    ).orderBy("iy", "ix")
+
+
+def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (input_hint invariant: byte-identical
+    extracted text per url vs the reference extractor).  Each document's
+    text is wrapped in an HTML envelope carrying every spec arm — style
+    block, comment containing a tag, attributes, script with markup
+    inside a string, all five entities — and the pure-Catalyst
+    ``extract_text`` chain must reproduce DuckDB's replay of the same
+    spec (``extract_text_sql``) byte-for-byte; tests additionally pin
+    both to the Python reference extractor."""
+    from verde_spark.functions.extract import extract_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    html = F.concat(
+        F.lit(_HTML_PREFIX), F.col("text"), F.lit(_HTML_SUFFIX)
+    ).cast("binary")
+    return docs.select(
+        "doc_id", extract_text(html).alias("text_out")
+    ).orderBy("doc_id")
+
+
+def _extract_sql(col_expr: str) -> str:
+    from verde_spark.functions.extract import extract_text_sql
+
+    return extract_text_sql(col_expr)
+
+
+_HTML_PREFIX = (
+    '<html><head><style>p { color: red; }</style></head>'
+    '<body class="main"><!-- note with a <b>tag</b> inside --><p>'
+)
+_HTML_SUFFIX = (
+    '</p><script type="text/javascript">var s = "<i>not text</i>";</script>'
+    " &amp;&lt;tail&gt;</body></html>"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "block_mean": _q_block_mean,
@@ -960,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cubic_grid": _q_cubic_grid,
         "point_in_polygon": _q_point_in_polygon,
         "zonal_stats": _q_zonal_stats,
+        "rasterize_grid": _q_rasterize,
+        "extract_text": _q_extract_text,
     }
 
 
@@ -1518,5 +1586,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT iy, ix,
                    round(4.0 - 1.6 * easting + 0.2 * northing, 4) + 0.0 AS prediction
             FROM nodes ORDER BY iy, ix
+        """,
+        "rasterize_grid": f"""
+            WITH nodes AS ({grid_nodes_sql}),
+            hits AS (
+              SELECT iy, ix, max(v) AS value FROM (
+                SELECT iy, ix,
+                       CASE WHEN (({_poly_crossing_sql()}) % 2) = 1
+                            THEN 2.0 END AS v
+                FROM nodes
+                UNION ALL
+                SELECT iy, ix,
+                       CASE WHEN (({_poly_crossing_sql(_TRI2)}) % 2) = 1
+                            THEN 5.0 END AS v
+                FROM nodes
+              ) GROUP BY iy, ix
+            )
+            SELECT n.iy, n.ix, n.northing, n.easting,
+                   coalesce(h.value, 0.0) AS value
+            FROM nodes n JOIN hits h ON n.iy = h.iy AND n.ix = h.ix
+            ORDER BY n.iy, n.ix
+        """,
+        "extract_text": f"""
+            SELECT doc_id,
+                   {_extract_sql(f"'{_HTML_PREFIX}' || text || '{_HTML_SUFFIX}'")} AS text_out
+            FROM documents WHERE doc_id < 500 ORDER BY doc_id
         """,
     }

@@ -257,3 +257,106 @@ def test_polygon_properties_degenerate(spark):
     got = polygon_properties(df).toPandas()
     assert got["area"][0] == 0.0
     assert got["centroid_x"][0] == 2.0 and got["centroid_y"][0] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# rasterize (vector→raster)
+# ---------------------------------------------------------------------------
+
+TRI = [(1.0, 0.2), (6.0, 2.3), (2.0, 5.6)]
+
+
+def _poly_df(spark, polys):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "val": [v for v, _ in polys],
+                "vertices": [
+                    [{"x": float(x), "y": float(y)} for x, y in verts]
+                    for _, verts in polys
+                ],
+            }
+        ),
+        schema="val double, vertices array<struct<x:double,y:double>>",
+    )
+
+
+def _raster_reference(region, shape, polys, agg, fill):
+    w, e, s, n = region
+    xs = np.linspace(w, e, shape[1])
+    ys = np.linspace(s, n, shape[0])
+    xx, yy = np.meshgrid(xs, ys)
+    out = np.full(shape, np.nan)
+    hits = np.zeros(shape)
+    for val, verts in polys:
+        m = pnpoly(xx, yy, verts)
+        if agg == "max":
+            out[m] = np.fmax(out[m], val)
+        elif agg == "sum":
+            out[m] = np.where(np.isnan(out[m]), val, out[m] + val)
+        elif agg == "count":
+            hits[m] += 1
+    if agg == "count":
+        out = np.where(hits > 0, hits, np.nan)
+    if fill is not None:
+        out = np.where(np.isnan(out), fill, out)
+    return out
+
+
+@pytest.mark.parametrize("method", ["broadcast", "cells"])
+@pytest.mark.parametrize("agg", ["max", "sum", "count"])
+def test_rasterize_matches_reference(spark, method, agg):
+    from verde_spark.operators.polygons import rasterize
+
+    region = (-2.0, 7.0, -1.0, 7.0)
+    shape = (19, 19)
+    polys = [(2.0, ARROW), (5.0, TRI)]
+    want = _raster_reference(region, shape, polys, agg, fill=0.0)
+    got = (
+        rasterize(
+            _poly_df(spark, polys), region, shape=shape,
+            value_col="val", fill=0.0, agg=agg, method=method,
+        )
+        .orderBy("iy", "ix")
+        .toPandas()["value"]
+        .to_numpy()
+        .reshape(shape)
+    )
+    assert (want > 0).any() and (want == 0).any()  # non-vacuous
+    np.testing.assert_array_equal(got, want)
+    if agg == "max":  # overlap region must show the larger burn value
+        assert (want == 5.0).any() and (want == 2.0).any()
+
+
+def test_rasterize_no_value_col_and_null_fill(spark):
+    from verde_spark.operators.polygons import rasterize
+
+    region = (-2.0, 7.0, -1.0, 7.0)
+    got = rasterize(
+        _poly_df(spark, [(1.0, TRI)]).drop("val"), region, shape=(9, 9)
+    ).toPandas()
+    inside = got["value"].notna()
+    assert inside.any() and (~inside).any()
+    assert (got.loc[inside, "value"] == 1.0).all()
+
+
+def test_rasterize_empty_polygon_table(spark):
+    from verde_spark.operators.polygons import rasterize
+
+    empty = _poly_df(spark, []).limit(0)
+    got = rasterize(empty, (0.0, 1.0, 0.0, 1.0), shape=(4, 4), fill=-1.0)
+    vals = got.toPandas()["value"]
+    assert len(vals) == 16 and (vals == -1.0).all()
+
+
+def test_rasterize_broadcast_is_zero_shuffle(spark):
+    from verde_spark.operators.polygons import rasterize
+
+    plan = (
+        rasterize(_poly_df(spark, [(1.0, TRI)]), (0.0, 6.0, 0.0, 6.0), shape=(50, 50), value_col="val")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "Python" not in plan

@@ -50,7 +50,8 @@ from .operators.linear import Linear
 from .operators.scipygridder import ScipyGridder
 from .operators.vector import Vector, VectorSpline2D
 from .operators.splinecv import SplineCV
-from .operators.polygons import point_in_polygon, polygon_join, zonal_stats
+from .operators.polygons import point_in_polygon, polygon_join, rasterize, zonal_stats
+from .functions.extract import extract_text, reference_extract_text
 from .operators.projections import project_grid, project_points
 from .checkpoint import TileCheckpoint, run_resumable
 from .operators.windows import expanding_window, rolling_window
@@ -88,8 +89,11 @@ __all__ = [
     "KNeighbors",
     "Cubic",
     "Linear",
+    "extract_text",
     "point_in_polygon",
     "polygon_join",
+    "rasterize",
+    "reference_extract_text",
     "zonal_stats",
     "ScipyGridder",
     "Spline",
