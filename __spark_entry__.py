@@ -970,6 +970,18 @@ def _extract_sql(col_expr: str) -> str:
     return extract_text_sql(col_expr)
 
 
+def _canonical_sql(col_expr: str) -> str:
+    from verde_spark.functions.urls import canonical_url_sql
+
+    return canonical_url_sql(col_expr)
+
+
+def _repetition_sql(col_expr: str) -> str:
+    from verde_spark.functions.text import repetition_ratio_sql
+
+    return repetition_ratio_sql(col_expr)
+
+
 _HTML_PREFIX = (
     '<html><head><style>p { color: red; }</style></head>'
     '<body class="main"><!-- note with a <b>tag</b> inside --><p>'
@@ -978,6 +990,67 @@ _HTML_SUFFIX = (
     '</p><script type="text/javascript">var s = "<i>not text</i>";</script>'
     " &amp;&lt;tail&gt;</body></html>"
 )
+
+
+def _q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (crawl-pipeline front door).  Messy url
+    variants — mixed scheme/host case, default and non-default ports,
+    tracking params, unsorted queries, fragments — are synthesized per
+    doc_id identically in both engines; the pure-Catalyst
+    ``canonical_url`` chain must match DuckDB's replay of the same spec
+    (``canonical_url_sql``) byte-for-byte."""
+    from verde_spark.functions.urls import canonical_url
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 400
+    )
+    messy = F.concat(
+        F.element_at(
+            F.array(
+                F.lit("HTTP://Example.COM:80"),
+                F.lit("https://Example.com:443"),
+                F.lit("https://other.ORG:8443"),
+            ),
+            ((F.col("doc_id") % 3) + 1).cast("int"),
+        ),
+        F.lit("/p"),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit("?b=2&utm_source=s&a="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("#frag"),
+    )
+    return docs.select(
+        "doc_id", canonical_url(messy).alias("curl")
+    ).orderBy("doc_id")
+
+
+_MESSY_URL_SQL = (
+    "(CASE doc_id % 3 WHEN 0 THEN 'HTTP://Example.COM:80' "
+    "WHEN 1 THEN 'https://Example.com:443' "
+    "ELSE 'https://other.ORG:8443' END "
+    "|| '/p' || CAST(doc_id % 11 AS VARCHAR) "
+    "|| '?b=2&utm_source=s&a=' || CAST(doc_id % 5 AS VARCHAR) || '#frag')"
+)
+
+
+def _q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal (Gopher-style quality filter).
+    Every 4th document gets a planted repeated tail so the fixture
+    discriminates (non-zero AND zero ratios present); the ratio is one
+    IEEE division of exact int counts, identical in both engines."""
+    from verde_spark.functions.text import repetition_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 400
+    )
+    text = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.col("text"), F.lit(" spam spam spam spam spam")),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        (F.round(repetition_ratio(text), 9) + F.lit(0.0)).alias("rep"),
+    ).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1028,6 +1101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": _q_zonal_stats,
         "rasterize_grid": _q_rasterize,
         "extract_text": _q_extract_text,
+        "canonical_urls": _q_canonical_urls,
+        "repetition_scores": _q_repetition_scores,
     }
 
 
@@ -1611,5 +1686,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    {_extract_sql(f"'{_HTML_PREFIX}' || text || '{_HTML_SUFFIX}'")} AS text_out
             FROM documents WHERE doc_id < 500 ORDER BY doc_id
+        """,
+        "canonical_urls": f"""
+            SELECT doc_id, {_canonical_sql(_MESSY_URL_SQL)} AS curl
+            FROM documents WHERE doc_id < 400 ORDER BY doc_id
+        """,
+        "repetition_scores": f"""
+            SELECT doc_id,
+                   round({_repetition_sql(
+                       "(CASE WHEN doc_id % 4 = 0 "
+                       "THEN text || ' spam spam spam spam spam' "
+                       "ELSE text END)"
+                   )}, 9) + 0.0 AS rep
+            FROM documents WHERE doc_id < 400 ORDER BY doc_id
         """,
     }

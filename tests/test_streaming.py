@@ -159,3 +159,41 @@ def test_stream_to_tile_store_upsert_and_resume(spark, tmp_path):
     assert any(d.startswith("win_start=") for d in os.listdir(store))
     with pytest.raises(ValueError, match="partition_cols"):
         stream_to_tile_store(agg2, store, ckpt, partition_cols=("nope",))
+
+
+def test_streaming_dedup_url(spark, tmp_path):
+    """Messy variants of the same canonical url collapse across
+    micro-batch files; the survivor count equals the batch-side count of
+    distinct canonical urls."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.functions.urls import canonical_url
+    from verde_spark.streaming import streaming_dedup_url
+
+    path = str(tmp_path / "pages")
+    base = synthesize_pages(spark, 300, seed=42)
+    messy = base.withColumn(
+        "url",
+        F.concat(
+            F.element_at(
+                F.array(F.lit("http://Example.com:80"), F.lit("HTTP://example.COM")),
+                (F.pmod(F.xxhash64("url"), 2) + 1).cast("int"),
+            ),
+            F.lit("/p"),
+            F.pmod(F.xxhash64("url", F.lit(1)), 40).cast("string"),
+            F.lit("?utm_source=s"),
+        ),
+    )
+    messy.limit(150).write.mode("append").parquet(path)
+    messy.write.mode("append").parquet(path)
+
+    stream = streaming_dedup_url(stream_pages(spark, path), watermark="1 hour")
+    run_to_memory(stream, "dedup_url_t", mode="append")
+    n = spark.sql("select count(*) c from dedup_url_t").first()["c"]
+    batch = (
+        spark.read.parquet(path)
+        .select(canonical_url("url").alias("c"))
+        .distinct()
+        .count()
+    )
+    assert n == batch == 40

@@ -52,6 +52,7 @@ from .operators.vector import Vector, VectorSpline2D
 from .operators.splinecv import SplineCV
 from .operators.polygons import point_in_polygon, polygon_join, rasterize, zonal_stats
 from .functions.extract import extract_text, reference_extract_text
+from .functions.urls import canonical_url, dedup_url, domain_of, top_domains
 from .operators.projections import project_grid, project_points
 from .checkpoint import TileCheckpoint, run_resumable
 from .operators.windows import expanding_window, rolling_window
@@ -89,10 +90,14 @@ __all__ = [
     "KNeighbors",
     "Cubic",
     "Linear",
+    "canonical_url",
+    "dedup_url",
+    "domain_of",
     "extract_text",
     "point_in_polygon",
     "polygon_join",
     "rasterize",
+    "top_domains",
     "reference_extract_text",
     "zonal_stats",
     "ScipyGridder",

@@ -105,6 +105,63 @@ def quality_score(text: Column | str = "text") -> Column:
     )
 
 
+def repetition_ratio(text: Column | str = "text", n: int = 2) -> Column:
+    """Fraction of duplicated word *n*-grams — the Gopher-style
+    within-document repetition signal (templated/boilerplate pages score
+    high, natural prose low).  ``1 - distinct(grams)/count(grams)``; 0.0
+    when the text has fewer than *n* words, null for null text.
+
+    Pure Catalyst: the word array is let-bound (no CSE in interpreted
+    Catalyst), windows come from the same shifted-slice ``arrays_zip``
+    pattern as :func:`shingles`, and the whitespace class is the
+    engine-portable ``[ \\t\\r\\n\\f]`` so :func:`repetition_ratio_sql`
+    replays the chain bit-for-bit in DuckDB.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    split_words = F.split(F.lower(F.trim(text)), "[ \t\r\n\f]+")
+
+    def _ratio(words: Column) -> Column:
+        big = F.size(words)
+        cols = [
+            F.slice(words, j + 1, F.greatest(big - j, F.lit(0))).alias(f"w{j}")
+            for j in range(n)
+        ]
+        grams = F.transform(
+            F.arrays_zip(*cols),
+            lambda e: F.concat_ws(" ", *[e[f"w{j}"] for j in range(n)]),
+        )
+        grams = F.slice(grams, 1, F.greatest(big - F.lit(n - 1), F.lit(0)))
+        m = F.size(grams)
+        return F.when(
+            m > 0,
+            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / m,
+        ).otherwise(F.lit(0.0))
+
+    ratio = F.element_at(F.transform(F.array(split_words), _ratio), 1)
+    return F.when(text.isNotNull(), ratio)
+
+
+def repetition_ratio_sql(col: str, n: int = 2) -> str:
+    """DuckDB twin of :func:`repetition_ratio` (driver-oracle parity)."""
+    joined = " || ' ' || ".join(f"ws[i+{j + 1}]" for j in range(n))
+    return f"""(
+      CASE WHEN {col} IS NULL THEN NULL ELSE (
+        WITH w AS (
+          SELECT string_split_regex(lower(trim({col})), '[ \t\r\n\f]+') AS ws
+        ),
+        g AS (
+          SELECT list_transform(range(0, greatest(len(ws) - {n - 1}, 0)),
+                                i -> {joined}) AS grams
+          FROM w
+        )
+        SELECT CASE WHEN len(grams) > 0
+                    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                    ELSE 0.0 END
+        FROM g
+      ) END
+    )"""
+
+
 def fingerprint(text: Column | str = "text") -> Column:
     """Deterministic 64-bit document fingerprint (xxhash64 of the text) —
     the exact-dedup key."""

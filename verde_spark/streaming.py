@@ -78,6 +78,22 @@ def streaming_dedup(pages: DataFrame, watermark: str = "10 minutes") -> DataFram
     )
 
 
+def streaming_dedup_url(pages: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """URL-keyed dedup across micro-batches: canonicalize the url
+    (scheme/host case, default ports, fragments, tracking params — see
+    ``functions.urls.canonical_url``) and keep the first arrival per
+    canonical url within the watermark horizon.  The canonical key is a
+    pure projection, so state size is the only cost — bounded by the
+    watermark exactly as :func:`streaming_dedup`."""
+    from .functions.urls import canonical_url
+
+    return (
+        pages.withColumn("curl", canonical_url("url"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["curl"])
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update"):
     """availableNow trigger → in-memory table; returns the finished query.
 
