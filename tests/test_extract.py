@@ -102,3 +102,50 @@ def test_extract_text_is_pure_projection(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan and "BatchEval" not in plan
+
+
+def test_extract_fuzz_spark_vs_reference(spark):
+    """Component-built fuzz corpus (seeded): random nestings of tags,
+    scripts, comments, entities, whitespace runs, multi-byte UTF-8 and
+    invalid bytes — Spark and the Python reference must stay
+    byte-identical on every sample."""
+    import random
+
+    rng = random.Random(12345)
+    pieces = [
+        "plain words ", "<b>", "</b>", "<SCRIPT a='<i>'>x</SCRIPT>",
+        "<script>", "</script>", "<style>p{}</style>", "<!--", "-->",
+        "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&amp;lt;",
+        " ", "\t", "\n", "\r\n", "\f", "é", "中", "<", ">", "=", '"',
+        "un closed <tag attr", "word", "<p class='x'>", "</p>",
+    ]
+    docs = []
+    for _ in range(250):
+        body = "".join(rng.choice(pieces) for _ in range(rng.randint(0, 25)))
+        b = body.encode("utf-8")
+        if rng.random() < 0.2:  # splice an invalid byte run
+            pos = rng.randint(0, len(b))
+            b = b[:pos] + bytes([0xC3, 0x28, 0xFF]) + b[pos:]
+        docs.append(b)
+    want = [reference_extract_text(b) for b in docs]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(docs)], "i long, html binary"
+    )
+    got = [
+        r["t"]
+        for r in df.select("i", extract_text("html").alias("t")).orderBy("i").collect()
+    ]
+    assert got == want
+
+
+def test_geotag_from_extracted_html_equals_stored_text(spark):
+    """North-star chain: geotag from extract_text(html) must equal the
+    stored-text geotag on every page (the byte-identity invariant makes
+    the two modes provably the same)."""
+    from verde_spark.sources.pages import geotagged, synthesize_pages
+
+    pages = synthesize_pages(spark, 200)
+    a = geotagged(pages).select("url", "lon", "lat")
+    b = geotagged(pages, from_html=True).select("url", "lon", "lat")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.filter("lon IS NULL OR lat IS NULL").count() == 0

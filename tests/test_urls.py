@@ -172,3 +172,47 @@ def test_repetition_ratio_three_engines(spark):
     ).df()["r"].tolist()
     got_duck = [None if pd.isna(v) else v for v in got_duck]
     assert got_duck == want
+
+
+def test_canonical_url_fuzz_three_engines(spark):
+    """Component-built fuzz urls (seeded): random scheme/host case, ports,
+    paths, param soups and fragments — all three engines byte-identical."""
+    import random
+
+    rng = random.Random(777)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp", ""]
+    hosts = ["Example.COM", "a.b.c", "HOST", "user@Example.com", ""]
+    ports = ["", ":80", ":443", ":8080", ":"]
+    paths = ["", "/", "/P/q", "/a%20b", "//x"]
+    params = ["", "a=1", "utm_source=x", "b", "gclid=2", "z=Z", "utm_", "&", "a=1&a=0"]
+    frags = ["", "#f", "#a#b"]
+    urls = []
+    for _ in range(300):
+        u = (
+            rng.choice(schemes)
+            + ("://" if rng.random() < 0.9 else ":/")
+            + rng.choice(hosts)
+            + rng.choice(ports)
+            + rng.choice(paths)
+            + ("?" + "&".join(rng.choice(params) for _ in range(rng.randint(0, 4)))
+               if rng.random() < 0.7 else "")
+            + rng.choice(frags)
+        )
+        if rng.random() < 0.1:
+            u = " " + u + "  "
+        urls.append(u)
+    want = [reference_canonical_url(u) for u in urls]
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    got = [
+        r["c"]
+        for r in df.select("i", canonical_url("url").alias("c")).orderBy("i").collect()
+    ]
+    assert got == want
+
+    con = duckdb.connect()
+    con.register("fz", pd.DataFrame({"i": range(len(urls)), "u": urls}))
+    got_duck = con.execute(
+        f"SELECT {canonical_url_sql('u')} AS c FROM fz ORDER BY i"
+    ).df()["c"].tolist()
+    assert got_duck == want

@@ -49,6 +49,12 @@ def main(argv=None) -> int:
              "embeddings parquet (--input must carry vec_id + embedding)",
     )
     ap.add_argument("--threshold", type=float, default=0.8, help="dedup Jaccard threshold")
+    ap.add_argument(
+        "--from-html", action="store_true",
+        help="geotag from extract_text(html) instead of the stored text "
+             "column (the north star's full extracted-text chain; both are "
+             "pure projections and byte-equivalent on well-formed tables)",
+    )
     ap.add_argument("--centroids", type=int, default=64, help="ivf-index centroid count")
     args = ap.parse_args(argv)
 
@@ -110,7 +116,7 @@ def main(argv=None) -> int:
             "dim": int(cents.shape[1]), "sec": round(time.time() - t0, 3),
         }))
         return 0
-    pts = geotagged(pages).select(
+    pts = geotagged(pages, from_html=args.from_html).select(
         F.col("lon").alias("easting"), F.col("lat").alias("northing")
     )
     # flagship field: checkerboard of the geotag (deterministic, verifiable)

@@ -105,7 +105,13 @@ def reference_extract_text(html: bytes | str) -> str:
     ``re``) — the 'reference extractor' of the per-url byte-identity
     invariant.  Used by tests and by anyone validating a cluster run
     against a local sample."""
-    s = html.decode("utf-8") if isinstance(html, (bytes, bytearray)) else html
+    # errors="replace" matches Spark's binary→string cast (both emit
+    # U+FFFD per invalid sequence; verified identical on mixed invalid runs)
+    s = (
+        html.decode("utf-8", errors="replace")
+        if isinstance(html, (bytes, bytearray))
+        else html
+    )
     for pat, rep in _TAG_PASSES:
         s = re.sub(pat, rep, s)
     for lit, rep in _ENTITY_PASSES:

@@ -103,11 +103,26 @@ def synthesize_pages_numpy(
     return spark.createDataFrame(pdf)
 
 
-def geotagged(pages: DataFrame) -> DataFrame:
+def geotagged(pages: DataFrame, from_html: bool = False) -> DataFrame:
     """pages + (lon, lat) parsed from text — the spatial entry point.
 
     Pure ``regexp_extract`` column expressions; ``text`` is untouched.
+
+    ``from_html=True`` runs the north star's full chain — geotag from
+    *extracted* text: ``extract_text(html)`` feeds the geotag regexes
+    instead of the stored ``text`` column.  Extraction is itself a pure
+    projection, so the whole path stays one codegen'd scan either way;
+    the per-url byte-identity invariant (extracted == stored, tested in
+    test_extract) makes the two modes provably equivalent on a
+    well-formed page table.
     """
     from ..functions.text import geotag_lat, geotag_lon
 
+    if from_html:
+        from ..functions.extract import extract_text
+
+        src = extract_text("html")
+        return pages.withColumn("lon", geotag_lon(src)).withColumn(
+            "lat", geotag_lat(src)
+        )
     return pages.withColumn("lon", geotag_lon("text")).withColumn("lat", geotag_lat("text"))

@@ -78,7 +78,12 @@ def streaming_dedup(pages: DataFrame, watermark: str = "10 minutes") -> DataFram
     )
 
 
-def streaming_dedup_url(pages: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+def streaming_dedup_url(
+    pages: DataFrame,
+    watermark: str = "10 minutes",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
     """URL-keyed dedup across micro-batches: canonicalize the url
     (scheme/host case, default ports, fragments, tracking params — see
     ``functions.urls.canonical_url``) and keep the first arrival per
@@ -88,8 +93,8 @@ def streaming_dedup_url(pages: DataFrame, watermark: str = "10 minutes") -> Data
     from .functions.urls import canonical_url
 
     return (
-        pages.withColumn("curl", canonical_url("url"))
-        .withWatermark("warc_ts", watermark)
+        pages.withColumn("curl", canonical_url(url_col))
+        .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["curl"])
     )
 
