@@ -1053,6 +1053,34 @@ def _q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level paragraph dedup.  Every even doc gets the
+    same planted boilerplate footer (corpus count ≥ 2 → removed
+    everywhere); odd docs get unique tails (kept); the original text
+    lines are unique and must survive byte-identically.  Pure string
+    semantics — exact in both engines."""
+    from verde_spark.operators.dedup import drop_duplicate_paragraphs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("SHARED BOILERPLATE FOOTER")
+            ).otherwise(F.concat(F.lit("unique tail "), F.col("doc_id").cast("string"))),
+        ).alias("text"),
+    )
+    return (
+        drop_duplicate_paragraphs(planted)
+        .select("doc_id", "text_clean")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "block_mean": _q_block_mean,
@@ -1103,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": _q_extract_text,
         "canonical_urls": _q_canonical_urls,
         "repetition_scores": _q_repetition_scores,
+        "paragraph_dedup": _q_paragraph_dedup,
     }
 
 
@@ -1690,6 +1719,30 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": f"""
             SELECT doc_id, {_canonical_sql(_MESSY_URL_SQL)} AS curl
             FROM documents WHERE doc_id < 400 ORDER BY doc_id
+        """,
+        "paragraph_dedup": """
+            WITH src AS (
+              SELECT doc_id,
+                     (text || chr(10) || CASE WHEN doc_id % 2 = 0
+                        THEN 'SHARED BOILERPLATE FOOTER'
+                        ELSE 'unique tail ' || CAST(doc_id AS VARCHAR) END) AS t
+              FROM documents WHERE doc_id < 200
+            ),
+            p AS (
+              SELECT doc_id, u.e['para'] AS para, u.e['pos'] AS pos
+              FROM (
+                SELECT doc_id,
+                       list_transform(range(len(ps)), i -> {'pos': i, 'para': ps[i+1]}) AS lst
+                FROM (SELECT doc_id, string_split(t, chr(10)) AS ps FROM src)
+              ), UNNEST(lst) AS u(e)
+              WHERE u.e['para'] <> ''
+            ),
+            c AS (SELECT para, count(*) AS n FROM p GROUP BY para),
+            k AS (SELECT p.doc_id, p.para, p.pos FROM p JOIN c USING (para) WHERE c.n < 2)
+            SELECT s.doc_id,
+                   coalesce(string_agg(k.para, chr(10) ORDER BY k.pos), '') AS text_clean
+            FROM src s LEFT JOIN k ON s.doc_id = k.doc_id
+            GROUP BY s.doc_id ORDER BY s.doc_id
         """,
         "repetition_scores": f"""
             SELECT doc_id,

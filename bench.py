@@ -148,6 +148,24 @@ def scaling_job(spark):
     return _pipeline(spark, pages, 0.03, 0.25, 0.3, (400, 400))
 
 
+def text_pipeline(spark, n_pages: int) -> int:
+    """Crawl-text front door at scale (round 3): extract_text(html) →
+    geotag parse → canonical-url dedup, over the same sf-scaled page
+    table as the flagship.  Extraction/canonicalization are pure
+    codegen'd projections; the only shuffle is dedup_url's single
+    map-side-combinable max_by agg — the plan a 100 TB crawl pass needs.
+    Returns the surviving geotagged page count."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.functions.urls import dedup_url
+    from verde_spark.sources.pages import geotagged
+
+    pages = spark.read.parquet(pages_parquet(spark, n_pages))
+    kept = dedup_url(pages)
+    tagged = geotagged(kept, from_html=True)
+    return tagged.filter(F.col("lon").isNotNull()).count()
+
+
 def bench_queries(spark):
     """Headline operator set over the driver-provided tables."""
     import __spark_entry__ as entrymod
@@ -338,6 +356,13 @@ def main():
         n_pts, n_nodes = flagship(spark, N_PAGES)
         t_flag = min(t_flag, time.time() - t0)
     qtimes = {"flagship_pipeline": round(t_flag, 3)}
+    text_pipeline(spark, max(N_PAGES // 20, 10_000))  # warm
+    t_text, n_text = float("inf"), 0
+    for _rep in range(2):
+        t0 = time.time()
+        n_text = text_pipeline(spark, N_PAGES)
+        t_text = min(t_text, time.time() - t0)
+    qtimes["text_pipeline"] = round(t_text, 3)
     qtimes.update(bench_queries(spark))
     result["reference_head_to_head"] = reference_head_to_head(spark)
     spark.stop()
@@ -345,6 +370,7 @@ def main():
     result["queries"] = qtimes
     result["value"] = round(sum(qtimes.values()), 3)
     result["gridded_points_per_sec"] = round(n_pts / t_flag, 1)
+    result["text_pages_per_sec"] = round(n_text / qtimes["text_pipeline"], 1)
     result["flagship_input_points"] = n_pts
     result["flagship_grid_nodes"] = n_nodes
 
@@ -368,6 +394,8 @@ def _write_bench_md(result):
         "",
         f"- headline total: {result['value']} s across {len(result['queries'])} queries",
         f"- gridded points/sec (local[{CPUS}]): {result['gridded_points_per_sec']:,}",
+        f"- text front door (extract_text(html)→geotag→canonical-url dedup), "
+        f"pages/sec (local[{CPUS}]): {result['text_pages_per_sec']:,}",
         "",
         "## Reference head-to-head (single-node, same data scale)",
         "",

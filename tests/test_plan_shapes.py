@@ -189,3 +189,33 @@ def test_connected_components_small_graph_driver_path(spark):
     # a driver-materialized row scan — no joins, exchanges, or agg stages
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_text_pipeline_single_exchange(spark):
+    """The crawl front door — extract_text(html) → geotag → canonical-url
+    dedup — is pure codegen'd projections plus exactly ONE shuffle
+    (dedup_url's max_by agg).  No Python nodes anywhere."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.functions.urls import dedup_url
+    from verde_spark.sources.pages import geotagged, synthesize_pages
+
+    pages = synthesize_pages(spark, 100)
+    out = geotagged(dedup_url(pages), from_html=True).filter(
+        F.col("lon").isNotNull()
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_drop_duplicate_paragraphs_plan(spark):
+    """Three exchanges (hash window, doc-group rebuild, join-back), no
+    Python, no cartesian — the documented shape."""
+    from verde_spark.operators.dedup import drop_duplicate_paragraphs
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a\nb"]}))
+    plan = _plan(drop_duplicate_paragraphs(df))
+    assert plan.count("Exchange") <= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan

@@ -1057,3 +1057,53 @@ def test_minhash_simhash_arrow_engines_bit_identical(spark):
         p_cat.sort_values(key).reset_index(drop=True),
         p_arr.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_drop_duplicate_paragraphs_c4_style(spark):
+    """Corpus-hot paragraphs vanish everywhere, order preserved, empty
+    and all-boilerplate docs survive with '' — matched against a plain
+    pandas reference of the same spec."""
+    from collections import Counter
+
+    from verde_spark.operators.dedup import (
+        drop_duplicate_paragraphs,
+        duplicate_paragraph_stats,
+    )
+
+    docs = [
+        (1, "alpha one\nSHARED FOOTER\nbeta one"),
+        (2, "gamma two\nSHARED FOOTER"),
+        (3, "SHARED FOOTER"),
+        (4, "delta four\n\nepsilon four"),
+        (5, "self dup\nself dup\nunique tail"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    counts = Counter(
+        p for _, t in docs for p in t.split("\n") if p != ""
+    )
+    want = {
+        i: "\n".join(p for p in t.split("\n") if p != "" and counts[p] < 2)
+        for i, t in docs
+    }
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in drop_duplicate_paragraphs(df).collect()
+    }
+    assert got == want
+    assert got[3] == "" and got[6] == ""
+    assert got[5] == "unique tail"  # self-repeats count globally
+    assert got[4] == "delta four\nepsilon four"  # empties dropped
+
+    stats = {
+        r["paragraph"]: r["n_occurrences"]
+        for r in duplicate_paragraph_stats(df).collect()
+    }
+    assert stats == {"SHARED FOOTER": 3, "self dup": 2}
+
+    # text column untouched; output is partition-invariant
+    out = drop_duplicate_paragraphs(df.repartition(5))
+    assert out.filter(F.col("text").isNull()).count() == 0
+    got2 = {r["doc_id"]: r["text_clean"] for r in out.collect()}
+    assert got2 == want

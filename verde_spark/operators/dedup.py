@@ -56,6 +56,81 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.withColumn("__rn", F.row_number().over(win)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def duplicate_paragraph_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_count: int = 2,
+) -> DataFrame:
+    """(paragraph, n_occurrences) for every paragraph appearing at least
+    ``min_count`` times corpus-wide — the survey pass of C4-style
+    paragraph dedup (boilerplate footers/navigation dominate the top).
+    One explode + one map-side-combined groupBy on the paragraph hash;
+    ``sep`` is a Java regex (default: newline)."""
+    paras = df.select(
+        F.explode(F.split(F.col(text_col), sep)).alias("para")
+    ).filter(F.col("para") != "")
+    return (
+        paras.groupBy(F.xxhash64("para").alias("para_hash"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"), F.first("para").alias("paragraph"))
+        .filter(F.col("n_occurrences") >= min_count)
+        .select("paragraph", "para_hash", "n_occurrences")
+    )
+
+
+def drop_duplicate_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_count: int = 2,
+    output_col: str = "text_clean",
+    join_sep: str | None = None,
+) -> DataFrame:
+    """C4-style corpus-level paragraph dedup: remove every paragraph that
+    occurs ≥ ``min_count`` times across the corpus, preserving the order
+    of the survivors, and attach the result as ``output_col`` (the stored
+    ``text_col`` is never rewritten — the byte-identity invariant).
+
+    Spec: the text splits on ``sep`` (a Java regex; default newline);
+    empty segments are dropped; a paragraph's occurrence count is global
+    (a doc repeating its own paragraph counts each time); ALL occurrences
+    of a hot paragraph are removed; survivors re-join with ``join_sep``
+    (default: newline — pass it explicitly when ``sep`` is a non-literal
+    regex).
+
+    Physical shape (the 100 TB path): posexplode (no shuffle) → window
+    count over the paragraph *hash* (ONE shuffle; same xxhash64-window
+    family as :func:`dedup_exact`, AQE-splittable on viral boilerplate;
+    64-bit collisions can only over-delete a colliding paragraph) →
+    filter → groupBy doc reconstruct via ``array_sort(collect_list
+    (struct(pos, para)))`` (second shuffle, map-side combinable) → one
+    equi-join back to the full rows so paragraph-free docs keep an empty
+    string.  No Python anywhere; three exchanges total.
+    """
+    pos_para = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).filter(F.col("para") != "")
+    win = Window.partitionBy(F.xxhash64("para"))
+    kept = pos_para.withColumn("__n", F.count(F.lit(1)).over(win)).filter(
+        F.col("__n") < min_count
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            join_sep if join_sep is not None else "\n",
+        ).alias(output_col)
+    )
+    return df.join(rebuilt, on=id_col, how="left").withColumn(
+        output_col, F.coalesce(F.col(output_col), F.lit(""))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash / LSH
 # ---------------------------------------------------------------------------
