@@ -976,6 +976,12 @@ def _canonical_sql(col_expr: str) -> str:
     return canonical_url_sql(col_expr)
 
 
+def _stopword_sql(col_expr: str) -> str:
+    from verde_spark.functions.text import stopword_ratio_sql
+
+    return stopword_ratio_sql(col_expr)
+
+
 def _repetition_sql(col_expr: str) -> str:
     from verde_spark.functions.text import repetition_ratio_sql
 
@@ -1050,6 +1056,70 @@ def _q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         (F.round(repetition_ratio(text), 9) + F.lit(0.0)).alias("rep"),
+    ).orderBy("doc_id")
+
+
+def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed webtext front door (pipelines.clean_corpus) under ONE
+    end-to-end value oracle: messy recrawled urls (canonical-dedup arm),
+    groups of 5 docs sharing one text (exact-dedup arm, min-url
+    representative), and every-7th-doc junk text (repetition +
+    stopword gate arm).  All strings/counts are exact; DuckDB replays
+    canonicalization, latest-crawl row_number, the three gates and the
+    min-url dedup."""
+    from verde_spark.pipelines import clean_corpus
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    ).select("doc_id")
+    text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit("junk junk junk junk junk junk "),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("the cat sat on the mat and it is day "),
+            F.floor(F.col("doc_id") / 5).cast("string"),
+        )
+    )
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    early = ids.select(
+        F.concat(
+            F.lit("HTTP://Example.COM:80/doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x"),
+        ).alias("url"),
+        (t0 + F.make_dt_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
+        text.alias("text"),
+        F.col("doc_id"),
+    )
+    late = ids.select(
+        F.concat(F.lit("http://example.com/doc"), F.col("doc_id").cast("string")).alias("url"),
+        (t0 + F.make_dt_interval(secs=(F.col("doc_id") + 10000).cast("double"))).alias("warc_ts"),
+        text.alias("text"),
+        F.col("doc_id"),
+    )
+    corpus = early.unionByName(late).drop("doc_id")
+    out = clean_corpus(
+        corpus, min_tokens=5, min_stopword_ratio=0.2, max_repetition=0.5
+    )
+    return out.select("url", "n_tokens").orderBy("url")
+
+
+def _q_stopword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio quality gate (brief: 'length/punct/stopword
+    ratios').  One IEEE division of exact int counts — identical in both
+    engines; real document text exercises the full token path."""
+    from verde_spark.functions.text import stopword_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 400
+    )
+    return docs.select(
+        "doc_id",
+        (F.round(stopword_ratio("text"), 9) + F.lit(0.0)).alias("sw_ratio"),
     ).orderBy("doc_id")
 
 
@@ -1132,6 +1202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": _q_canonical_urls,
         "repetition_scores": _q_repetition_scores,
         "paragraph_dedup": _q_paragraph_dedup,
+        "stopword_scores": _q_stopword_scores,
+        "clean_corpus": _q_clean_corpus,
     }
 
 
@@ -1718,6 +1790,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "canonical_urls": f"""
             SELECT doc_id, {_canonical_sql(_MESSY_URL_SQL)} AS curl
+            FROM documents WHERE doc_id < 400 ORDER BY doc_id
+        """,
+        "clean_corpus": f"""
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+            txt AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN 'junk junk junk junk junk junk ' || CAST(doc_id AS VARCHAR)
+                          ELSE 'the cat sat on the mat and it is day ' || CAST(doc_id // 5 AS VARCHAR)
+                     END AS text
+              FROM ids
+            ),
+            rows_ AS (
+              SELECT 'HTTP://Example.COM:80/doc' || CAST(doc_id AS VARCHAR) || '?utm_source=x' AS url,
+                     CAST(doc_id AS DOUBLE) AS ts_k, text
+              FROM txt
+              UNION ALL
+              SELECT 'http://example.com/doc' || CAST(doc_id AS VARCHAR),
+                     CAST(doc_id + 10000 AS DOUBLE), text
+              FROM txt
+            ),
+            canon AS (
+              SELECT url, ts_k, text, {_canonical_sql("url")} AS curl FROM rows_
+            ),
+            latest AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY curl ORDER BY ts_k DESC) AS rn
+                FROM canon
+              ) WHERE rn = 1
+            ),
+            gated AS (
+              SELECT url, text,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+                       AS n_tokens
+              FROM latest
+              WHERE CAST(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) >= 5
+                AND {_stopword_sql("text")} >= 0.2
+                AND {_repetition_sql("text")} <= 0.5
+            )
+            SELECT url, n_tokens FROM (
+              SELECT url, n_tokens,
+                     row_number() OVER (PARTITION BY text ORDER BY url) AS rn2
+              FROM gated
+            ) WHERE rn2 = 1 ORDER BY url
+        """,
+        "stopword_scores": f"""
+            SELECT doc_id,
+                   round({_stopword_sql("text")}, 9) + 0.0 AS sw_ratio
             FROM documents WHERE doc_id < 400 ORDER BY doc_id
         """,
         "paragraph_dedup": """

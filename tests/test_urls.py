@@ -216,3 +216,49 @@ def test_canonical_url_fuzz_three_engines(spark):
         f"SELECT {canonical_url_sql('u')} AS c FROM fz ORDER BY i"
     ).df()["c"].tolist()
     assert got_duck == want
+
+
+def test_stopword_ratio_three_engines(spark):
+    from verde_spark.functions.text import (
+        _STOPWORDS,
+        stopword_ratio,
+        stopword_ratio_sql,
+    )
+
+    texts = [
+        "the cat sat on the mat and it is that simple for anyone",
+        "buy cheap widgets best price widgets discount widgets",
+        "",
+        None,
+        "THE AND OF",  # case folding
+        "word",
+    ]
+
+    def ref(t, lang="en"):
+        if t is None:
+            return None
+        import re
+
+        ws = re.split("[ \t\r\n\f]+", t.strip(" ").lower())
+        return sum(w in _STOPWORDS[lang] for w in ws) / max(len(ws), 1)
+
+    want = [ref(t) for t in texts]
+    assert want[0] > 0.3 and want[1] == 0.0 and want[4] == 1.0
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = [
+        r["s"]
+        for r in df.select("i", stopword_ratio("text").alias("s")).orderBy("i").collect()
+    ]
+    assert got == want
+
+    con = duckdb.connect()
+    con.register("sw", pd.DataFrame({"i": range(len(texts)), "text": texts}))
+    got_duck = con.execute(
+        f"SELECT {stopword_ratio_sql('text')} AS s FROM sw ORDER BY i"
+    ).df()["s"].tolist()
+    got_duck = [None if pd.isna(v) else v for v in got_duck]
+    assert got_duck == want
+
+    with pytest.raises(ValueError):
+        stopword_ratio("text", lang="xx")

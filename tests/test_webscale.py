@@ -1107,3 +1107,55 @@ def test_drop_duplicate_paragraphs_c4_style(spark):
     assert out.filter(F.col("text").isNull()).count() == 0
     got2 = {r["doc_id"]: r["text_clean"] for r in out.collect()}
     assert got2 == want
+
+
+def test_clean_corpus_recipe(spark):
+    """The webtext flagship recipe: url-dedup → quality gates → exact
+    dedup (→ optional MinHash) over a messy synthesized corpus; exactly
+    the planted survivors remain and the plan stays two shuffles."""
+    from verde_spark.pipelines import clean_corpus
+
+    good = "the cat sat on the mat and it is a fine day for walking in the park today"
+    rows = []
+    for i in range(20):  # 20 good docs, each recrawled once under a url variant
+        rows.append((f"http://Example.com:80/p{i}?utm_source=a", f"2024-01-01 00:00:{i:02d}", f"{good} {i}"))
+        rows.append((f"http://example.com/p{i}", f"2024-01-02 00:00:{i:02d}", f"{good} {i}"))
+    rows.append(("http://example.com/dupe1", "2024-01-01 00:00:00", f"{good} 0"))  # exact copy of doc 0
+    rows.append(("http://example.com/short", "2024-01-01 00:00:00", "too short"))
+    rows.append(("http://example.com/spam", "2024-01-01 00:00:00", "buy now " * 30))
+    rows.append(("http://example.com/soup", "2024-01-01 00:00:00",
+                 "widget gadget sprocket flange bracket gizmo doodad thingy contraption apparatus"))
+    df = spark.createDataFrame(rows, "url string, warc_ts string, text string").withColumn(
+        "warc_ts", F.to_timestamp("warc_ts")
+    )
+
+    out = clean_corpus(df, min_tokens=5, min_stopword_ratio=0.2, max_repetition=0.5)
+    kept = out.orderBy("url").collect()
+    # 20 canonical urls survive url-dedup (latest recrawl wins), the
+    # exact-copy dupe1 dies in content dedup, junk dies in the gates
+    texts = sorted(r["text"] for r in kept)
+    assert texts == sorted(f"{good} {i}" for i in range(20))
+    # latest recrawl won each canonical-url group; the exact-content pass
+    # then keeps the MIN-id representative per text — doc 0's text
+    # surfaces under 'dupe1' (lexicographically below 'p0')
+    assert {r["url"] for r in kept} == {"http://example.com/dupe1"} | {
+        f"http://example.com/p{i}" for i in range(1, 20)
+    }
+    assert {"n_tokens", "sw_ratio", "rep_ratio", "quality"} <= set(out.columns)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # near-dup pass composes (no numeric id column needed)
+    nd = clean_corpus(df, min_tokens=5, near_dup=True)
+    assert nd.count() <= out.count()
+    assert "__docid" not in nd.columns
+
+    # html-only table: text gets extracted first
+    html_df = df.select(
+        "url", "warc_ts",
+        F.concat(F.lit("<html><body><p>"), "text", F.lit("</p></body></html>")).cast("binary").alias("html"),
+    )
+    out2 = clean_corpus(html_df, min_tokens=5, min_stopword_ratio=0.2, max_repetition=0.5)
+    assert sorted(r["text"] for r in out2.collect()) == texts

@@ -53,6 +53,7 @@ from .operators.splinecv import SplineCV
 from .operators.polygons import point_in_polygon, polygon_join, rasterize, zonal_stats
 from .functions.extract import extract_text, reference_extract_text
 from .functions.urls import canonical_url, dedup_url, domain_of, top_domains
+from .pipelines import clean_corpus
 from .operators.projections import project_grid, project_points
 from .checkpoint import TileCheckpoint, run_resumable
 from .operators.windows import expanding_window, rolling_window
@@ -91,6 +92,7 @@ __all__ = [
     "Cubic",
     "Linear",
     "canonical_url",
+    "clean_corpus",
     "dedup_url",
     "domain_of",
     "extract_text",

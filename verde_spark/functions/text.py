@@ -105,6 +105,53 @@ def quality_score(text: Column | str = "text") -> Column:
     )
 
 
+#: Small per-language stopword sets for the stopword-ratio quality gate
+#: (top function words; enough to separate prose from keyword soup).
+_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "des", "un", "une", "du", "que"),
+    "es": ("el", "la", "los", "de", "y", "es", "en", "un", "una", "que"),
+    "pt": ("o", "a", "os", "de", "e", "é", "em", "um", "uma", "que"),
+}
+
+
+def stopword_ratio(text: Column | str = "text", lang: str = "en") -> Column:
+    """Fraction of tokens that are function words — the classic
+    prose-vs-keyword-soup quality gate (natural text ≈ 0.3-0.6; SEO spam
+    and navigation dumps ≈ 0).  0.0 for empty text, null for null.
+
+    Pure Catalyst: let-bound lowercase token array (no CSE in
+    interpreted Catalyst), per-token ``array_contains`` against a
+    10-word literal set; the whitespace class is engine-portable so
+    :func:`stopword_ratio_sql` replays the division bit-for-bit.
+    """
+    if lang not in _STOPWORDS:
+        raise ValueError(f"lang must be one of {sorted(_STOPWORDS)}, got {lang!r}")
+    text = F.col(text) if isinstance(text, str) else text
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    split_words = F.split(F.lower(F.trim(text)), "[ \t\r\n\f]+")
+
+    def _ratio(words: Column) -> Column:
+        hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+        return hits.cast("double") / F.greatest(F.size(words), F.lit(1))
+
+    ratio = F.element_at(F.transform(F.array(split_words), _ratio), 1)
+    return F.when(text.isNotNull(), ratio)
+
+
+def stopword_ratio_sql(col: str, lang: str = "en") -> str:
+    """DuckDB twin of :func:`stopword_ratio` (driver-oracle parity)."""
+    words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return f"""(
+      CASE WHEN {col} IS NULL THEN NULL ELSE (
+        SELECT CAST(len(list_filter(ws, w -> list_contains([{words}], w))) AS DOUBLE)
+               / greatest(len(ws), 1)
+        FROM (SELECT string_split_regex(lower(trim({col})), '[ \t\r\n\f]+') AS ws)
+      ) END
+    )"""
+
+
 def repetition_ratio(text: Column | str = "text", n: int = 2) -> Column:
     """Fraction of duplicated word *n*-grams — the Gopher-style
     within-document repetition signal (templated/boilerplate pages score

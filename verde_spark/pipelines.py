@@ -1,0 +1,94 @@
+"""End-to-end corpus pipelines: the recipes a crawl operator actually
+runs, composed from the individual operators.
+
+``clean_corpus`` is the webtext twin of the spatial flagship
+(pages → geotag → blockmean → spline): one call takes a raw page table
+through the standard training-data front door —
+
+1. url-canonical dedup (``dedup_url`` — drop recrawls/link variants;
+   ONE max_by shuffle),
+2. text extraction when only ``html`` is present (``extract_text`` —
+   pure projection),
+3. quality gates (token count, stopword ratio, repetition ratio,
+   blended quality score — all pure projections, applied as one filter
+   so the scan evaluates them in a single codegen stage),
+4. exact content dedup (``dedup_exact`` — one hash-window shuffle),
+5. optional MinHash near-dup pass (``dedup_minhash``; off by default —
+   it is the only multi-join stage, and many corpora gate it behind the
+   cheap passes above).
+
+Every knob defaults to a documented, conservative value; the returned
+DataFrame carries the original columns plus the computed quality
+columns so downstream samplers (``hash_split`` / ``stratified_sample``)
+can stratify on them.  Total physical cost without the MinHash pass:
+two shuffles (url agg, content-hash window) over one codegen'd scan —
+the shape you want at 10^12 pages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clean_corpus(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    html_col: str = "html",
+    lang: str = "en",
+    min_tokens: int = 5,
+    min_stopword_ratio: float = 0.0,
+    max_repetition: float = 0.5,
+    min_quality: float = 0.0,
+    near_dup: bool = False,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Standard crawl-cleaning recipe; see module docstring.
+
+    When ``text_col`` is absent from the table, text is extracted from
+    ``html_col`` into a new column of that name (the stored column is
+    otherwise never rewritten — byte-identity invariant).  ``near_dup``
+    additionally runs the transitive MinHash pass, which needs a numeric
+    id: pass ``id_col`` or one is derived as ``xxhash64(url, ts)`` (the
+    recrawl-safe recipe from ``__main__``'s dedup job).
+    """
+    from .functions.text import (
+        quality_score,
+        repetition_ratio,
+        stopword_ratio,
+        token_count,
+    )
+    from .operators.dedup import dedup_exact, dedup_minhash
+
+    from .functions.urls import dedup_url
+
+    out = dedup_url(pages, url_col=url_col, ts_col=ts_col)
+    if text_col not in out.columns:
+        from .functions.extract import extract_text
+
+        out = out.withColumn(text_col, extract_text(html_col))
+
+    out = (
+        out.withColumn("n_tokens", token_count(text_col))
+        .withColumn("sw_ratio", stopword_ratio(text_col, lang=lang))
+        .withColumn("rep_ratio", repetition_ratio(text_col))
+        .withColumn("quality", quality_score(text_col))
+    )
+    out = out.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("sw_ratio") >= min_stopword_ratio)
+        & (F.col("rep_ratio") <= max_repetition)
+        & (F.col("quality") >= min_quality)
+    )
+
+    if near_dup and id_col is None:
+        id_col = "__docid"
+        out = out.withColumn(id_col, F.xxhash64(url_col, ts_col))
+    out = dedup_exact(out, id_col=id_col or url_col, text_col=text_col)
+    if near_dup:
+        out = dedup_minhash(out, id_col=id_col, text_col=text_col)
+        if id_col == "__docid":
+            out = out.drop(id_col)
+    return out
