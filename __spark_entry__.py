@@ -970,6 +970,21 @@ def _extract_sql(col_expr: str) -> str:
     return extract_text_sql(col_expr)
 
 
+def _host_graph_sql() -> str:
+    from verde_spark.operators.linkgraph import host_graph_sql
+
+    pages_sql = """
+        SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p'
+                 || CAST(doc_id AS VARCHAR) AS url,
+               '<html><body><a href="https://site'
+                 || CAST((doc_id + 1) % 7 AS VARCHAR)
+                 || '.com/x">a</a><p><a class="m" href="/local">b</a></p></body></html>'
+                 AS html_str
+        FROM documents WHERE doc_id < 300
+    """
+    return host_graph_sql(pages_sql)
+
+
 def _canonical_sql(col_expr: str) -> str:
     from verde_spark.functions.urls import canonical_url_sql
 
@@ -1108,6 +1123,51 @@ def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "n_tokens").orderBy("url")
 
 
+def _host_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 7-host link fixture from documents: page i on host
+    site{i%7}.com links out to site{(i+1)%7}.com and back to itself via a
+    root-relative href (exercising both resolution arms)."""
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    ).select("doc_id")
+    host = (F.col("doc_id") % 7).cast("string")
+    nxt = ((F.col("doc_id") + 1) % 7).cast("string")
+    return ids.select(
+        F.concat(F.lit("https://site"), host, F.lit(".com/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="https://site'), nxt,
+            F.lit('.com/x">a</a><p><a class="m" href="/local">b</a></p></body></html>'),
+        ).cast("binary").alias("html"),
+    )
+
+
+def _q_host_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph (href regex extraction + root-relative
+    resolution + domain aggregation) under an exact DuckDB oracle that
+    replays the same regex chain."""
+    from verde_spark.operators.linkgraph import host_graph
+
+    pages = _host_pages(spark, sf_dir)
+    return host_graph(pages).orderBy("src_domain", "dst_domain")
+
+
+def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the host graph — iterative float power iterations
+    (parallel-reduction sums), so no byte oracle: the driver records the
+    rows-only check and tests/test_linkgraph.py pins NumPy parity at
+    rtol 1e-9.  Ranks are rounded for a stable schema."""
+    from verde_spark.operators.linkgraph import host_graph, pagerank
+
+    pages = _host_pages(spark, sf_dir)
+    pr = pagerank(
+        host_graph(pages), iterations=8,
+        src_col="src_domain", dst_col="dst_domain",
+    )
+    return pr.select(
+        F.col("id").alias("host"), F.round("rank", 6).alias("rank")
+    ).orderBy("host")
+
+
 def _q_stopword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio quality gate (brief: 'length/punct/stopword
     ratios').  One IEEE division of exact int counts — identical in both
@@ -1204,6 +1264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "stopword_scores": _q_stopword_scores,
         "clean_corpus": _q_clean_corpus,
+        "host_links": _q_host_links,
+        "pagerank_hosts": _q_pagerank_hosts,
     }
 
 
@@ -1791,6 +1853,10 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": f"""
             SELECT doc_id, {_canonical_sql(_MESSY_URL_SQL)} AS curl
             FROM documents WHERE doc_id < 400 ORDER BY doc_id
+        """,
+        "host_links": f"""
+            SELECT * FROM ({_host_graph_sql()})
+            ORDER BY src_domain, dst_domain
         """,
         "clean_corpus": f"""
             WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 300),

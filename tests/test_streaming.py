@@ -197,3 +197,44 @@ def test_streaming_dedup_url(spark, tmp_path):
         .count()
     )
     assert n == batch == 40
+
+
+def test_streaming_clean_corpus(spark, tmp_path):
+    """Gates + url dedup + content dedup as one continuous query: the
+    stream's survivor count equals the batch recipe's on the same files
+    (representative choice differs by documented semantics)."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.pipelines import clean_corpus
+    from verde_spark.streaming import streaming_clean_corpus
+
+    good = "the cat sat on the mat and it is a fine day for walking"
+    rows = []
+    for i in range(30):
+        text = f"{good} {i % 10}"  # 10 distinct texts across 30 docs
+        rows.append((f"HTTP://Example.com:80/p{i % 15}?utm_source=x",  # 15 canonical urls
+                     f"2024-01-01 00:00:{i:02d}", text))
+    rows.append(("http://example.com/junk", "2024-01-01 00:01:00", "buy now " * 20))
+    df = spark.createDataFrame(rows, "url string, warc_ts string, text string").withColumn(
+        "warc_ts", F.to_timestamp("warc_ts")
+    )
+    path = str(tmp_path / "pages")
+    df.limit(16).write.mode("append").parquet(path)
+    df.write.mode("append").parquet(path)
+
+    stored = spark.read.parquet(path)
+    batch_n = clean_corpus(
+        stored, min_tokens=5, min_stopword_ratio=0.2, max_repetition=0.5
+    ).count()
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string"
+    ).parquet(path)
+    out = streaming_clean_corpus(
+        stream, watermark="1 hour", min_tokens=5,
+        min_stopword_ratio=0.2, max_repetition=0.5,
+    )
+    run_to_memory(out, "clean_stream", mode="append")
+    n = spark.sql("select count(*) c from clean_stream").first()["c"]
+    # url-dedup → 15 canonical survivors → 10 distinct texts; junk gated
+    assert n == batch_n == 10

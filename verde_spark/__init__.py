@@ -54,6 +54,7 @@ from .operators.polygons import point_in_polygon, polygon_join, rasterize, zonal
 from .functions.extract import extract_text, reference_extract_text
 from .functions.urls import canonical_url, dedup_url, domain_of, top_domains
 from .pipelines import clean_corpus
+from .operators.linkgraph import extract_links, host_graph, pagerank
 from .operators.projections import project_grid, project_points
 from .checkpoint import TileCheckpoint, run_resumable
 from .operators.windows import expanding_window, rolling_window
@@ -95,8 +96,11 @@ __all__ = [
     "clean_corpus",
     "dedup_url",
     "domain_of",
+    "host_graph",
+    "extract_links",
     "extract_text",
     "point_in_polygon",
+    "pagerank",
     "polygon_join",
     "rasterize",
     "top_domains",

@@ -1,0 +1,198 @@
+"""Link graph over the page table: href extraction, host-level edges,
+and PageRank — the Common-Crawl companion artifacts (a crawl corpus is
+pages + the graph between them).
+
+Spark-first shapes:
+
+- :func:`extract_links` — ``regexp_extract_all`` of anchor hrefs (one
+  codegen'd projection) + one explode; relative links resolve against
+  the page's scheme://host with pure string expressions.  No Python.
+- :func:`host_graph` — domain-level edge aggregation: one
+  map-side-combined ``groupBy(src_domain, dst_domain)``.
+- :func:`pagerank` — the classic iterative formulation (public Spark
+  example semantics: dangling mass is dropped, uniform damping
+  ``(1-d)/N``): contributions = one equi-join rank⋈edges per round,
+  re-aggregated per destination; per-round ``localCheckpoint(eager)``
+  caps lineage growth exactly like ``connected_components`` /
+  ``knn_join`` (PLANS.md §"iterative operators"), and the returned plan
+  stays lazy.  Ranks are float sums — parallel reduction order makes
+  them deterministic only to ~1 ulp, so tests pin NumPy parity at
+  rtol 1e-9 rather than a byte oracle (the one operator family here
+  that is honestly not hash-oracle-able).
+
+Reference context: fatiando/verde has no graph layer; this exists for
+the webtext payload (BASELINE.json north rule: Common-Crawl-style
+pages at 10^12 scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urls import _URL_RE, domain_of
+
+#: href of an <a> tag; the lazy [^>]*? and the quote classes are in the
+#: common Java-regex / RE2 / Python subset (same discipline as extract.py)
+_HREF_RE = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"'<>]*)["']"""
+
+
+def extract_links(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    resolve: bool = True,
+) -> DataFrame:
+    """(src_url, link) per anchor href found in the page html.
+
+    ``resolve=True`` turns root-relative links (``/path``) into absolute
+    ones against the page's ``scheme://host`` and keeps only absolute
+    ``http(s)://`` results; ``resolve=False`` returns raw href strings.
+    Pure Catalyst: regexp_extract_all → explode; zero joins/Python.
+    """
+    html = F.col(html_col).cast("string")
+    links = F.explode(F.regexp_extract_all(html, F.lit(_HREF_RE), 1)).alias("link")
+    out = pages.select(F.col(url_col).alias("src_url"), links)
+    if not resolve:
+        return out
+    src = F.col("src_url")
+    base = F.concat(
+        F.lower(F.regexp_extract(src, _URL_RE, 1)),
+        F.lit("://"),
+        F.lower(F.regexp_extract(src, _URL_RE, 2)),
+    )
+    link = F.col("link")
+    resolved = (
+        F.when(link.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://"), link)
+        .when(link.startswith("/"), F.concat(base, link))
+        .otherwise(F.lit(None))
+    )
+    return out.select(src.alias("src_url"), resolved.alias("link")).filter(
+        F.col("link").isNotNull()
+    )
+
+
+def host_graph(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_domain, dst_domain, n_links) — the host-level web graph.
+    One extraction projection + one map-side-combined groupBy; self-loops
+    kept (they carry real internal-link signal)."""
+    links = extract_links(pages, url_col=url_col, html_col=html_col)
+    return (
+        links.select(
+            domain_of("src_url").alias("src_domain"),
+            domain_of("link").alias("dst_domain"),
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def host_graph_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`host_graph` (driver-oracle parity) over a
+    source subquery producing ``(url, html_str)`` rows.  Replays the
+    href regex, the root-relative resolution and the domain extraction
+    with the shared pattern constants."""
+    href = _HREF_RE.replace("'", "''")
+
+    def dom(u: str) -> str:
+        return (
+            "lower(regexp_replace(regexp_replace("
+            f"regexp_extract({u}, '{_URL_RE}', 2), '^.*@', ''), ':[0-9]*$', ''))"
+        )
+
+    base = (
+        f"lower(regexp_extract(src_url, '{_URL_RE}', 1)) || '://' || "
+        f"lower(regexp_extract(src_url, '{_URL_RE}', 2))"
+    )
+    return f"""
+        WITH pages AS ({pages_sql}),
+        raw AS (
+          SELECT url AS src_url,
+                 unnest(regexp_extract_all(html_str, '{href}', 1)) AS link
+          FROM pages
+        ),
+        resolved AS (
+          SELECT src_url,
+                 CASE WHEN regexp_matches(link, '^[Hh][Tt][Tt][Pp][Ss]?://') THEN link
+                      WHEN link LIKE '/%' THEN {base} || link
+                      ELSE NULL END AS link
+          FROM raw
+        )
+        SELECT {dom('src_url')} AS src_domain,
+               {dom('link')} AS dst_domain,
+               count(*) AS n_links
+        FROM resolved WHERE link IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(id, rank) after a fixed number of power iterations.
+
+    Classic semantics (the public Spark example's): nodes = union of
+    sources and destinations; initial rank 1/N; each round every node
+    sends rank/out_degree along its out-edges and ranks become
+    ``(1-d)/N + d·Σ contributions`` (dangling nodes contribute nothing —
+    their mass decays; ranks then sum to < 1, which is fine for ranking).
+
+    Physical shape per round: ONE equi-join of the (narrow) rank table
+    against the static out-degree-annotated edge list, one
+    map-side-combined sum per destination, one union with the teleport
+    floor for no-inbound nodes.  The edge list is hash-partitioned once
+    and reused every round; ranks are ``localCheckpoint(eager)``-ed per
+    round so the plan never grows (knn_join / connected_components
+    pattern), and the final result is returned lazy.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping!r}")
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = edges.select(src.alias("src"), dst.alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # static per-round operand: edges + sender out-degree, partitioned on
+    # the join key once and cached so every iteration reuses the layout
+    linked = (
+        e.join(out_deg, "src").repartition("src").localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(
+        eager=True
+    )
+    teleport = (1.0 - damping) / n_nodes
+    for i in range(iterations):
+        contribs = (
+            linked.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        last = i == iterations - 1
+        ranks = new_ranks if last else new_ranks.localCheckpoint(eager=True)
+    return ranks

@@ -99,6 +99,61 @@ def streaming_dedup_url(
     )
 
 
+def streaming_clean_corpus(
+    pages: DataFrame,
+    watermark: str = "10 minutes",
+    lang: str = "en",
+    min_tokens: int = 5,
+    min_stopword_ratio: float = 0.0,
+    max_repetition: float = 0.5,
+    min_quality: float = 0.0,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """The crawl-cleaning recipe as a continuous query — the streaming
+    twin of :func:`verde_spark.pipelines.clean_corpus` for WARC batches
+    arriving over time.
+
+    The quality gates are stateless projections (stream-safe as-is);
+    dedup becomes two chained ``dropDuplicatesWithinWatermark`` stages
+    (canonical url, then exact text hash — Spark 4 supports multiple
+    stateful operators in append mode), each with state bounded by the
+    watermark horizon.  Streaming semantics keep the FIRST arrival per
+    key (the batch recipe keeps the latest crawl / min-id
+    representative) — same survivor count, possibly different
+    representatives; documented, not hidden.
+    """
+    from .functions.text import (
+        fingerprint,
+        quality_score,
+        repetition_ratio,
+        stopword_ratio,
+        token_count,
+    )
+    from .functions.urls import canonical_url
+
+    gated = (
+        pages.withColumn("n_tokens", token_count(text_col))
+        .withColumn("sw_ratio", stopword_ratio(text_col, lang=lang))
+        .withColumn("rep_ratio", repetition_ratio(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("sw_ratio") >= min_stopword_ratio)
+            & (F.col("rep_ratio") <= max_repetition)
+            & (F.col("quality") >= min_quality)
+        )
+    )
+    return (
+        gated.withColumn("curl", canonical_url(url_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["curl"])
+        .withColumn("text_hash", fingerprint(text_col))
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update"):
     """availableNow trigger → in-memory table; returns the finished query.
 
