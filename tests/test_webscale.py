@@ -1159,3 +1159,31 @@ def test_clean_corpus_recipe(spark):
     )
     out2 = clean_corpus(html_df, min_tokens=5, min_stopword_ratio=0.2, max_repetition=0.5)
     assert sorted(r["text"] for r in out2.collect()) == texts
+
+
+def test_main_entrypoint_clean_job(spark, tmp_path, capsys):
+    """--job clean runs the composed front door through spark-submit's
+    entrypoint: recrawled url variants collapse and quality columns ride
+    along in the output parquet."""
+    import json as _json
+
+    from verde_spark.__main__ import main
+
+    src = str(tmp_path / "pages_in")
+    pages = synthesize_pages(spark, 400)
+    # every page recrawled once under a tracking-param variant
+    variant = pages.withColumn(
+        "url", F.concat(F.col("url"), F.lit("?utm_source=x"))
+    ).withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+    pages.unionByName(variant).write.parquet(src)
+
+    out = str(tmp_path / "cleaned")
+    rc = main(["--input", src, "--output", out, "--job", "clean",
+               "--threshold", "1.0", "--min-tokens", "3"])
+    assert rc == 0
+    metrics = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["rows_in"] == 800 and metrics["rows_out"] == 400
+    cleaned = spark.read.parquet(out)
+    assert {"n_tokens", "sw_ratio", "rep_ratio", "quality"} <= set(cleaned.columns)
+    # latest crawl (the variant, +1 day) won every group
+    assert cleaned.filter(~F.col("url").contains("utm_source")).count() == 0

@@ -42,13 +42,18 @@ def main(argv=None) -> int:
     ap.add_argument("--shape", default="400x400", help="grid shape ROWSxCOLS")
     ap.add_argument("--checkpoint", default=None, help="per-tile checkpoint dir (resumable)")
     ap.add_argument(
-        "--job", default="grid", choices=("grid", "dedup", "ivf-index"),
+        "--job", default="grid", choices=("grid", "dedup", "ivf-index", "clean"),
         help="grid: flagship gridding pipeline (default); "
              "dedup: exact + transitive-MinHash dedup of the page table; "
              "ivf-index: build a cluster-partitioned ANN index from an "
-             "embeddings parquet (--input must carry vec_id + embedding)",
+             "embeddings parquet (--input must carry vec_id + embedding); "
+             "clean: the full training-data front door "
+             "(pipelines.clean_corpus: url dedup + quality gates + "
+             "content dedup) written as parquet",
     )
     ap.add_argument("--threshold", type=float, default=0.8, help="dedup Jaccard threshold")
+    ap.add_argument("--min-tokens", type=int, default=5, help="clean job: minimum token count gate")
+    ap.add_argument("--max-repetition", type=float, default=0.5, help="clean job: maximum duplicated-bigram fraction")
     ap.add_argument(
         "--from-html", action="store_true",
         help="geotag from extract_text(html) instead of the stored text "
@@ -98,6 +103,22 @@ def main(argv=None) -> int:
         after = spark.read.parquet(args.output).count()
         print(json.dumps({
             "job": "dedup", "rows_in": before, "rows_out": after,
+            "dropped": before - after, "sec": round(time.time() - t0, 3),
+        }))
+        return 0
+
+    if args.job == "clean":
+        from verde_spark.pipelines import clean_corpus
+
+        before = pages.count()
+        cleaned = clean_corpus(
+            pages, near_dup=args.threshold < 1.0,
+            min_tokens=args.min_tokens, max_repetition=args.max_repetition,
+        )
+        cleaned.write.mode("overwrite").parquet(args.output)
+        after = spark.read.parquet(args.output).count()
+        print(json.dumps({
+            "job": "clean", "rows_in": before, "rows_out": after,
             "dropped": before - after, "sec": round(time.time() - t0, 3),
         }))
         return 0
