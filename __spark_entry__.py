@@ -1003,6 +1003,18 @@ def _repetition_sql(col_expr: str) -> str:
     return repetition_ratio_sql(col_expr)
 
 
+def _pii_sql(col_expr: str) -> str:
+    from verde_spark.functions.pii import redact_pii_sql
+
+    return redact_pii_sql(col_expr)
+
+
+def _pii_counts_sql(col_expr: str) -> tuple:
+    from verde_spark.functions.pii import pii_counts_sql
+
+    return pii_counts_sql(col_expr)
+
+
 _HTML_PREFIX = (
     '<html><head><style>p { color: red; }</style></head>'
     '<body class="main"><!-- note with a <b>tag</b> inside --><p>'
@@ -1211,12 +1223,118 @@ def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (C4/GPT-3 13-gram rule) — the benchmark
+    set is every 23rd document, so corpus docs long enough to produce a
+    13-word gram that appear in (or duplicate) the benchmark are
+    contaminated by construction.  Exercises BOTH operators and their
+    consistency: per-doc ``contamination_stats`` joined with
+    ``decontaminate``'s surviving-id set (kept=1 ⟺ n_contaminated=0).
+    Spark matches grams by xxhash64; the oracle replays with raw string
+    grams — identical results absent a 2⁻⁶⁴ hash collision (the
+    ``minhash_pairs`` contract)."""
+    from verde_spark.operators.decontam import contamination_stats, decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 23 == 0).select("text")
+    stats = contamination_stats(docs, bench, n=13)
+    kept = decontaminate(docs, bench, n=13).select(
+        "doc_id", F.lit(1).alias("kept")
+    )
+    return (
+        stats.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            "n_contaminated",
+            (F.round("contamination", 9) + F.lit(0.0)).alias("contamination"),
+            F.coalesce(F.col("kept"), F.lit(0)).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / IPv4 / phones → placeholder tokens).  PII is
+    planted deterministically per doc_id — an email, a range-checked
+    dotted quad and a ``+CC``-prefixed phone — identically in both
+    engines; the pure-Catalyst chained regexp_replace must match
+    DuckDB's replay of the same rule list byte-for-byte, counts
+    included.  The stored ``text`` column is untouched (byte-identity
+    invariant): redaction lands in a new ``text_clean`` column."""
+    from verde_spark.functions.pii import pii_counts, redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 400
+    )
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com or call +1 555-"),
+        (1000 + d % 9000).cast("string"),
+        F.lit(" from host 192.168."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        ((d * 7) % 256).cast("string"),
+        F.lit(" today"),
+    )
+    counts = pii_counts(planted)
+    return docs.select(
+        "doc_id",
+        redact_pii(planted).alias("text_clean"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+    ).orderBy("doc_id")
+
+
+def _q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus cap (balance enforcement).  Urls are
+    synthesized over 7 domains (~70 docs each at sf0.01); the cap keeps
+    the 20 lowest deterministic ranks per domain.  The rank is the
+    injective arithmetic hash ``(doc_id·7919) mod 9973`` (both factors
+    prime, table smaller than the modulus → no ties), so DuckDB's
+    row_number window replays the selection exactly."""
+    from verde_spark.operators.sampling import cap_per_domain
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    pages = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://site"),
+            (d % 7).cast("string"),
+            F.lit(".com/p"),
+            d.cast("string"),
+        ),
+    )
+    out = cap_per_domain(
+        pages,
+        20,
+        url_col="url",
+        hash_expr=F.pmod(d * 7919, F.lit(9973)),
+        keep_domain=True,
+    )
+    return out.select(
+        "doc_id", F.col("__domain").alias("domain")
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver's correctness artifact records at most 50 queries
+    # (CORRECTNESS_r03.json attested exactly the first 50 of 53
+    # registered), so the registry is held at EXACTLY 50 entries.  Six
+    # redundant variants moved to retired_queries() in round 4 — still
+    # implemented, tested in pytest, and replayable via
+    # `python tools/check_correctness.py --retired`; the rationale per
+    # retiree is in COVERAGE.md.
     return {
         "block_mean": _q_block_mean,
-        "block_mean_weighted": _q_block_mean_weighted,
         "block_stats": _q_block_stats,
-        "block_median": _q_block_median,
         "block_mean_uncertainty": _q_block_mean_uncertainty,
         "inside_filter": _q_inside,
         "get_region": _q_get_region,
@@ -1235,16 +1353,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_coefficients": _q_trend,
         "r2_score": _q_r2,
         "dedup_exact": _q_dedup_exact,
-        "duplicate_groups": _q_duplicate_groups,
         "token_counts": _q_token_counts,
-        "lang_stats": _q_lang_stats,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality_scores,
         "cosine_topk": _q_cosine_topk,
         "ivf_topk": _q_ivf_topk,
         "simhash_exact_pairs": _q_simhash_pairs,
         "minhash_pairs": _q_minhash_pairs,
-        "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "dedup_components": _q_dedup_components,
@@ -1262,10 +1377,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": _q_canonical_urls,
         "repetition_scores": _q_repetition_scores,
         "paragraph_dedup": _q_paragraph_dedup,
-        "stopword_scores": _q_stopword_scores,
         "clean_corpus": _q_clean_corpus,
         "host_links": _q_host_links,
         "pagerank_hosts": _q_pagerank_hosts,
+        "decontamination": _q_decontamination,
+        "pii_redaction": _q_pii_redaction,
+        "cap_per_domain": _q_cap_per_domain,
     }
 
 
@@ -1293,6 +1410,40 @@ def _winnow_sel_sql(src_sql: str) -> str:
           FROM g
         )
     """
+
+
+#: Queries retired from the 50-entry driver registry in round 4 — each is a
+#: variant of a still-registered query exercising the same operator code
+#: path (rationale per retiree in COVERAGE.md §retired).  They keep their
+#: oracles and remain replayable:
+#:   python tools/check_correctness.py --retired
+_RETIRED = (
+    "block_mean_weighted",   # BlockMean weighted mode — block_mean_uncertainty covers the weighted path + variance
+    "block_median",          # BlockReduce median — block_stats covers multi-agg BlockReduce
+    "duplicate_groups",      # group listing — dedup_exact attests the same hash-window
+    "lang_stats",            # aggregate of lang_id, which stays registered
+    "winnow_fingerprints",   # winnow_pairs consumes these fingerprints end-to-end
+    "stopword_scores",       # stopword_ratio also runs inside quality_scores + clean_corpus
+)
+_RETIRED_ORACLES: dict = {}
+
+
+def retired_queries():
+    """The retired (still implemented + oracle-gated) query callables."""
+    return {
+        "block_mean_weighted": _q_block_mean_weighted,
+        "block_median": _q_block_median,
+        "duplicate_groups": _q_duplicate_groups,
+        "lang_stats": _q_lang_stats,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "stopword_scores": _q_stopword_scores,
+    }
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    """DuckDB twins for :func:`retired_queries`."""
+    oracle_sql()  # populates _RETIRED_ORACLES as a side effect
+    return dict(_RETIRED_ORACLES)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1324,7 +1475,7 @@ def oracle_sql() -> dict[str, str]:
                {ie.replace('ix', '(i % 13)')} AS easting
         FROM (SELECT UNNEST(range(169)) AS i)
     """
-    return {
+    oracles = {
         "block_mean": f"""
             WITH pts AS ({_POINTS_SQL}),
             agg AS (
@@ -1941,4 +2092,77 @@ def oracle_sql() -> dict[str, str]:
                    )}, 9) + 0.0 AS rep
             FROM documents WHERE doc_id < 400 ORDER BY doc_id
         """,
+        # Spark matches 13-word grams by xxhash64; the oracle replays the
+        # SAME tokenization/windowing with raw string grams — identical
+        # membership answers absent a 2^-64 collision (minhash contract)
+        "decontamination": r"""
+            WITH docs AS (SELECT doc_id, text FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM docs
+            ),
+            grams AS (
+              SELECT doc_id,
+                     coalesce(list_distinct(list_transform(
+                         range(0, greatest(len(ws) - 12, 0)),
+                         i -> array_to_string(list_slice(ws, i + 1, i + 13), ' ')
+                     )), []) AS gs
+              FROM tok
+            ),
+            bgrams AS (
+              SELECT DISTINCT unnest(gs) AS gram
+              FROM grams WHERE doc_id % 23 = 0
+            ),
+            hits AS (
+              SELECT e.doc_id, count(*) AS n_cont
+              FROM (SELECT doc_id, unnest(gs) AS gram FROM grams) e
+              JOIN bgrams USING (gram)
+              GROUP BY e.doc_id
+            )
+            SELECT g.doc_id,
+                   CAST(len(gs) AS BIGINT) AS n_grams,
+                   CAST(coalesce(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+                   CASE WHEN len(gs) > 0
+                        THEN round(coalesce(h.n_cont, 0)
+                                   / CAST(len(gs) AS DOUBLE), 9) + 0.0
+                        ELSE 0.0 END AS contamination,
+                   CASE WHEN coalesce(h.n_cont, 0) = 0 THEN 1 ELSE 0 END AS kept
+            FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+            ORDER BY g.doc_id
+        """,
+        "pii_redaction": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or call +1 555-'
+                          || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                          || ' from host 192.168.'
+                          || CAST(doc_id % 256 AS VARCHAR) || '.'
+                          || CAST((doc_id * 7) % 256 AS VARCHAR)
+                          || ' today' AS t
+              FROM documents WHERE doc_id < 400
+            )
+            SELECT doc_id,
+                   {_pii_sql('t')} AS text_clean,
+                   CAST({_pii_counts_sql('t')[0]} AS BIGINT) AS n_emails,
+                   CAST({_pii_counts_sql('t')[1]} AS BIGINT) AS n_ips,
+                   CAST({_pii_counts_sql('t')[2]} AS BIGINT) AS n_phones
+            FROM planted ORDER BY doc_id
+        """,
+        "cap_per_domain": """
+            WITH r AS (
+              SELECT doc_id,
+                     'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,
+                     row_number() OVER (
+                       PARTITION BY doc_id % 7
+                       ORDER BY (doc_id * 7919) % 9973
+                     ) AS rk
+              FROM documents
+            )
+            SELECT doc_id, domain FROM r WHERE rk <= 20 ORDER BY doc_id
+        """,
     }
+    for _k in _RETIRED:
+        _RETIRED_ORACLES[_k] = oracles.pop(_k)
+    return oracles

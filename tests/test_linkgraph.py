@@ -124,3 +124,87 @@ def test_pagerank_validation_and_empty(spark):
     assert pagerank(empty).count() == 0
     with pytest.raises(ValueError):
         pagerank(empty, damping=1.5)
+
+
+def test_protocol_relative_hrefs_resolve_to_target_host(spark):
+    # ADVICE r3: "//other.com/x" must resolve via the SOURCE SCHEME to the
+    # TARGET host — the old root-relative arm fabricated a self-edge
+    pages = spark.createDataFrame(
+        [
+            _page("https://site0.com/a", "//other.com/x", "/local"),
+            _page("http://site1.com/b", "//CDN.example.net/lib.js"),
+        ],
+        "url string, html binary",
+    )
+    links = {(r["src_url"], r["link"]) for r in extract_links(pages).collect()}
+    assert links == {
+        ("https://site0.com/a", "https://other.com/x"),
+        ("https://site0.com/a", "https://site0.com/local"),
+        ("http://site1.com/b", "http://CDN.example.net/lib.js"),
+    }
+    hg = {
+        (r["src_domain"], r["dst_domain"]): r["n_links"]
+        for r in host_graph(pages).collect()
+    }
+    assert hg == {
+        ("site0.com", "other.com"): 1,
+        ("site0.com", "site0.com"): 1,
+        ("site1.com", "cdn.example.net"): 1,
+    }
+
+
+def test_host_graph_sql_twin_protocol_relative(spark):
+    import duckdb
+
+    from verde_spark.operators.linkgraph import host_graph_sql
+
+    pages = spark.createDataFrame(
+        [
+            _page("https://site0.com/a", "//other.com/x", "/local",
+                  "https://abs.example.org/z"),
+        ],
+        "url string, html binary",
+    )
+    spark_rows = sorted(
+        (r["src_domain"], r["dst_domain"], r["n_links"])
+        for r in host_graph(pages).collect()
+    )
+    pdf = pages.select(
+        "url", F.col("html").cast("string").alias("html_str")
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("pg", pdf)
+    duck_rows = sorted(
+        tuple(t)
+        for t in con.execute(
+            host_graph_sql("SELECT url, html_str FROM pg")
+        ).fetchall()
+    )
+    assert spark_rows == duck_rows
+    assert ("site0.com", "other.com", 1) in spark_rows
+
+
+def test_pagerank_tol_early_stop(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 1), (1, 4), (3, 2), (0, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # a generous iteration budget with tol must converge to the same ranks
+    # (within tol) as the fixed-iteration run, and a tiny 2-cycle graph
+    # converges long before the budget
+    full = {r["id"]: r["rank"] for r in pagerank(df, iterations=60).collect()}
+    tolled = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, iterations=60, tol=1e-12).collect()
+    }
+    for k in full:
+        assert tolled[k] == pytest.approx(full[k], rel=1e-6)
+    cyc = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    stats = {}
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(cyc, iterations=50, tol=1e-9, stats=stats).collect()
+    }
+    # symmetric 2-cycle: exact fixed point 0.5/0.5 regardless of damping —
+    # and the tol must have stopped the loop long before the 50-round budget
+    assert got[0] == pytest.approx(0.5, rel=1e-6)
+    assert got[1] == pytest.approx(0.5, rel=1e-6)
+    assert 0 < stats["rounds"] < 10

@@ -360,3 +360,29 @@ def test_rasterize_broadcast_is_zero_shuffle(spark):
     )
     assert "Exchange" not in plan and "Join" not in plan
     assert "Python" not in plan
+
+
+def test_rasterize_broadcast_null_burn_value(spark):
+    # ADVICE r3: a NULL in value_col crashed the broadcast path (None in
+    # the sort key); spec'd behavior: null-valued polygons burn nothing,
+    # matching the cells path where SQL aggregates ignore NULL values
+    import pandas as pd
+
+    from verde_spark.operators.polygons import rasterize
+
+    region = (-2.0, 7.0, -1.0, 7.0)
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "val": [3.0, None],
+                "vertices": [
+                    [{"x": float(x), "y": float(y)} for x, y in TRI],
+                    [{"x": 0.0, "y": 0.0}, {"x": 1.0, "y": 0.0}, {"x": 0.5, "y": 1.0}],
+                ],
+            }
+        )
+    )
+    got = rasterize(polys, region, shape=(9, 9), value_col="val").toPandas()
+    inside = got["value"].notna()
+    assert inside.any()
+    assert (got.loc[inside, "value"] == 3.0).all()  # only the non-null burns

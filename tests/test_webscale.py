@@ -1187,3 +1187,19 @@ def test_main_entrypoint_clean_job(spark, tmp_path, capsys):
     assert {"n_tokens", "sw_ratio", "rep_ratio", "quality"} <= set(cleaned.columns)
     # latest crawl (the variant, +1 day) won every group
     assert cleaned.filter(~F.col("url").contains("utm_source")).count() == 0
+
+
+def test_shingles_null_text(spark):
+    # Pinned contract (ADVICE r3): NULL text -> NULL gram array (not []),
+    # so null docs never gain near-dup candidacy; empty text -> [].
+    from verde_spark.functions.text import shingles
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "one two three four")], "id long, t string"
+    )
+    got = {
+        r["id"]: r["g"] for r in df.select("id", shingles("t", n=3).alias("g")).collect()
+    }
+    assert got[0] is None
+    assert got[1] == []
+    assert len(got[2]) == 2

@@ -72,7 +72,9 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    only = set(sys.argv[1:])
+    args = [a for a in sys.argv[1:] if a != "--only"]
+    include_retired = "--retired" in args
+    only = set(a for a in args if a != "--retired")
 
     spark = (
         SparkSession.builder.master(
@@ -97,6 +99,9 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    if include_retired:
+        qs.update(entry.retired_queries())
+        oracles.update(entry.retired_oracle_sql())
     results: dict[str, dict] = {}
     failed = []
     for name, fn in qs.items():

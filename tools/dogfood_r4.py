@@ -1,0 +1,112 @@
+"""Round-4 dogfood: drive the new front-door stages the way a USER with
+non-default column names would (the standing lesson: README-path
+dogfooding catches what the suite misses).
+
+Scenario: a crawl table with columns (page_url, fetched_at, body) — none
+of the defaults — goes through decontamination, PII redaction and
+per-domain caps, standalone AND composed via clean_corpus.
+
+Run:  python tools/dogfood_r4.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from verde_spark import (
+        cap_per_domain,
+        clean_corpus,
+        contamination_stats,
+        decontaminate,
+        pii_counts,
+        redact_pii,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("dogfood-r4")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    leak = "the forbidden eval answer is exactly forty two under every single benchmark prompt"
+    rows = []
+    for i in range(60):
+        body = (
+            f"page {i} says the weather is mild and the cat sits on mat {i} "
+            f"write to owner{i}@mail.test or dial +1 555-{1000 + i} thanks"
+        )
+        if i % 20 == 3:
+            body += " " + leak
+        rows.append((f"https://host{i % 4}.example/p{i}", float(i), body))
+    pages = spark.createDataFrame(rows, "page_url string, fetched_at double, body string")
+    bench = spark.createDataFrame([(leak,)], "body string")
+
+    # --- standalone ops with custom names ---------------------------------
+    stats = contamination_stats(
+        pages, bench, id_col="page_url", text_col="body"
+    )
+    n_cont = stats.filter(F.col("n_contaminated") > 0).count()
+    assert n_cont == 3, f"expected 3 contaminated pages, got {n_cont}"
+
+    kept = decontaminate(pages, bench, id_col="page_url", text_col="body")
+    assert kept.count() == 57, kept.count()
+    print("PASS decontaminate/contamination_stats with custom columns")
+
+    red = pages.withColumn("body_clean", redact_pii("body")).withColumn(
+        "pii", pii_counts("body")
+    )
+    bad = red.filter(
+        ~F.col("body_clean").contains("<EMAIL>")
+        | ~F.col("body_clean").contains("<PHONE>")
+        | F.col("body_clean").contains("@mail.test")
+    ).count()
+    assert bad == 0, f"{bad} rows with unredacted PII"
+    assert red.filter(F.col("body").contains("@mail.test")).count() == 60, (
+        "original body column must stay untouched"
+    )
+    assert red.select(F.sum("pii.n_emails")).first()[0] == 60
+    print("PASS redact_pii/pii_counts on custom column, original untouched")
+
+    capped = cap_per_domain(pages, 5, url_col="page_url")
+    assert capped.count() == 20, capped.count()
+    assert capped.columns == pages.columns, capped.columns
+    print("PASS cap_per_domain with custom url column")
+
+    # --- composed via clean_corpus ----------------------------------------
+    out = clean_corpus(
+        pages,
+        url_col="page_url",
+        ts_col="fetched_at",
+        text_col="body",
+        benchmark=bench,
+        redact=True,
+        max_per_domain=8,
+    ).cache()
+    n = out.count()
+    assert n == 32, f"expected 4 domains x 8, got {n}"  # 57 survivors, all domains >8
+    assert "body_clean" in out.columns
+    assert out.filter(F.col("body_clean").contains("@mail.test")).count() == 0
+    assert out.filter(~F.col("body").contains("@mail.test")).count() == 0
+    assert out.filter(F.col("body").contains(leak.split()[3])).count() == 0
+    print("PASS clean_corpus(benchmark=..., redact=True, max_per_domain=8) "
+          "with page_url/fetched_at/body columns")
+
+    spark.stop()
+    print("DOGFOOD r4: ALL PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

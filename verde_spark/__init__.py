@@ -53,6 +53,9 @@ from .operators.splinecv import SplineCV
 from .operators.polygons import point_in_polygon, polygon_join, rasterize, zonal_stats
 from .functions.extract import extract_text, reference_extract_text
 from .functions.urls import canonical_url, dedup_url, domain_of, top_domains
+from .functions.pii import pii_counts, redact_pii, reference_redact_pii
+from .operators.decontam import contamination_stats, decontaminate
+from .operators.sampling import cap_per_domain
 from .pipelines import clean_corpus
 from .operators.linkgraph import extract_links, host_graph, pagerank
 from .operators.projections import project_grid, project_points
@@ -93,9 +96,15 @@ __all__ = [
     "Cubic",
     "Linear",
     "canonical_url",
+    "cap_per_domain",
     "clean_corpus",
+    "contamination_stats",
+    "decontaminate",
     "dedup_url",
     "domain_of",
+    "pii_counts",
+    "redact_pii",
+    "reference_redact_pii",
     "host_graph",
     "extract_links",
     "extract_text",

@@ -54,6 +54,9 @@ def main(argv=None) -> int:
     ap.add_argument("--threshold", type=float, default=0.8, help="dedup Jaccard threshold")
     ap.add_argument("--min-tokens", type=int, default=5, help="clean job: minimum token count gate")
     ap.add_argument("--max-repetition", type=float, default=0.5, help="clean job: maximum duplicated-bigram fraction")
+    ap.add_argument("--benchmark", default=None, help="clean job: parquet dir of an eval set; docs sharing a 13-gram with it are dropped (decontamination)")
+    ap.add_argument("--redact-pii", action="store_true", help="clean job: write a text_clean column with emails/IPs/phones replaced by tokens")
+    ap.add_argument("--max-per-domain", type=int, default=None, help="clean job: cap pages per domain (corpus balance)")
     ap.add_argument(
         "--from-html", action="store_true",
         help="geotag from extract_text(html) instead of the stored text "
@@ -111,9 +114,14 @@ def main(argv=None) -> int:
         from verde_spark.pipelines import clean_corpus
 
         before = pages.count()
+        bench = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
         cleaned = clean_corpus(
             pages, near_dup=args.threshold < 1.0,
             min_tokens=args.min_tokens, max_repetition=args.max_repetition,
+            benchmark=bench, redact=args.redact_pii,
+            max_per_domain=args.max_per_domain,
         )
         cleaned.write.mode("overwrite").parquet(args.output)
         after = spark.read.parquet(args.output).count()

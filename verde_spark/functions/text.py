@@ -366,9 +366,14 @@ def shingles(text: Column | str = "text", n: int = 3) -> Column:
         # expression") whenever the whole expression is an argument to a
         # pandas UDF (e.g. minhash_udf).  arrays_zip pads the shifted
         # slices with nulls, so the trailing (incomplete) windows are
-        # sliced off; guard-free — slice(x, 1, 0) = [] keeps
-        # short/empty/null texts at an empty gram array, bit-identical to
-        # the old CASE WHEN form.
+        # sliced off; guard-free — slice(x, 1, 0) = [] keeps short/empty
+        # texts at an empty gram array.  NULL text propagates to a NULL
+        # gram array (not [] — the pre-rewrite CASE WHEN form returned []
+        # there): downstream minhash/simhash/near-dup stages treat NULL
+        # as "no candidacy", which is the wanted semantics for null docs
+        # (an [] would give every null-text doc the same all-sentinel
+        # signature and pair them as near-dups).  Regression-pinned in
+        # test_webscale.py::test_shingles_null_text.
         big = F.size(words)
         cols = [
             F.slice(words, j + 1, F.greatest(big - j, F.lit(0))).alias(f"w{j}")

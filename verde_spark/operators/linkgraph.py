@@ -56,14 +56,17 @@ def extract_links(
     if not resolve:
         return out
     src = F.col("src_url")
+    scheme = F.lower(F.regexp_extract(src, _URL_RE, 1))
     base = F.concat(
-        F.lower(F.regexp_extract(src, _URL_RE, 1)),
-        F.lit("://"),
-        F.lower(F.regexp_extract(src, _URL_RE, 2)),
+        scheme, F.lit("://"), F.lower(F.regexp_extract(src, _URL_RE, 2))
     )
     link = F.col("link")
+    # the protocol-relative arm MUST precede the root-relative one:
+    # "//other.com/x" startswith "/" too, and resolving it against the
+    # source host fabricates a self-edge on the SOURCE domain (ADVICE r3)
     resolved = (
         F.when(link.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://"), link)
+        .when(link.startswith("//"), F.concat(scheme, F.lit(":"), link))
         .when(link.startswith("/"), F.concat(base, link))
         .otherwise(F.lit(None))
     )
@@ -102,10 +105,8 @@ def host_graph_sql(pages_sql: str) -> str:
             f"regexp_extract({u}, '{_URL_RE}', 2), '^.*@', ''), ':[0-9]*$', ''))"
         )
 
-    base = (
-        f"lower(regexp_extract(src_url, '{_URL_RE}', 1)) || '://' || "
-        f"lower(regexp_extract(src_url, '{_URL_RE}', 2))"
-    )
+    scheme = f"lower(regexp_extract(src_url, '{_URL_RE}', 1))"
+    base = f"{scheme} || '://' || lower(regexp_extract(src_url, '{_URL_RE}', 2))"
     return f"""
         WITH pages AS ({pages_sql}),
         raw AS (
@@ -116,6 +117,7 @@ def host_graph_sql(pages_sql: str) -> str:
         resolved AS (
           SELECT src_url,
                  CASE WHEN regexp_matches(link, '^[Hh][Tt][Tt][Pp][Ss]?://') THEN link
+                      WHEN link LIKE '//%' THEN {scheme} || ':' || link
                       WHEN link LIKE '/%' THEN {base} || link
                       ELSE NULL END AS link
           FROM raw
@@ -134,8 +136,17 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    tol: float | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, rank) after a fixed number of power iterations.
+
+    ``tol`` (optional) adds convergence early-stop: iteration halts as
+    soon as ``max |Δrank|`` between consecutive rounds drops below it —
+    one extra equi-join + max-agg per round against the already
+    checkpointed previous ranks; fixed ``iterations`` stays both the
+    default behaviour and the upper bound.  Pass a dict as ``stats`` to
+    get the executed round count back (``stats["rounds"]``).
 
     Classic semantics (the public Spark example's): nodes = union of
     sources and destinations; initial rank 1/N; each round every node
@@ -153,6 +164,8 @@ def pagerank(
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping!r}")
+    if stats is not None:
+        stats["rounds"] = 0
     src, dst = F.col(src_col), F.col(dst_col)
     e = edges.select(src.alias("src"), dst.alias("dst"))
     nodes = (
@@ -174,6 +187,8 @@ def pagerank(
     )
     teleport = (1.0 - damping) / n_nodes
     for i in range(iterations):
+        if stats is not None:
+            stats["rounds"] = i + 1
         contribs = (
             linked.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
@@ -194,5 +209,24 @@ def pagerank(
             )
         )
         last = i == iterations - 1
-        ranks = new_ranks if last else new_ranks.localCheckpoint(eager=True)
+        if tol is not None and not last:
+            # convergence check against the (checkpointed) previous ranks:
+            # one narrow id-equi-join + one max agg; stop as soon as no
+            # rank moved by more than tol
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            delta = (
+                new_ranks.alias("new")
+                .join(ranks.alias("old"), "id")
+                .agg(
+                    F.max(
+                        F.abs(F.col("new.rank") - F.col("old.rank"))
+                    ).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks if last else new_ranks.localCheckpoint(eager=True)
     return ranks

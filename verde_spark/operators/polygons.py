@@ -305,6 +305,10 @@ def rasterize(
         rows = polygons.select(
             F.col(verts_col).alias("v"), vcol.alias("val")
         ).collect()
+        # NULL burn values can't burn anything: drop those polygons, same
+        # as the cells path where SQL aggregates ignore NULL __val (and a
+        # None in the sort key / F.lit(float(...)) below would crash)
+        rows = [r for r in rows if r["val"] is not None]
         if len(rows) > max_broadcast_polygons:
             raise ValueError(
                 f"{len(rows)} polygons > max_broadcast_polygons="

@@ -49,6 +49,48 @@ def stratified_sample(
     return out if keep_rank else out.drop("__rank")
 
 
+def cap_per_domain(
+    df: DataFrame,
+    max_pages: int,
+    url_col: str = "url",
+    domain_col: Optional[str] = None,
+    hash_expr: Optional[Column] = None,
+    keep_domain: bool = False,
+) -> DataFrame:
+    """At most *max_pages* rows per web domain — corpus balance
+    enforcement (``top_domains`` exposes the skew; this caps it: one
+    viral domain must not dominate a training mix).
+
+    The domain is parsed from *url_col* (``functions.urls.domain_of`` —
+    lowercased host, credentials/port stripped) unless *domain_col*
+    names an existing column.  Row choice within a domain is minimal
+    deterministic hash rank (stable under retries / repartitioning /
+    cluster size), overridable via *hash_expr*.
+
+    Physical shape = :func:`stratified_sample`: ONE hash-partition
+    window whose ``row_number <= k`` plans as ``WindowGroupLimit`` —
+    each map task keeps only its local top-k per domain below the
+    exchange, so a 10^9-page domain ships ~k rows per task, not its
+    whole traffic.  ``keep_domain=True`` retains the derived
+    ``__domain`` column for downstream stratification.
+    """
+    if max_pages < 1:
+        raise ValueError(f"max_pages must be ≥ 1, got {max_pages!r}")
+    if domain_col is None:
+        from ..functions.urls import domain_of
+
+        df = df.withColumn("__domain", domain_of(url_col))
+        domain_col, derived = "__domain", True
+    else:
+        derived = False
+    out = stratified_sample(
+        df, domain_col, max_pages, hash_expr=hash_expr
+    )
+    if derived and not keep_domain:
+        out = out.drop("__domain")
+    return out
+
+
 def deterministic_sample(
     df: DataFrame, n: int, hash_expr: Optional[Column] = None
 ) -> DataFrame:

@@ -44,6 +44,10 @@ def clean_corpus(
     min_quality: float = 0.0,
     near_dup: bool = False,
     id_col: str | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_ngram: int = 13,
+    redact: bool = False,
+    max_per_domain: int | None = None,
 ) -> DataFrame:
     """Standard crawl-cleaning recipe; see module docstring.
 
@@ -53,6 +57,19 @@ def clean_corpus(
     additionally runs the transitive MinHash pass, which needs a numeric
     id: pass ``id_col`` or one is derived as ``xxhash64(url, ts)`` (the
     recrawl-safe recipe from ``__main__``'s dedup job).
+
+    Round-4 optional stages (each off by default):
+
+    * ``benchmark`` — a (small) eval-set DataFrame with the same text
+      column: documents sharing a ``decontam_ngram``-word gram with it
+      are dropped (``operators.decontam.decontaminate``, the C4-style
+      13-gram rule; broadcast join, zero extra corpus shuffles),
+    * ``redact=True`` — PII scrub (emails/IPv4/phones → tokens) into a
+      NEW ``<text_col>_clean`` column (``functions.pii.redact_pii``; the
+      text column is never rewritten — byte-identity invariant),
+    * ``max_per_domain`` — per-domain page cap for corpus balance
+      (``operators.sampling.cap_per_domain``; one WindowGroupLimit
+      shuffle).
     """
     from .functions.text import (
         quality_score,
@@ -83,6 +100,14 @@ def clean_corpus(
         & (F.col("quality") >= min_quality)
     )
 
+    if benchmark is not None:
+        from .operators.decontam import decontaminate
+
+        # id for the anti join: the url is unique after dedup_url
+        out = decontaminate(
+            out, benchmark, id_col=url_col, text_col=text_col, n=decontam_ngram
+        )
+
     if near_dup and id_col is None:
         id_col = "__docid"
         out = out.withColumn(id_col, F.xxhash64(url_col, ts_col))
@@ -91,4 +116,13 @@ def clean_corpus(
         out = dedup_minhash(out, id_col=id_col, text_col=text_col)
         if id_col == "__docid":
             out = out.drop(id_col)
+
+    if redact:
+        from .functions.pii import redact_pii
+
+        out = out.withColumn(f"{text_col}_clean", redact_pii(text_col))
+    if max_per_domain is not None:
+        from .operators.sampling import cap_per_domain
+
+        out = cap_per_domain(out, max_per_domain, url_col=url_col)
     return out
