@@ -243,3 +243,29 @@ def test_clean_corpus_round4_stages(spark):
     assert "text_clean" in pdf.columns
     assert pdf["text_clean"].str.contains("<EMAIL>").all()
     assert pdf["text"].str.contains("@ex.com").all()
+
+
+def test_contamination_filter_matches_decontaminate(spark):
+    from verde_spark.operators.decontam import contamination_filter
+
+    corpus, bench = _corpus(spark), _bench(spark)
+    kept_filter = sorted(
+        r["doc_id"]
+        for r in corpus.filter(~contamination_filter(bench)).collect()
+    )
+    kept_join = sorted(
+        r["doc_id"] for r in decontaminate(corpus, bench).collect()
+    )
+    assert kept_filter == kept_join == [2, 3, 5]
+    # stateless: a pure filter over the scan, no exchange, no Python
+    plan = (
+        corpus.filter(~contamination_filter(bench))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # empty benchmark -> nothing contaminated
+    empty = spark.createDataFrame([], "text string")
+    assert corpus.filter(~contamination_filter(empty)).count() == 6
+    with pytest.raises(ValueError, match="max_grams"):
+        contamination_filter(bench, max_grams=0)

@@ -219,3 +219,56 @@ def test_drop_duplicate_paragraphs_plan(spark):
     assert plan.count("Exchange") <= 3
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_decontaminate_broadcast_join_no_corpus_shuffle(spark):
+    """Decontamination: the benchmark gram set joins as a BROADCAST hash
+    join (the corpus's exploded gram stream is never exchanged for the
+    probe), the per-doc count agg is the only shuffle on the stats path,
+    and nothing drops to Python."""
+    from verde_spark.operators.decontam import contaminated_ids, contamination_stats
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["word " * 20, "other " * 20]})
+    )
+    bench = spark.createDataFrame(pd.DataFrame({"text": ["word " * 13]}))
+    plan = _plan(contaminated_ids(corpus, bench))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    splan = _plan(contamination_stats(corpus, bench))
+    assert "BroadcastHashJoin" in splan
+    # one partial_sum agg below the exchange: per-doc partials, not grams
+    assert "partial_sum" in splan.lower() or "partial" in splan
+    assert "BatchEvalPython" not in splan and "ArrowEvalPython" not in splan
+
+
+def test_redact_pii_fuses_into_scan_projection(spark, pages_parquet):
+    """PII redaction over a parquet scan stays ONE codegen'd projection:
+    zero exchanges, zero Python, and column pruning still reaches the
+    scan (only the text-bearing column is read)."""
+    from verde_spark.functions.pii import pii_counts, redact_pii
+
+    pages = spark.read.parquet(pages_parquet)
+    out = pages.select(
+        redact_pii(F.col("html").cast("string")).alias("clean"),
+        pii_counts(F.col("html").cast("string")).alias("c"),
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ReadSchema" in plan and "url" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_cap_per_domain_window_group_limit(spark):
+    """cap_per_domain plans the stratified_sample shape: a
+    WindowGroupLimit partial top-k below the single exchange."""
+    from verde_spark.operators.sampling import cap_per_domain
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": [f"https://s{i%3}.com/p{i}" for i in range(30)]})
+    )
+    plan = _plan(cap_per_domain(df, 2))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -238,3 +238,50 @@ def test_streaming_clean_corpus(spark, tmp_path):
     n = spark.sql("select count(*) c from clean_stream").first()["c"]
     # url-dedup → 15 canonical survivors → 10 distinct texts; junk gated
     assert n == batch_n == 10
+
+
+def test_streaming_clean_corpus_decontam_and_redact(spark, tmp_path):
+    """Round-4 stages in the streaming twin: benchmark decontamination as
+    a stateless projection filter + PII redaction column — survivor set
+    matches the batch recipe with the same stages."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.pipelines import clean_corpus
+    from verde_spark.streaming import streaming_clean_corpus
+
+    leak = ("the secret benchmark answer is hidden under the mat "
+            "beside the old barn door")  # 14 words -> 2 grams
+    rows = []
+    for i in range(12):
+        text = (f"the cat sat on the mat and it is a fine day number {i} "
+                f"mail me at user{i}@ex.org")
+        if i in (3, 7):
+            text += " " + leak
+        rows.append((f"http://example.com/p{i}",
+                     f"2024-01-01 00:00:{i:02d}", text))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    path = str(tmp_path / "pages_r4")
+    df.write.mode("append").parquet(path)
+    bench = spark.createDataFrame([(leak,)], "text string")
+
+    stored = spark.read.parquet(path)
+    batch = clean_corpus(
+        stored, min_stopword_ratio=0.2, benchmark=bench, redact=True
+    ).toPandas()
+    assert len(batch) == 10  # docs 3 and 7 decontaminated away
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string"
+    ).parquet(path)
+    out = streaming_clean_corpus(
+        stream, watermark="1 hour", min_stopword_ratio=0.2,
+        benchmark=bench, redact=True,
+    )
+    run_to_memory(out, "clean_stream_r4", mode="append")
+    got = spark.sql("select * from clean_stream_r4").toPandas()
+    assert sorted(got["url"]) == sorted(batch["url"])
+    assert "text_clean" in got.columns
+    assert got["text_clean"].str.contains("<EMAIL>").all()
+    assert got["text"].str.contains("@ex.org").all()  # original untouched

@@ -144,6 +144,36 @@ def contaminated_ids(
     )
 
 
+def contamination_filter(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    max_grams: int = 200_000,
+):
+    """Boolean Column — TRUE when a row's text shares an ``n``-word gram
+    with *benchmark*.  The benchmark gram set is COLLECTED into a single
+    array literal (one Literal node, not N), so the result is a pure
+    stateless projection: usable in Structured Streaming micro-batches
+    (where :func:`decontaminate`'s join/agg shape would need stateful
+    operators) and in batch filters alike.  Guarded by *max_grams* —
+    an eval suite is thousands of documents; if the "benchmark" is
+    bigger than that, use :func:`decontaminate`.
+    """
+    rows = benchmark_ngrams(benchmark, text_col=text_col, n=n).collect()
+    if len(rows) > max_grams:
+        raise ValueError(
+            f"benchmark has {len(rows)} distinct grams > max_grams="
+            f"{max_grams}; use decontaminate() (broadcast join) instead"
+        )
+    if not rows:
+        return F.lit(False)
+    grams = F.coalesce(
+        F.array_distinct(shingles(F.col(text_col), n=n)),
+        F.array().cast("array<bigint>"),
+    )
+    return F.arrays_overlap(grams, F.lit([r["gram"] for r in rows]))
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

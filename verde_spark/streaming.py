@@ -110,6 +110,8 @@ def streaming_clean_corpus(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     text_col: str = "text",
+    benchmark: DataFrame | None = None,
+    redact: bool = False,
 ) -> DataFrame:
     """The crawl-cleaning recipe as a continuous query — the streaming
     twin of :func:`verde_spark.pipelines.clean_corpus` for WARC batches
@@ -123,6 +125,13 @@ def streaming_clean_corpus(
     key (the batch recipe keeps the latest crawl / min-id
     representative) — same survivor count, possibly different
     representatives; documented, not hidden.
+
+    Round-4 optional stages, mirroring the batch recipe: *benchmark*
+    decontamination runs as a STATELESS projection filter
+    (``operators.decontam.contamination_filter`` — the small benchmark
+    gram set becomes one array literal, so no stream-static join or
+    extra state), and ``redact=True`` appends the PII-scrubbed
+    ``<text_col>_clean`` column (pure projection).
     """
     from .functions.text import (
         fingerprint,
@@ -145,13 +154,22 @@ def streaming_clean_corpus(
             & (F.col("quality") >= min_quality)
         )
     )
-    return (
+    if benchmark is not None:
+        from .operators.decontam import contamination_filter
+
+        gated = gated.filter(~contamination_filter(benchmark, text_col=text_col))
+    out = (
         gated.withColumn("curl", canonical_url(url_col))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["curl"])
         .withColumn("text_hash", fingerprint(text_col))
         .dropDuplicatesWithinWatermark(["text_hash"])
     )
+    if redact:
+        from .functions.pii import redact_pii
+
+        out = out.withColumn(f"{text_col}_clean", redact_pii(text_col))
+    return out
 
 
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update"):
