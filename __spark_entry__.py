@@ -311,6 +311,20 @@ def _q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/packing.pack_sequences):
+    per-shard window cumsum lays docs end-to-end; injective arithmetic
+    rank keeps both engines' orderings identical (doc_id < 9973)."""
+    from verde_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = pack_sequences(
+        docs, seq_len=64, n_shards=8, sep_tokens=1,
+        hash_expr=(F.col("doc_id") * 7919) % 9973,
+    )
+    return out.orderBy("doc_id")
+
+
 def _q_salted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew salting (north rule): the two-level salted mean must equal the
     plain per-block mean EXACTLY — integer-valued data keeps every partial
@@ -494,6 +508,28 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return planted.select(
         "doc_id", lang_id_expr("ptext").alias("lang_guess")
     ).orderBy("doc_id")
+
+
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus profile (pipelines.corpus_report): per-language +
+    ALL-rollup doc/token/char counts, exact-dup rate and mean quality in a
+    single Expand + hash-aggregate job.  Languages planted via _LANG_PLANT
+    (residues survive the +1e6 copy offset since 1_000_000 % 5 == 0, so
+    the planted duplicates stay exact dups of their originals); Spark
+    counts distinct xxhash64(text), the oracle counts distinct raw text —
+    identical absent a 2^-64 collision (the minhash/decontam contract)."""
+    from verde_spark.pipelines import corpus_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    both = docs.unionByName(copies)
+    plant = F.lit("")
+    for residue, suffix in _LANG_PLANT.items():
+        plant = F.when(F.col("doc_id") % 5 == residue, F.lit(suffix)).otherwise(plant)
+    planted = both.select(F.concat(F.col("text"), plant).alias("ptext"))
+    return corpus_report(planted, text_col="ptext").orderBy("lang")
 
 
 def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1364,7 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "dedup_components": _q_dedup_components,
         "stratified_sample": _q_stratified_sample,
-        "deterministic_sample": _q_deterministic_sample,
+        "corpus_report": _q_corpus_report,
         "project_points": _q_project_points,
         "longitude_continuity": _q_longitude_continuity,
         "spline_grid": _q_spline_grid,
@@ -1412,10 +1448,12 @@ def _winnow_sel_sql(src_sql: str) -> str:
     """
 
 
-#: Queries retired from the 50-entry driver registry in round 4 — each is a
-#: variant of a still-registered query exercising the same operator code
-#: path (rationale per retiree in COVERAGE.md §retired).  They keep their
-#: oracles and remain replayable:
+#: Queries outside the 50-entry driver registry (the driver artifact caps
+#: at 50): retirees are variants of a still-registered query exercising
+#: the same operator code path (rationale per retiree in COVERAGE.md
+#: §retired); over-cap entries are NEW round-4 operators that keep a full
+#: DuckDB value oracle here even though the registry is full.  All remain
+#: replayable:
 #:   python tools/check_correctness.py --retired
 _RETIRED = (
     "block_mean_weighted",   # BlockMean weighted mode — block_mean_uncertainty covers the weighted path + variance
@@ -1424,6 +1462,8 @@ _RETIRED = (
     "lang_stats",            # aggregate of lang_id, which stays registered
     "winnow_fingerprints",   # winnow_pairs consumes these fingerprints end-to-end
     "stopword_scores",       # stopword_ratio also runs inside quality_scores + clean_corpus
+    "deterministic_sample",  # TakeOrderedAndProject top-n — stratified_sample (per-group twin) + cap_per_domain attest the same arithmetic-rank selection
+    "pack_sequences",        # over-cap: new r4 operator, registry full — full DuckDB window-cumsum oracle, replayable via --retired
 )
 _RETIRED_ORACLES: dict = {}
 
@@ -1437,6 +1477,8 @@ def retired_queries():
         "lang_stats": _q_lang_stats,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "stopword_scores": _q_stopword_scores,
+        "deterministic_sample": _q_deterministic_sample,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1607,6 +1649,33 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, lang FROM documents
               ORDER BY (doc_id * 7919) % 9973 LIMIT 20
             ) ORDER BY doc_id
+        """,
+        "pack_sequences": r"""
+            -- per-shard window cumsum twin of operators/packing
+            -- (seq_len=64, n_shards=8, sep_tokens=1, arithmetic rank)
+            WITH t AS (
+              SELECT doc_id,
+                     (doc_id * 7919) % 9973 AS rank,
+                     CAST(((doc_id * 7919) % 9973) % 8 AS INTEGER) AS shard,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                          AS BIGINT) AS toks
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id, shard, toks,
+                     CAST(sum(toks + 1) OVER (
+                       PARTITION BY shard ORDER BY rank, doc_id
+                     ) AS BIGINT) AS e
+              FROM t
+            )
+            SELECT doc_id, shard, toks AS n_tokens,
+                   e - toks - 1 AS start_tok,
+                   e - 1 AS end_tok,
+                   CAST(floor((e - toks - 1) / 64.0) AS BIGINT) AS start_seq,
+                   CAST(floor(greatest(e - 2, e - toks - 1) / 64.0) AS BIGINT)
+                     AS end_seq
+            FROM w ORDER BY doc_id
         """,
         "salted_mean": f"""
             WITH pts AS ({_POINTS_SQL})
@@ -1821,6 +1890,99 @@ def oracle_sql() -> dict[str, str]:
                      AS quality,
                    bpe_tokens
             FROM feats ORDER BY doc_id
+        """,
+        "corpus_report": r"""
+            -- one-pass corpus profile twin: same planted union + lang argmax
+            -- as lang_id/dedup_exact; DuckDB counts DISTINCT raw text where
+            -- Spark counts distinct xxhash64(text) (identical membership
+            -- absent a 2^-64 collision); ROLLUP + GROUPING() mirrors
+            -- Spark's rollup + F.grouping
+            WITH unioned AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id < 10
+            ),
+            planted AS (
+              SELECT doc_id,
+                     text || CASE doc_id % 5
+                       WHEN 1 THEN ' der die und das ist der die und'
+                       WHEN 2 THEN ' le la les et est le la les'
+                       WHEN 3 THEN ' el los que y es el los'
+                       WHEN 4 THEN ' o os que e um o os'
+                       ELSE '' END AS ptext
+              FROM unioned
+            ),
+            padded AS (
+              SELECT ptext, ' ' || lower(ptext) || ' ' AS p FROM planted
+            ),
+            scores AS (
+              SELECT ptext,
+                len(regexp_extract_all(p, '\sthe\s')) + len(regexp_extract_all(p, '\sand\s'))
+                  + len(regexp_extract_all(p, '\sof\s')) + len(regexp_extract_all(p, '\sto\s'))
+                  + len(regexp_extract_all(p, '\sis\s')) AS s_en,
+                len(regexp_extract_all(p, '\sder\s')) + len(regexp_extract_all(p, '\sdie\s'))
+                  + len(regexp_extract_all(p, '\sund\s')) + len(regexp_extract_all(p, '\sdas\s'))
+                  + len(regexp_extract_all(p, '\sist\s')) AS s_de,
+                len(regexp_extract_all(p, '\sle\s')) + len(regexp_extract_all(p, '\sla\s'))
+                  + len(regexp_extract_all(p, '\sles\s')) + len(regexp_extract_all(p, '\set\s'))
+                  + len(regexp_extract_all(p, '\sest\s')) AS s_fr,
+                len(regexp_extract_all(p, '\sel\s')) + len(regexp_extract_all(p, '\slos\s'))
+                  + len(regexp_extract_all(p, '\sque\s')) + len(regexp_extract_all(p, '\sy\s'))
+                  + len(regexp_extract_all(p, '\ses\s')) AS s_es,
+                len(regexp_extract_all(p, '\so\s')) + len(regexp_extract_all(p, '\sos\s'))
+                  + len(regexp_extract_all(p, '\sque\s')) + len(regexp_extract_all(p, '\se\s'))
+                  + len(regexp_extract_all(p, '\sum\s')) AS s_pt
+              FROM padded
+            ),
+            langed AS (
+              SELECT ptext,
+                CASE
+                  WHEN greatest(s_en, s_de, s_fr, s_es, s_pt) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_pt) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_pt) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_pt) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_pt) THEN 'es'
+                  ELSE 'pt'
+                END AS lang
+              FROM scores
+            ),
+            feats AS (
+              SELECT lang, ptext,
+                CAST(CASE WHEN trim(ptext) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(ptext), '\s+')) END
+                     AS BIGINT) AS tokens,
+                CAST(len(ptext) AS BIGINT) AS chars,
+                (0.3 * least(CAST(len(ptext) AS DOUBLE) / 500.0, 1.0)
+                 + 0.3 * (CAST(len(regexp_extract_all(ptext, '[A-Za-z]')) AS DOUBLE)
+                          / greatest(CAST(len(ptext) AS DOUBLE), 1.0))
+                 + 0.2 * (CASE WHEN CAST(len(ptext) AS DOUBLE)
+                                    / greatest(CAST(CASE WHEN trim(ptext) = '' THEN 0
+                                          ELSE len(regexp_split_to_array(trim(ptext), '\s+')) END
+                                          AS DOUBLE), 1.0) >= 3
+                                AND CAST(len(ptext) AS DOUBLE)
+                                    / greatest(CAST(CASE WHEN trim(ptext) = '' THEN 0
+                                          ELSE len(regexp_split_to_array(trim(ptext), '\s+')) END
+                                          AS DOUBLE), 1.0) <= 10
+                               THEN 1.0 ELSE 0.3 END)
+                 + 0.2 * (CASE WHEN CAST(len(regexp_extract_all(ptext, '[^\w\s]')) AS DOUBLE)
+                                    / greatest(CAST(len(ptext) AS DOUBLE), 1.0) <= 0.2
+                               THEN 1.0
+                               ELSE greatest(0.0, 1.0
+                                    - CAST(len(regexp_extract_all(ptext, '[^\w\s]')) AS DOUBLE)
+                                      / greatest(CAST(len(ptext) AS DOUBLE), 1.0)) END)
+                ) AS quality
+              FROM langed
+            )
+            SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+                   count(*) AS n_docs,
+                   CAST(sum(tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(chars) AS BIGINT) AS n_chars,
+                   count(DISTINCT ptext) AS n_unique_texts,
+                   round(1.0 - CAST(count(DISTINCT ptext) AS DOUBLE) / count(*), 6)
+                     + 0.0 AS dup_rate,
+                   round(avg(quality), 6) + 0.0 AS avg_quality
+            FROM feats GROUP BY ROLLUP(lang) ORDER BY lang
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),

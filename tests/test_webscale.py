@@ -1203,3 +1203,55 @@ def test_shingles_null_text(spark):
     assert got[0] is None
     assert got[1] == []
     assert len(got[2]) == 2
+
+
+def test_corpus_report(spark):
+    """One-pass corpus profile: per-language rows + ALL rollup, exact dup
+    rate via 64-bit content hashes, mean quality; lang_col override and
+    non-default text column (dogfood) both work."""
+    from verde_spark.functions.text import quality_score, token_count
+    from verde_spark.pipelines import corpus_report
+
+    en = "the cat and the dog sat on the mat and it is a fine day"
+    de = "der hund und die katze ist und das war der die und das"
+    rows = [(en + f" {i}",) for i in range(4)] + [(de + f" {i}",) for i in range(3)]
+    rows.append((en + " 0",))  # exact duplicate of the first en doc
+    df = spark.createDataFrame(rows, "body string")
+
+    rep = {r["lang"]: r for r in corpus_report(df, text_col="body").collect()}
+    assert set(rep) == {"ALL", "en", "de"}
+    assert rep["en"]["n_docs"] == 5 and rep["en"]["n_unique_texts"] == 4
+    assert rep["de"]["n_docs"] == 3 and rep["de"]["n_unique_texts"] == 3
+    assert rep["ALL"]["n_docs"] == 8 and rep["ALL"]["n_unique_texts"] == 7
+    assert abs(rep["en"]["dup_rate"] - 0.2) < 1e-9
+    assert rep["de"]["dup_rate"] == 0.0
+    # token/char sums and avg quality match independent per-doc expressions
+    feats = df.select(
+        token_count("body").cast("long").alias("t"),
+        F.length("body").cast("long").alias("c"),
+        quality_score("body").alias("q"),
+    ).collect()
+    assert rep["ALL"]["n_tokens"] == sum(r["t"] for r in feats)
+    assert rep["ALL"]["n_chars"] == sum(r["c"] for r in feats)
+    assert abs(rep["ALL"]["avg_quality"] - sum(r["q"] for r in feats) / 8) < 1e-6
+
+    # explicit lang column skips detection; approx mode still counts docs
+    tagged = df.withColumn("language", F.lit("xx"))
+    rep2 = {
+        r["lang"]: r
+        for r in corpus_report(
+            tagged, text_col="body", lang_col="language", exact_unique=False
+        ).collect()
+    }
+    assert set(rep2) == {"ALL", "xx"}
+    assert rep2["xx"]["n_docs"] == 8
+    # HLL++ sketch is approximate but single-digit-% on 7 values
+    assert 5 <= rep2["xx"]["n_unique_texts"] <= 9
+
+    # one job: a single Expand+aggregate, no Python in the plan
+    plan = (
+        corpus_report(df, text_col="body")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -103,6 +103,36 @@ def main() -> int:
     print("PASS clean_corpus(benchmark=..., redact=True, max_per_domain=8) "
           "with page_url/fetched_at/body columns")
 
+    # --- corpus_report / pack_sequences / SnapshotStore (late r4) ---------
+    from verde_spark import corpus_report, pack_sequences, packing_stats
+
+    rep = {r["lang"]: r for r in corpus_report(out, text_col="body").collect()}
+    assert rep["ALL"]["n_docs"] == n, rep["ALL"]
+    assert rep["ALL"]["dup_rate"] == 0.0, rep["ALL"]  # post-dedup corpus
+    print("PASS corpus_report over the cleaned corpus (custom text column)")
+
+    packed = pack_sequences(
+        out, seq_len=32, text_col="body", id_col="page_url", n_shards=2
+    )
+    st = packing_stats(packed, 32).collect()
+    assert sum(r["n_docs"] for r in st) == n
+    assert packed.count() == n and {r["shard"] for r in st} <= {0, 1}
+    print("PASS pack_sequences/packing_stats keyed by a STRING id column")
+
+    import tempfile
+
+    from verde_spark import SnapshotStore
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = SnapshotStore(os.path.join(tmp, "corpus"))
+        store.append(out)
+        store.append(out.limit(5))
+        assert store.read(spark).count() == n + 5
+        assert store.read(spark, version=1).count() == n
+        store.rollback(1)
+        assert store.read(spark).count() == n
+    print("PASS SnapshotStore append/time-travel/rollback on the cleaned corpus")
+
     spark.stop()
     print("DOGFOOD r4: ALL PASS")
     return 0

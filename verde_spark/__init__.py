@@ -56,13 +56,15 @@ from .functions.urls import canonical_url, dedup_url, domain_of, top_domains
 from .functions.pii import pii_counts, redact_pii, reference_redact_pii
 from .operators.decontam import contamination_stats, decontaminate
 from .operators.sampling import cap_per_domain
-from .pipelines import clean_corpus
+from .operators.packing import pack_sequences, packing_stats
+from .pipelines import clean_corpus, corpus_report
 from .operators.linkgraph import extract_links, host_graph, pagerank
 from .operators.projections import project_grid, project_points
 from .checkpoint import TileCheckpoint, run_resumable
 from .operators.windows import expanding_window, rolling_window
 from .operators.neighbors import median_distance
 from .sources.grid_io import grid_to_table, load_surfer, table_to_grid
+from .sources.snapshots import SnapshotStore
 from .utils import maxabs, minmax
 from . import datasets, synthetic
 
@@ -97,7 +99,10 @@ __all__ = [
     "Linear",
     "canonical_url",
     "cap_per_domain",
+    "pack_sequences",
+    "packing_stats",
     "clean_corpus",
+    "corpus_report",
     "contamination_stats",
     "decontaminate",
     "dedup_url",
@@ -119,6 +124,7 @@ __all__ = [
     "Spline",
     "SplineCV",
     "TileCheckpoint",
+    "SnapshotStore",
     "Trend",
     "Vector",
     "VectorSpline2D",

@@ -126,3 +126,71 @@ def clean_corpus(
 
         out = cap_per_domain(out, max_per_domain, url_col=url_col)
     return out
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    exact_unique: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-pass corpus profile: per-language rows plus an ``ALL`` rollup.
+
+    The "what does my corpus look like" front-door query: doc counts,
+    token/char volume, exact-duplicate rate and mean quality score, per
+    detected (or given) language and for the whole table, in ONE job.
+
+    Physical shape at 10^12 docs: every per-doc feature (lang ID, token
+    count, quality score, 64-bit content hash) is a pure codegen
+    projection over the scan; ``rollup`` compiles to a single Expand +
+    hash-aggregate — partial (map-side) aggregation for the algebraic
+    stats, so the shuffle carries tiny per-(lang, grouping) states plus,
+    for the exact unique count, one 64-bit hash per distinct text.  With
+    ``exact_unique=False`` the distinct count switches to HyperLogLog++
+    (``approx_count_distinct``) and the shuffle drops to constant-size
+    sketches per language — the 100 TB setting; exact is the default so
+    small-scale runs are value-oracle-able.
+
+    Duplicate detection hashes the text to 64 bits first (xxhash64) so
+    the shuffle key is fixed-width, never the document body — identical
+    answers to ``count(DISTINCT text)`` absent a 2^-64 collision (the
+    same contract as the minhash/decontamination oracles).
+
+    Columns: ``lang | n_docs | n_tokens | n_chars | n_unique_texts |
+    dup_rate | avg_quality`` with ``lang='ALL'`` on the rollup row.
+    """
+    from .functions.text import lang_id_expr, quality_score, token_count
+
+    t = F.col(text_col)
+    lang_expr = F.col(lang_col) if lang_col is not None else lang_id_expr(text_col)
+    base = df.select(
+        lang_expr.alias("lang"),
+        token_count(text_col).cast("long").alias("_tokens"),
+        F.length(t).cast("long").alias("_chars"),
+        quality_score(text_col).alias("_quality"),
+        F.xxhash64(t).alias("_h"),
+    )
+    uniq = (
+        F.countDistinct("_h") if exact_unique else F.approx_count_distinct("_h")
+    ).alias("n_unique_texts")
+    rep = base.rollup("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tokens").alias("n_tokens"),
+        F.sum("_chars").alias("n_chars"),
+        uniq,
+        F.avg("_quality").alias("_avg_q"),
+        F.grouping("lang").alias("_g"),
+    )
+    return rep.select(
+        F.when(F.col("_g") == 1, F.lit("ALL")).otherwise(F.col("lang")).alias("lang"),
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_unique_texts",
+        (
+            F.round(1.0 - F.col("n_unique_texts") / F.col("n_docs"), round_to)
+            + F.lit(0.0)
+        ).alias("dup_rate"),
+        (F.round(F.col("_avg_q"), round_to) + F.lit(0.0)).alias("avg_quality"),
+    )
