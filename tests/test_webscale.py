@@ -1255,3 +1255,38 @@ def test_corpus_report(spark):
     )
     assert "Expand" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_main_entrypoint_clean_snapshot_store(spark, tmp_path, capsys):
+    """--job clean --snapshot-store commits each run as a SnapshotStore
+    version: two runs append two snapshots, time travel sees both states,
+    and the metrics line reports version + table totals from the manifest."""
+    import json as _json
+
+    from verde_spark.__main__ import main
+    from verde_spark.sources.snapshots import SnapshotStore
+
+    src = str(tmp_path / "pages_in")
+    synthesize_pages(spark, 300).write.parquet(src)
+    out = str(tmp_path / "corpus_store")
+
+    rc = main(["--input", src, "--output", out, "--job", "clean",
+               "--threshold", "1.0", "--min-tokens", "3",
+               "--snapshot-store", "--rows-per-file", "100"])
+    assert rc == 0
+    m1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m1["snapshot_version"] == 1
+    assert m1["rows_out"] == m1["table_rows"] > 0
+
+    rc = main(["--input", src, "--output", out, "--job", "clean",
+               "--threshold", "1.0", "--min-tokens", "3", "--snapshot-store"])
+    assert rc == 0
+    m2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["snapshot_version"] == 2
+    assert m2["table_rows"] == 2 * m1["table_rows"]
+
+    store = SnapshotStore(out)
+    assert store.read(spark, version=1).count() == m1["table_rows"]
+    assert store.read(spark).count() == m2["table_rows"]
+    # sized output: run 1 respected --rows-per-file
+    assert all(e["rows"] <= 100 for e in store._snapshot(1)["files"])

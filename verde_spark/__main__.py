@@ -58,6 +58,17 @@ def main(argv=None) -> int:
     ap.add_argument("--redact-pii", action="store_true", help="clean job: write a text_clean column with emails/IPs/phones replaced by tokens")
     ap.add_argument("--max-per-domain", type=int, default=None, help="clean job: cap pages per domain (corpus balance)")
     ap.add_argument(
+        "--snapshot-store", action="store_true",
+        help="clean job: commit the output to a SnapshotStore at --output "
+             "instead of overwriting plain parquet — each run appends an "
+             "atomic, time-travelable snapshot (incremental corpus builds)",
+    )
+    ap.add_argument(
+        "--rows-per-file", type=int, default=None,
+        help="clean job with --snapshot-store: target rows per output file "
+             "(maxRecordsPerFile; uniform file sizes at scale)",
+    )
+    ap.add_argument(
         "--from-html", action="store_true",
         help="geotag from extract_text(html) instead of the stored text "
              "column (the north star's full extracted-text chain; both are "
@@ -123,6 +134,23 @@ def main(argv=None) -> int:
             benchmark=bench, redact=args.redact_pii,
             max_per_domain=args.max_per_domain,
         )
+        if args.snapshot_store:
+            from verde_spark.sources.snapshots import SnapshotStore
+
+            store = SnapshotStore(args.output)
+            version = store.append(
+                cleaned, target_rows_per_file=args.rows_per_file
+            )
+            # row counts come from the committed manifest — no extra job
+            snap = store._snapshot(version)
+            after = snap["added_rows"]
+            print(json.dumps({
+                "job": "clean", "rows_in": before, "rows_out": after,
+                "dropped": before - after, "sec": round(time.time() - t0, 3),
+                "snapshot_version": version,
+                "table_rows": sum(e["rows"] for e in snap["files"]),
+            }))
+            return 0
         cleaned.write.mode("overwrite").parquet(args.output)
         after = spark.read.parquet(args.output).count()
         print(json.dumps({
