@@ -1216,6 +1216,96 @@ def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host")
 
 
+def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-meta directive parsing (operators/crawl.meta_robots): five
+    fixture arms per doc_id%5 — both attribute orders, the `none`
+    shorthand, a benign tag, a lookalike meta name that must NOT match,
+    and no tag at all.  Pure-projection; DuckDB replays the same regex
+    constants."""
+    from verde_spark.operators.crawl import meta_robots
+
+    d = F.col("doc_id")
+    meta = (
+        F.when(d % 5 == 0, F.lit('<meta name="robots" content="NOINDEX, nofollow">'))
+        .when(d % 5 == 1, F.lit("<meta content=' none ' name='robots'>"))
+        .when(d % 5 == 2, F.lit('<meta name="robots" content="index, follow">'))
+        .when(d % 5 == 3, F.lit('<meta name="keywords" content="noindex">'))
+        .otherwise(F.lit(""))
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(d < 400)
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html>"), meta, F.lit("<body>x</body></html>"))
+        .cast("binary")
+        .alias("html"),
+    )
+    r = meta_robots("html")
+    # ints, not booleans: exact cross-engine value hashing
+    return pages.select(
+        "doc_id",
+        r["noindex"].cast("int").alias("noindex"),
+        r["nofollow"].cast("int").alias("nofollow"),
+    ).orderBy("doc_id")
+
+
+def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist gate (operators/crawl.filter_blocklist): hosts
+    with subdomains/ports/userinfo vs a list blocking one registrable
+    domain and one exact subdomain — survivors prove the suffix
+    semantics (ads.site0.com blocked via site0.com; sub2.site1.com
+    blocked exactly; sub0.site1.com kept).  Pure projection, zero
+    shuffle."""
+    from verde_spark.operators.crawl import filter_blocklist
+
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(d < 300)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://u@sub"), (d % 3).cast("string"),
+            F.lit(".site"), (d % 5).cast("string"),
+            F.lit(".com:443/p"), d.cast("string"),
+        ).alias("url"),
+    )
+    kept = filter_blocklist(pages, ["site0.com", "sub2.site1.com"])
+    return kept.select("doc_id", "url").orderBy("doc_id")
+
+
+def _q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host top-k inbound anchor texts (linkgraph.top_anchor_texts):
+    anchors carry case/whitespace noise (normalized), nested-markup and
+    empty anchors (skipped), and a root-relative href (resolved) — the
+    DuckDB twin replays the regex + resolution + ranked top-k."""
+    from verde_spark.operators.linkgraph import top_anchor_texts
+
+    d = F.col("doc_id")
+    nxt = (d + 1) % 7
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(d < 300)
+    pages = docs.select(
+        F.concat(
+            F.lit("https://site"), (d % 7).cast("string"),
+            F.lit(".com/p"), d.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="https://site'), nxt.cast("string"),
+            F.lit('.com/x">Read   ABOUT site'), nxt.cast("string"),
+            F.lit('</a><a href="/local"> home </a>'),
+            F.lit('<a href="https://site'), nxt.cast("string"),
+            F.lit('.com/x"><b>skip</b></a>'),
+            F.lit('<a href="https://site'), nxt.cast("string"),
+            F.lit('.com/x"></a></body></html>'),
+        ).cast("binary").alias("html"),
+    )
+    return (
+        top_anchor_texts(pages, k=2)
+        # long rank: DuckDB's row_number is BIGINT — exact schema parity
+        .select(
+            "dst_domain", "anchor", "n_anchors", F.col("rank").cast("long").alias("rank")
+        )
+        .orderBy("dst_domain", "rank")
+    )
+
+
 def _q_stopword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio quality gate (brief: 'length/punct/stopword
     ratios').  One IEEE division of exact int counts — identical in both
@@ -1464,6 +1554,9 @@ _RETIRED = (
     "stopword_scores",       # stopword_ratio also runs inside quality_scores + clean_corpus
     "deterministic_sample",  # TakeOrderedAndProject top-n — stratified_sample (per-group twin) + cap_per_domain attest the same arithmetic-rank selection
     "pack_sequences",        # over-cap: new r4 operator, registry full — full DuckDB window-cumsum oracle, replayable via --retired
+    "robots_gate",           # over-cap: r4 crawl-policy gate (meta robots), full DuckDB regex twin
+    "blocklist_filter",      # over-cap: r4 domain-suffix blocklist, full DuckDB twin
+    "anchor_topk",           # over-cap: r4 per-host top-k anchor texts, full DuckDB twin
 )
 _RETIRED_ORACLES: dict = {}
 
@@ -1479,6 +1572,9 @@ def retired_queries():
         "stopword_scores": _q_stopword_scores,
         "deterministic_sample": _q_deterministic_sample,
         "pack_sequences": _q_pack_sequences,
+        "robots_gate": _q_robots_gate,
+        "blocklist_filter": _q_blocklist_filter,
+        "anchor_topk": _q_anchor_topk,
     }
 
 
@@ -2325,6 +2421,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, domain FROM r WHERE rk <= 20 ORDER BY doc_id
         """,
     }
+
+    from verde_spark.operators.crawl import blocked_sql, meta_robots_sql
+    from verde_spark.operators.linkgraph import top_anchor_texts_sql
+
+    _ni, _nf = meta_robots_sql("html_str")
+    oracles["robots_gate"] = f"""
+        WITH pages AS (
+          SELECT doc_id, '<html>' ||
+            CASE CAST(doc_id % 5 AS INTEGER)
+              WHEN 0 THEN '<meta name="robots" content="NOINDEX, nofollow">'
+              WHEN 1 THEN '<meta content='' none '' name=''robots''>'
+              WHEN 2 THEN '<meta name="robots" content="index, follow">'
+              WHEN 3 THEN '<meta name="keywords" content="noindex">'
+              ELSE '' END || '<body>x</body></html>' AS html_str
+          FROM documents WHERE doc_id < 400
+        )
+        SELECT doc_id, CAST({_ni} AS INTEGER) AS noindex,
+               CAST({_nf} AS INTEGER) AS nofollow
+        FROM pages ORDER BY doc_id
+    """
+    _blocked = blocked_sql("url", ["site0.com", "sub2.site1.com"])
+    oracles["blocklist_filter"] = f"""
+        WITH pages AS (
+          SELECT doc_id,
+                 'https://u@sub' || CAST(doc_id % 3 AS VARCHAR)
+                   || '.site' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.com:443/p' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents WHERE doc_id < 300
+        )
+        SELECT doc_id, url FROM pages
+        WHERE NOT ({_blocked}) ORDER BY doc_id
+    """
+    _anchor_pages_sql = """
+        SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p'
+                 || CAST(doc_id AS VARCHAR) AS url,
+               '<html><body><a href="https://site'
+                 || CAST((doc_id + 1) % 7 AS VARCHAR)
+                 || '.com/x">Read   ABOUT site' || CAST((doc_id + 1) % 7 AS VARCHAR)
+                 || '</a><a href="/local"> home </a>'
+                 || '<a href="https://site' || CAST((doc_id + 1) % 7 AS VARCHAR)
+                 || '.com/x"><b>skip</b></a>'
+                 || '<a href="https://site' || CAST((doc_id + 1) % 7 AS VARCHAR)
+                 || '.com/x"></a></body></html>' AS html_str
+        FROM documents WHERE doc_id < 300
+    """
+    oracles["anchor_topk"] = (
+        top_anchor_texts_sql(_anchor_pages_sql, 2)
+        + " ORDER BY dst_domain, rank"
+    )
+
     for _k in _RETIRED:
         _RETIRED_ORACLES[_k] = oracles.pop(_k)
     return oracles

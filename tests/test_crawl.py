@@ -1,0 +1,219 @@
+"""Crawl-policy gates (operators/crawl.py) + anchor-text aggregation
+(operators/linkgraph.py): three-engine parity, plan shapes, and the
+keep-best near-dup policy."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from verde_spark.operators.crawl import (
+    blocked_expr,
+    blocked_sql,
+    filter_blocklist,
+    host_suffixes,
+    meta_robots,
+    meta_robots_sql,
+    reference_host_suffixes,
+    reference_meta_robots,
+    robots_filter,
+)
+from verde_spark.operators.linkgraph import (
+    extract_anchor_texts,
+    top_anchor_texts,
+    top_anchor_texts_sql,
+)
+
+# html fixtures chosen to hit every arm: both attribute orders, both
+# quote styles, the `none` shorthand, whitespace/case noise, lookalike
+# meta tags that must NOT match, and pages without any tag
+_HTML_CASES = [
+    '<html><META NAME="robots" Content="NOINDEX, nofollow"><p>x</p></html>',
+    "<meta content=' none ' name='robots'>",
+    '<meta name="robots" content="index, follow">',
+    '<meta name="robots" content="NOFOLLOW">',
+    '<meta name="keywords" content="noindex">',          # wrong name
+    '<meta name="robots-like" content="noindex">',       # not exactly robots… matches? name must be exactly robots
+    '<meta content="noindex" name="viewport">',
+    "plain text no tags",
+    '<meta name="robots" content="noarchive,noindex ,max-snippet:-1">',
+    "",
+]
+
+_URL_CASES = [
+    "https://A.B.Example.COM:443/x",
+    "https://user@ads.tracker.net:8080/y?q=1",
+    "http://single/",
+    "https://ok.org/path",
+]
+
+
+def test_meta_robots_three_engine_parity(spark):
+    rows = [(f"https://h{i}.org/", h) for i, h in enumerate(_HTML_CASES)]
+    df = spark.createDataFrame(rows, "url string, html_str string").withColumn(
+        "html", F.col("html_str").cast("binary")
+    )
+    got = {
+        r["url"]: (r["r"]["noindex"], r["r"]["nofollow"])
+        for r in df.select("url", meta_robots("html").alias("r")).collect()
+    }
+    for url, h in rows:
+        assert got[url] == reference_meta_robots(h), (url, h)
+    # DuckDB twin agrees byte-for-byte
+    con = duckdb.connect()
+    con.register("pages_tbl", pd.DataFrame(rows, columns=["url", "html_str"]))
+    ni, nf = meta_robots_sql("html_str")
+    for r in con.execute(
+        f"select url, {ni} as ni, {nf} as nf from pages_tbl"
+    ).fetchall():
+        assert (r[1], r[2]) == got[r[0]], r
+
+
+def test_host_suffixes_parity_and_blocklist_expr(spark):
+    df = spark.createDataFrame([(u,) for u in _URL_CASES], "url string")
+    got = {r["url"]: r["s"] for r in df.select("url", host_suffixes("url").alias("s")).collect()}
+    for u in _URL_CASES:
+        assert got[u] == reference_host_suffixes(u), u
+    blocked = ["tracker.net", " Example.COM ", ""]  # noise normalized away
+    b = {
+        r["url"]: r["b"]
+        for r in df.select("url", blocked_expr("url", blocked).alias("b")).collect()
+    }
+    assert b["https://A.B.Example.COM:443/x"] is True      # subdomain match
+    assert b["https://user@ads.tracker.net:8080/y?q=1"] is True
+    assert b["https://ok.org/path"] is False
+    con = duckdb.connect()
+    con.register("u_tbl", pd.DataFrame({"url": _URL_CASES}))
+    for url, sql_b in con.execute(
+        f"select url, {blocked_sql('url', blocked)} from u_tbl"
+    ).fetchall():
+        assert sql_b == b[url], url
+
+
+def test_crawl_gates_are_pure_projections(spark):
+    """robots_filter + literal-blocklist filter never shuffle and never
+    leave the JVM — at 10^12 pages both gates run at scan speed inside
+    the same codegen stage."""
+    df = spark.createDataFrame(
+        [("https://a.com/", "<p>x</p>")], "url string, html_str string"
+    ).withColumn("html", F.col("html_str").cast("binary"))
+    out = robots_filter(filter_blocklist(df, ["bad.com"]))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_filter_blocklist_dataframe_paths_agree(spark):
+    pages = spark.createDataFrame(
+        [(f"https://sub{i % 4}.site{i % 3}.com/p{i}",) for i in range(60)],
+        "url string",
+    )
+    bdf = spark.createDataFrame([("site0.com",), ("SITE2.com",)], "domain string")
+    expect = sorted(
+        r["url"]
+        for r in filter_blocklist(pages, ["site0.com", "site2.com"]).collect()
+    )
+    # small-side collect path and the exploded broadcast-join fallback
+    # must both match the literal-list semantics exactly
+    got_small = sorted(r["url"] for r in filter_blocklist(pages, bdf).collect())
+    got_join = sorted(
+        r["url"] for r in filter_blocklist(pages, bdf, driver_threshold=0).collect()
+    )
+    assert got_small == expect and got_join == expect
+    assert len(expect) == 20  # only site1.com survives
+
+
+def test_anchor_texts_and_topk_vs_duckdb(spark):
+    rows = []
+    for i in range(30):
+        dst = f"site{i % 3}.com"
+        rows.append((
+            f"https://src{i}.org/",
+            f'<a href="https://{dst}/">  Visit\n {dst.upper()} </a>'
+            f'<a href="/self">me</a>'
+            f'<a href="//proto.net/x">Proto</a>'
+            f'<a href="https://{dst}/other"><b>skip</b></a>'
+            f'<a href="https://{dst}/other"></a>',
+        ))
+    pages = spark.createDataFrame(rows, "url string, html_str string").withColumn(
+        "html", F.col("html_str").cast("binary")
+    )
+    # raw extraction: whitespace collapsed, empties and nested-markup
+    # anchors skipped, relative + protocol-relative arms resolved
+    anchors = extract_anchor_texts(pages).collect()
+    per_src = [a for a in anchors if a["src_url"] == rows[0][0]]
+    assert sorted(a["anchor"] for a in per_src) == ["Proto", "Visit SITE0.COM", "me"]
+    assert {a["link"] for a in per_src} == {
+        "https://site0.com/", "https://src0.org/self", "https://proto.net/x",
+    }
+    got = (
+        top_anchor_texts(pages, k=2)
+        .orderBy("dst_domain", "rank")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("pages_tbl", pd.DataFrame(rows, columns=["url", "html_str"]))
+    exp = con.execute(
+        top_anchor_texts_sql("select url, html_str from pages_tbl", 2)
+        + " ORDER BY dst_domain, rank"
+    ).df()
+    assert list(got["dst_domain"]) == list(exp["dst_domain"])
+    assert list(got["anchor"]) == list(exp["anchor"])
+    assert [int(x) for x in got["n_anchors"]] == [int(x) for x in exp["n_anchors"]]
+
+
+def test_dedup_keep_col_keeps_best_quality(spark):
+    from verde_spark.operators.dedup import dedup_minhash
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the observant cat watches from the warm windowsill nearby"
+    )
+    rows = [
+        (1, base, 0.2),
+        (2, base + " extra", 0.9),   # near-dup of 1, higher quality
+        (3, base + " more", 0.5),    # near-dup of 1
+        (10, "completely different text about distributed query engines and shuffles", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality double")
+    kept_min = sorted(
+        r["doc_id"] for r in dedup_minhash(df, threshold=0.5).collect()
+    )
+    assert kept_min == [1, 10]  # default policy: min id
+    kept_best = sorted(
+        r["doc_id"]
+        for r in dedup_minhash(df, threshold=0.5, keep_col="quality").collect()
+    )
+    assert kept_best == [2, 10]  # keep-best policy: max quality wins
+    with pytest.raises(ValueError, match="transitive"):
+        dedup_minhash(df, transitive=False, keep_col="quality")
+
+
+def test_clean_corpus_crawl_gates(spark):
+    """blocklist + respect_noindex as clean_corpus stages: blocked and
+    noindex pages are gone, everything else passes the usual gates."""
+    from verde_spark.pipelines import clean_corpus
+
+    rows = []
+    for i in range(40):
+        host = f"site{i % 4}.com"
+        meta = '<meta name="robots" content="noindex">' if i % 5 == 0 else ""
+        text = f"page {i} has enough plain words to pass the token gate easily"
+        rows.append((
+            f"https://{host}/p{i}", "2024-01-01 00:00:00",
+            f"<html>{meta}<body>{text}</body></html>", text,
+        ))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, html_str string, text string"
+    ).select(
+        "url", F.to_timestamp("warc_ts").alias("warc_ts"),
+        F.col("html_str").cast("binary").alias("html"), "text",
+    )
+    out = clean_corpus(
+        pages, min_tokens=3, blocklist=["site3.com"], respect_noindex=True
+    ).collect()
+    urls = {r["url"] for r in out}
+    assert all("site3.com" not in u for u in urls)
+    assert all(int(u.rsplit("p", 1)[1]) % 5 != 0 for u in urls)
+    # 40 pages - 10 on site3.com - 6 noindex pages not already blocked
+    assert len(urls) == 24

@@ -272,3 +272,33 @@ def test_cap_per_domain_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_crawl_gates_fuse_into_scan(spark, pages_parquet):
+    """robots_filter + literal blocklist over a parquet scan: both gates
+    are pure projections — zero Exchange, zero Python — and column
+    pruning still reaches the scan (the gates read only url/html)."""
+    from verde_spark.operators.crawl import filter_blocklist, robots_filter
+
+    pages = spark.read.parquet(pages_parquet)
+    out = robots_filter(filter_blocklist(pages, ["bad.com", "ads.net"])).select(
+        "url"
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ReadSchema: struct<url:string,html:binary>" in plan
+
+
+def test_top_anchor_texts_plan_shape(spark, pages_parquet):
+    """top_anchor_texts: map-side partial count before the agg exchange,
+    WindowGroupLimit partial top-k below the window exchange, exactly 2
+    exchanges total, zero Python — the per-host anchor rollup a 10^12-
+    page corpus can afford."""
+    from verde_spark.operators.linkgraph import top_anchor_texts
+
+    plan = _plan(top_anchor_texts(spark.read.parquet(pages_parquet), k=3))
+    assert "partial_count" in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -285,3 +285,50 @@ def test_streaming_clean_corpus_decontam_and_redact(spark, tmp_path):
     assert "text_clean" in got.columns
     assert got["text_clean"].str.contains("<EMAIL>").all()
     assert got["text"].str.contains("@ex.org").all()  # original untouched
+
+
+def test_streaming_clean_corpus_crawl_gates(spark, tmp_path):
+    """Late-r4 crawl-policy gates in the streaming twin: blocklist and
+    robots-noindex run as stateless projections (no stream-side join or
+    state) — survivor set matches the batch recipe with the same gates."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.pipelines import clean_corpus
+    from verde_spark.streaming import streaming_clean_corpus
+
+    rows = []
+    for i in range(24):
+        host = f"site{i % 3}.com"
+        meta = '<meta name="robots" content="noindex">' if i % 4 == 0 else ""
+        text = f"the cat sat on the mat and it is a fine day number {i}"
+        rows.append((
+            f"https://{host}/p{i}", f"2024-01-01 00:00:{i:02d}",
+            f"<html>{meta}<body>{text}</body></html>", text,
+        ))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, html_str string, text string"
+    ).select(
+        "url", F.to_timestamp("warc_ts").alias("warc_ts"),
+        F.col("html_str").cast("binary").alias("html"), "text",
+    )
+    path = str(tmp_path / "pages_gates")
+    df.write.mode("append").parquet(path)
+    bdf = spark.createDataFrame([("site2.com",)], "domain string")
+
+    stored = spark.read.parquet(path)
+    batch = clean_corpus(
+        stored, min_stopword_ratio=0.2, blocklist=bdf, respect_noindex=True
+    ).toPandas()
+    # 24 - 8 on site2.com - (6 noindex - 2 already on site2.com) = 12
+    assert len(batch) == 12
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string"
+    ).parquet(path)
+    out = streaming_clean_corpus(
+        stream, watermark="1 hour", min_stopword_ratio=0.2,
+        blocklist=bdf, respect_noindex=True,
+    )
+    run_to_memory(out, "clean_stream_gates", mode="append")
+    got = spark.sql("select url from clean_stream_gates").toPandas()
+    assert sorted(got["url"]) == sorted(batch["url"])

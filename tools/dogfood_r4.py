@@ -119,6 +119,40 @@ def main() -> int:
     assert packed.count() == n and {r["shard"] for r in st} <= {0, 1}
     print("PASS pack_sequences/packing_stats keyed by a STRING id column")
 
+    # --- crawl gates + anchor texts + keep-best dedup (late r4) -----------
+    from verde_spark import filter_blocklist, robots_filter, top_anchor_texts
+
+    crawl = pages.withColumn(
+        "page_html",
+        F.concat(
+            F.when(F.col("fetched_at") % 7 == 0,
+                   F.lit('<meta name="robots" content="noindex">')).otherwise(F.lit("")),
+            F.lit('<body><a href="https://host0.example/">Home  Page</a>'),
+            F.col("body"), F.lit("</body>"),
+        ).cast("binary"),
+    )
+    gated = robots_filter(
+        filter_blocklist(crawl, ["host3.example"], url_col="page_url"),
+        html_col="page_html",
+    )
+    # 60 - 15 on host3 - (9 noindex not already on host3: fetched_at%7==0 → 0,7,…,56 is 9 ids, of which 7,35 are host3) = 38
+    assert gated.count() == 38, gated.count()
+    ta = top_anchor_texts(crawl, k=1, url_col="page_url", html_col="page_html")
+    row = ta.collect()
+    assert len(row) == 1 and row[0]["dst_domain"] == "host0.example"
+    assert row[0]["anchor"] == "home page" and row[0]["n_anchors"] == 60
+    print("PASS robots_filter/filter_blocklist/top_anchor_texts with "
+          "page_url/page_html columns")
+
+    from verde_spark.operators.dedup import dedup_minhash
+
+    scored = pages.withColumn("score", (F.col("fetched_at") % 3)).withColumn(
+        "pid", F.xxhash64("page_url")
+    )
+    best = dedup_minhash(scored, id_col="pid", text_col="body", keep_col="score")
+    assert best.count() == 60, best.count()  # no near-dups: keep_col drops nothing
+    print("PASS dedup_minhash(keep_col=...) with custom id/text/keep columns")
+
     import tempfile
 
     from verde_spark import SnapshotStore

@@ -58,7 +58,19 @@ from .operators.decontam import contamination_stats, decontaminate
 from .operators.sampling import cap_per_domain
 from .operators.packing import pack_sequences, packing_stats
 from .pipelines import clean_corpus, corpus_report
-from .operators.linkgraph import extract_links, host_graph, pagerank
+from .operators.linkgraph import (
+    extract_anchor_texts,
+    extract_links,
+    host_graph,
+    pagerank,
+    top_anchor_texts,
+)
+from .operators.crawl import (
+    filter_blocklist,
+    meta_robots,
+    reference_meta_robots,
+    robots_filter,
+)
 from .operators.projections import project_grid, project_points
 from .checkpoint import TileCheckpoint, run_resumable
 from .operators.windows import expanding_window, rolling_window
@@ -111,7 +123,13 @@ __all__ = [
     "redact_pii",
     "reference_redact_pii",
     "host_graph",
+    "extract_anchor_texts",
     "extract_links",
+    "filter_blocklist",
+    "meta_robots",
+    "reference_meta_robots",
+    "robots_filter",
+    "top_anchor_texts",
     "extract_text",
     "point_in_polygon",
     "pagerank",

@@ -490,6 +490,36 @@ def winnow_pairs(
     )
 
 
+def _component_drops(
+    df: DataFrame, comp: DataFrame, id_col: str, keep_col: str | None
+) -> DataFrame:
+    """The ids to drop from *df* given component membership *comp*
+    (columns ``id``, ``comp``): every member except the component's
+    winner.  ``keep_col=None`` keeps the min-id member (== the component
+    label, so no join at all); a column name keeps the member maximizing
+    it — e.g. ``keep_col="quality"`` retains the best-quality copy
+    instead of an arbitrary one (ties break to min id, so the choice is
+    deterministic).  Shape: the membership table is tiny next to the
+    corpus (only docs in a dup component appear), so the id-equi-join
+    broadcasts it and the ranking window sorts only within components."""
+    if keep_col is None:
+        return comp.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+    members = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(keep_col).alias("__k")),
+        "id",
+    )
+    win = Window.partitionBy("comp").orderBy(
+        F.col("__k").desc(), F.col("id").asc()
+    )
+    return (
+        members.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("id").alias(id_col))
+    )
+
+
 def dedup_winnow(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -501,24 +531,25 @@ def dedup_winnow(
     max_df: int | None = None,
     transitive: bool = True,
     engine: str = "catalyst",
+    keep_col: str | None = None,
 ) -> DataFrame:
     """Drop winnow-fingerprint near-duplicates (containment ≥
-    *min_containment*): pairs → connected components → keep the min-id
-    member of each component.  Same keep policy as :func:`dedup_minhash`;
-    ``transitive=False`` = cheaper single-link drop of every ``id_b``.
-    Catches contained/partial copies exact dedup and shingle-Jaccard both
-    miss (a doc embedded inside a longer one has containment 1.0 but
-    Jaccard ≪ 1)."""
+    *min_containment*): pairs → connected components → keep one member
+    of each component (min id by default; ``keep_col`` keeps the member
+    maximizing that column — see :func:`_component_drops`).  Same keep
+    policy as :func:`dedup_minhash`; ``transitive=False`` = cheaper
+    single-link drop of every ``id_b``.  Catches contained/partial
+    copies exact dedup and shingle-Jaccard both miss (a doc embedded
+    inside a longer one has containment 1.0 but Jaccard ≪ 1)."""
+    if keep_col is not None and not transitive:
+        raise ValueError("keep_col requires transitive=True (components)")
     dups = winnow_pairs(
         df, id_col, text_col, k=k, w=w,
         min_shared=min_shared, min_containment=min_containment, max_df=max_df,
         engine=engine,
     )
     if transitive:
-        comp = connected_components(dups)
-        to_drop = comp.filter(F.col("id") != F.col("comp")).select(
-            F.col("id").alias(id_col)
-        )
+        to_drop = _component_drops(df, connected_components(dups), id_col, keep_col)
     else:
         to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_drop, id_col, "left_anti")
@@ -695,13 +726,18 @@ def dedup_minhash(
     bands: int = 16,
     transitive: bool = True,
     engine: str = "catalyst",
+    keep_col: str | None = None,
 ) -> DataFrame:
     """Drop near-duplicates: LSH candidates → exact Jaccard ≥ threshold →
-    connected components over the duplicate-pair edges → keep the min-id
-    member of each component.  ``transitive=False`` restores the cheaper
+    connected components over the duplicate-pair edges → keep one member
+    of each component (min id by default; ``keep_col`` keeps the member
+    maximizing that column, e.g. ``keep_col="quality"`` — see
+    :func:`_component_drops`).  ``transitive=False`` restores the cheaper
     round-1 single-link policy (drop every ``id_b``), which over-drops on
     A~B~C chains where A~C is below threshold.  ``engine="arrow"`` uses
     the vectorized minhash signature (bit-identical candidates)."""
+    if keep_col is not None and not transitive:
+        raise ValueError("keep_col requires transitive=True (components)")
     cand = lsh_candidate_pairs(
         df, id_col, text_col, shingle_size, num_hashes, bands, engine=engine
     )
@@ -709,10 +745,7 @@ def dedup_minhash(
         F.col("jaccard") >= threshold
     )
     if transitive:
-        comp = connected_components(dups)
-        to_drop = comp.filter(F.col("id") != F.col("comp")).select(
-            F.col("id").alias(id_col)
-        )
+        to_drop = _component_drops(df, connected_components(dups), id_col, keep_col)
     else:
         to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_drop, id_col, "left_anti")

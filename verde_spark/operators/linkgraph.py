@@ -27,7 +27,7 @@ pages at 10^12 scale).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.urls import _URL_RE, domain_of
@@ -35,6 +35,31 @@ from ..functions.urls import _URL_RE, domain_of
 #: href of an <a> tag; the lazy [^>]*? and the quote classes are in the
 #: common Java-regex / RE2 / Python subset (same discipline as extract.py)
 _HREF_RE = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"'<>]*)["']"""
+
+#: href + plain inner text of an <a> tag.  The text class is [^<]* — an
+#: anchor whose inner text nests further markup is skipped (the standard
+#: simplification; nested-markup anchors carry images/widgets, not the
+#: descriptive text anchor aggregation wants) — which keeps the pattern
+#: in the shared Java-regex / RE2 subset so DuckDB replays it verbatim.
+_ANCHOR_RE = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"'<>]*)["'][^>]*>([^<]*)</a>"""
+
+
+def _resolve_link(link: Column, src_url: Column) -> Column:
+    """Absolute form of a raw href against its page url (NULL when not
+    resolvable to an absolute link).  The protocol-relative arm MUST
+    precede the root-relative one: "//other.com/x" startswith "/" too,
+    and resolving it against the source host fabricates a self-edge on
+    the SOURCE domain (ADVICE r3)."""
+    scheme = F.lower(F.regexp_extract(src_url, _URL_RE, 1))
+    base = F.concat(
+        scheme, F.lit("://"), F.lower(F.regexp_extract(src_url, _URL_RE, 2))
+    )
+    return (
+        F.when(link.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://"), link)
+        .when(link.startswith("//"), F.concat(scheme, F.lit(":"), link))
+        .when(link.startswith("/"), F.concat(base, link))
+        .otherwise(F.lit(None))
+    )
 
 
 def extract_links(
@@ -56,23 +81,124 @@ def extract_links(
     if not resolve:
         return out
     src = F.col("src_url")
-    scheme = F.lower(F.regexp_extract(src, _URL_RE, 1))
-    base = F.concat(
-        scheme, F.lit("://"), F.lower(F.regexp_extract(src, _URL_RE, 2))
-    )
-    link = F.col("link")
-    # the protocol-relative arm MUST precede the root-relative one:
-    # "//other.com/x" startswith "/" too, and resolving it against the
-    # source host fabricates a self-edge on the SOURCE domain (ADVICE r3)
-    resolved = (
-        F.when(link.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://"), link)
-        .when(link.startswith("//"), F.concat(scheme, F.lit(":"), link))
-        .when(link.startswith("/"), F.concat(base, link))
-        .otherwise(F.lit(None))
-    )
+    resolved = _resolve_link(F.col("link"), src)
     return out.select(src.alias("src_url"), resolved.alias("link")).filter(
         F.col("link").isNotNull()
     )
+
+
+def extract_anchor_texts(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, link, anchor) per plain-text anchor in the page html.
+
+    ``anchor`` is the tag's inner text, whitespace-normalized (collapse
+    runs, trim) but case-preserved; empty anchors and unresolvable hrefs
+    are dropped.  Physical shape: TWO ``regexp_extract_all`` passes over
+    the html (one per capture group — Spark's extract_all returns one
+    group per call) zipped positionally, then one explode — still a pure
+    Catalyst projection chain, zero joins, zero Python.
+    """
+    html = F.col(html_col).cast("string")
+    pair = F.explode(
+        F.arrays_zip(
+            F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 1).alias("href"),
+            F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 2).alias("raw"),
+        )
+    ).alias("a")
+    out = pages.select(F.col(url_col).alias("src_url"), pair)
+    anchor = F.trim(F.regexp_replace(F.col("a.raw"), r"\s+", " "))
+    return out.select(
+        F.col("src_url"),
+        _resolve_link(F.col("a.href"), F.col("src_url")).alias("link"),
+        anchor.alias("anchor"),
+    ).filter(F.col("link").isNotNull() & (F.col("anchor") != ""))
+
+
+def top_anchor_texts(
+    pages: DataFrame,
+    k: int = 5,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Per destination host, its *k* most frequent inbound anchor texts:
+    (dst_domain, anchor, n_anchors, rank) — the classic link-text signal
+    a web corpus derives next to the host graph (anchor text describes
+    the TARGET page; search and quality pipelines aggregate it per host).
+
+    Anchors are lower-cased for aggregation.  Shape: the anchor
+    projection above → ONE map-side-combined groupBy(dst_domain, anchor)
+    → one per-domain window limited to *k* (WindowGroupLimit pushes the
+    limit below the sort — no per-domain full materialization).  Ties
+    break deterministically by anchor string, so the result is exactly
+    reproducible (and DuckDB-oracle-able).
+    """
+    anchors = extract_anchor_texts(pages, url_col=url_col, html_col=html_col)
+    counts = (
+        anchors.select(
+            domain_of("link").alias("dst_domain"),
+            F.lower(F.col("anchor")).alias("anchor"),
+        )
+        .groupBy("dst_domain", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_anchors"))
+    )
+    win = Window.partitionBy("dst_domain").orderBy(
+        F.col("n_anchors").desc(), F.col("anchor").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def top_anchor_texts_sql(pages_sql: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`top_anchor_texts` over a source subquery
+    producing ``(url, html_str)`` rows — replays the anchor regex, link
+    resolution, whitespace normalization, domain extraction and the
+    ranked top-k with the shared pattern constants."""
+    anchor_re = _ANCHOR_RE.replace("'", "''")
+
+    def dom(u: str) -> str:
+        return (
+            "lower(regexp_replace(regexp_replace("
+            f"regexp_extract({u}, '{_URL_RE}', 2), '^.*@', ''), ':[0-9]*$', ''))"
+        )
+
+    scheme = f"lower(regexp_extract(src_url, '{_URL_RE}', 1))"
+    base = f"{scheme} || '://' || lower(regexp_extract(src_url, '{_URL_RE}', 2))"
+    return f"""
+        WITH pages AS ({pages_sql}),
+        zipped AS (
+          SELECT url AS src_url,
+                 regexp_extract_all(html_str, '{anchor_re}', 1) AS hrefs,
+                 regexp_extract_all(html_str, '{anchor_re}', 2) AS raws
+          FROM pages
+        ),
+        raw AS (
+          SELECT src_url, hrefs[i] AS href,
+                 trim(regexp_replace(raws[i], '\\s+', ' ', 'g')) AS anchor
+          FROM zipped, unnest(range(1, len(hrefs) + 1)) AS t(i)
+        ),
+        resolved AS (
+          SELECT src_url, anchor,
+                 CASE WHEN regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://') THEN href
+                      WHEN href LIKE '//%' THEN {scheme} || ':' || href
+                      WHEN href LIKE '/%' THEN {base} || href
+                      ELSE NULL END AS link
+          FROM raw
+        ),
+        counts AS (
+          SELECT {dom('link')} AS dst_domain, lower(anchor) AS anchor,
+                 count(*) AS n_anchors
+          FROM resolved WHERE link IS NOT NULL AND anchor <> ''
+          GROUP BY 1, 2
+        )
+        SELECT dst_domain, anchor, n_anchors, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY dst_domain ORDER BY n_anchors DESC, anchor ASC
+          ) AS rank FROM counts
+        ) WHERE rank <= {k}
+    """
 
 
 def host_graph(

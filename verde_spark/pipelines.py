@@ -48,6 +48,8 @@ def clean_corpus(
     decontam_ngram: int = 13,
     redact: bool = False,
     max_per_domain: int | None = None,
+    blocklist=None,
+    respect_noindex: bool = False,
 ) -> DataFrame:
     """Standard crawl-cleaning recipe; see module docstring.
 
@@ -69,8 +71,29 @@ def clean_corpus(
       text column is never rewritten — byte-identity invariant),
     * ``max_per_domain`` — per-domain page cap for corpus balance
       (``operators.sampling.cap_per_domain``; one WindowGroupLimit
-      shuffle).
+      shuffle),
+    * ``blocklist`` — a sequence of domain strings (or a DataFrame with
+      a ``domain`` column): pages on or under a listed domain are
+      dropped before anything else runs
+      (``operators.crawl.filter_blocklist``; small-side list = pure
+      projection, zero shuffle),
+    * ``respect_noindex=True`` — drop pages whose
+      ``<meta name="robots">`` requests noindex
+      (``operators.crawl.robots_filter``; pure projection — requires
+      ``html_col`` to be present).
+
+    Both crawl-policy gates run FIRST: they are the cheapest drops and,
+    being pure projections, they fuse into the same codegen'd scan stage
+    as the quality gates — the stage count does not change.
     """
+    if blocklist is not None:
+        from .operators.crawl import filter_blocklist
+
+        pages = filter_blocklist(pages, blocklist, url_col=url_col)
+    if respect_noindex:
+        from .operators.crawl import robots_filter
+
+        pages = robots_filter(pages, html_col=html_col)
     from .functions.text import (
         quality_score,
         repetition_ratio,

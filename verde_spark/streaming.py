@@ -110,8 +110,11 @@ def streaming_clean_corpus(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     text_col: str = "text",
+    html_col: str = "html",
     benchmark: DataFrame | None = None,
     redact: bool = False,
+    blocklist=None,
+    respect_noindex: bool = False,
 ) -> DataFrame:
     """The crawl-cleaning recipe as a continuous query — the streaming
     twin of :func:`verde_spark.pipelines.clean_corpus` for WARC batches
@@ -132,7 +135,28 @@ def streaming_clean_corpus(
     gram set becomes one array literal, so no stream-static join or
     extra state), and ``redact=True`` appends the PII-scrubbed
     ``<text_col>_clean`` column (pure projection).
+
+    The crawl-policy gates also mirror the batch recipe and run FIRST:
+    ``blocklist`` (a domain sequence, or a small static DataFrame with a
+    ``domain`` column — collected at composition time into the literal
+    suffix-match form, so the STREAM side needs no join or state) and
+    ``respect_noindex=True`` (robots meta parse of ``html_col`` — pure
+    projection).  A blocklist too large to inline must be applied
+    upstream in batch; the streaming twin deliberately has no
+    stream-side join path.
     """
+    if blocklist is not None:
+        from .operators.crawl import blocked_expr
+
+        if isinstance(blocklist, DataFrame):
+            doms = [r[0] for r in blocklist.select("domain").collect()]
+        else:
+            doms = list(blocklist)
+        pages = pages.filter(~blocked_expr(url_col, doms))
+    if respect_noindex:
+        from .operators.crawl import robots_filter
+
+        pages = robots_filter(pages, html_col=html_col)
     from .functions.text import (
         fingerprint,
         quality_score,
