@@ -1306,6 +1306,96 @@ def _q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality signals (functions/text.gopher_signals,
+    Rae et al. 2021): real document text decorated with planted bullet
+    lines (doc_id%3), ellipsis endings (doc_id%5) and symbol soup
+    (doc_id%7) so every ratio takes non-trivial values.  Exact int
+    counts + single IEEE divisions — DuckDB replays the struct
+    bit-for-bit from the same pattern constants."""
+    from verde_spark.functions.text import gopher_signals
+
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(d < 400)
+    txt = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit("\n- bullet one\n* bullet two")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("\ntrailing off...")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" ### #")).otherwise(F.lit("")),
+    )
+    s = gopher_signals(txt)
+    r9 = lambda c: F.round(c, 9) + F.lit(0.0)  # noqa: E731
+    return docs.select(
+        "doc_id",
+        s["n_words"].cast("long").alias("n_words"),  # DuckDB len() is BIGINT
+        r9(s["mean_word_len"]).alias("mean_word_len"),
+        r9(s["symbol_word_ratio"]).alias("symbol_word_ratio"),
+        r9(s["bullet_line_ratio"]).alias("bullet_line_ratio"),
+        r9(s["ellipsis_line_ratio"]).alias("ellipsis_line_ratio"),
+        r9(s["alpha_word_ratio"]).alias("alpha_word_ratio"),
+    ).orderBy("doc_id")
+
+
+def _q_c4_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page-cleaning signals (functions/text.c4_signals, Raffel et
+    al. 2020 §2.2): real document text decorated with a planted kept
+    line (doc_id%2), a too-short line (doc_id%3), a javascript line
+    (doc_id%5), a "lorem ipsum" mention (doc_id%7) and a curly brace
+    (doc_id%11) so every signal takes both values.  Exact int counts +
+    boolean flags — DuckDB replays the struct bit-for-bit from the same
+    pattern constants."""
+    from verde_spark.functions.text import c4_signals
+
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(d < 400)
+    txt = F.concat(
+        F.col("text"),
+        F.when(d % 2 == 0, F.lit("\nThis planted line ends properly.")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("\ntoo short.")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("\nPlease enable Javascript to continue here.")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("\nLorem ipsum dolor sit amet today.")).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" {")).otherwise(F.lit("")),
+    )
+    s = c4_signals(txt)
+    return docs.select(
+        "doc_id",
+        s["n_lines"].cast("long").alias("n_lines"),  # DuckDB len() is BIGINT
+        s["n_kept_lines"].cast("long").alias("n_kept_lines"),
+        s["n_sentences"].cast("long").alias("n_sentences"),
+        s["has_lorem_ipsum"].alias("has_lorem_ipsum"),
+        s["has_curly_brace"].alias("has_curly_brace"),
+    ).orderBy("doc_id")
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 three-sentence span dedup (operators/dedup.drop_duplicate_spans,
+    Raffel et al. 2020 §2.2): every doc_id%4==0 document gets the same
+    planted three-sentence boilerplate block plus a unique closer, so the
+    block survives only in the first such document.  Spark keys spans by
+    xxhash64; the oracle replays the SAME sentence split / windowing /
+    first-occurrence rule with raw span strings — identical answers
+    absent a 2^-64 collision (the minhash/decontamination contract)."""
+    from verde_spark.operators.dedup import drop_duplicate_spans
+
+    d = F.col("doc_id")
+    boiler = (" Subscribe to our newsletter today! Your privacy matters"
+              " to us. Unsubscribe at any time with one click.")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(d < 300)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(d % 4 == 0, F.lit(boiler)).otherwise(F.lit("")),
+                F.concat(F.lit(" Unique closing thought number "),
+                         d.cast("string"), F.lit(".")),
+            ).alias("text"),
+        )
+    )
+    return drop_duplicate_spans(docs).select("doc_id", "text_spandedup").orderBy("doc_id")
+
+
 def _q_stopword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio quality gate (brief: 'length/punct/stopword
     ratios').  One IEEE division of exact int counts — identical in both
@@ -1557,6 +1647,9 @@ _RETIRED = (
     "robots_gate",           # over-cap: r4 crawl-policy gate (meta robots), full DuckDB regex twin
     "blocklist_filter",      # over-cap: r4 domain-suffix blocklist, full DuckDB twin
     "anchor_topk",           # over-cap: r4 per-host top-k anchor texts, full DuckDB twin
+    "gopher_signals",        # over-cap: r4 Gopher-rule quality signals, full DuckDB twin
+    "c4_signals",            # over-cap: r4 C4 page-cleaning signals, full DuckDB twin
+    "span_dedup",            # over-cap: r4 C4 3-sentence span dedup, raw-string DuckDB twin
 )
 _RETIRED_ORACLES: dict = {}
 
@@ -1575,6 +1668,9 @@ def retired_queries():
         "robots_gate": _q_robots_gate,
         "blocklist_filter": _q_blocklist_filter,
         "anchor_topk": _q_anchor_topk,
+        "gopher_signals": _q_gopher_signals,
+        "c4_signals": _q_c4_signals,
+        "span_dedup": _q_span_dedup,
     }
 
 
@@ -2470,6 +2566,120 @@ def oracle_sql() -> dict[str, str]:
         top_anchor_texts_sql(_anchor_pages_sql, 2)
         + " ORDER BY dst_domain, rank"
     )
+    from verde_spark.functions.text import gopher_signals_sql
+
+    _gs = gopher_signals_sql("txt")
+    oracles["gopher_signals"] = f"""
+        WITH src AS (
+          SELECT doc_id,
+                 text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN chr(10) || '- bullet one' || chr(10) || '* bullet two'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN chr(10) || 'trailing off...' ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN ' ### #' ELSE '' END AS txt
+          FROM documents WHERE doc_id < 400
+        )
+        SELECT doc_id,
+               {_gs["n_words"]} AS n_words,
+               round({_gs["mean_word_len"]}, 9) + 0.0 AS mean_word_len,
+               round({_gs["symbol_word_ratio"]}, 9) + 0.0 AS symbol_word_ratio,
+               round({_gs["bullet_line_ratio"]}, 9) + 0.0 AS bullet_line_ratio,
+               round({_gs["ellipsis_line_ratio"]}, 9) + 0.0 AS ellipsis_line_ratio,
+               round({_gs["alpha_word_ratio"]}, 9) + 0.0 AS alpha_word_ratio
+        FROM src ORDER BY doc_id
+    """
+    from verde_spark.functions.text import c4_signals_sql
+
+    _cs = c4_signals_sql("txt")
+    oracles["c4_signals"] = f"""
+        WITH src AS (
+          SELECT doc_id,
+                 text
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN chr(10) || 'This planted line ends properly.'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN chr(10) || 'too short.' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN chr(10) || 'Please enable Javascript to continue here.'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN chr(10) || 'Lorem ipsum dolor sit amet today.'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0 THEN ' {{' ELSE '' END AS txt
+          FROM documents WHERE doc_id < 400
+        )
+        SELECT doc_id,
+               {_cs["n_lines"]} AS n_lines,
+               {_cs["n_kept_lines"]} AS n_kept_lines,
+               {_cs["n_sentences"]} AS n_sentences,
+               {_cs["has_lorem_ipsum"]} AS has_lorem_ipsum,
+               {_cs["has_curly_brace"]} AS has_curly_brace
+        FROM src ORDER BY doc_id
+    """
+    oracles["span_dedup"] = """
+        WITH src AS (
+          SELECT doc_id,
+                 text
+                   || CASE WHEN doc_id % 4 = 0
+                      THEN ' Subscribe to our newsletter today! Your privacy matters'
+                           || ' to us. Unsubscribe at any time with one click.'
+                      ELSE '' END
+                   || ' Unique closing thought number ' || CAST(doc_id AS VARCHAR) || '.'
+                 AS t
+          FROM documents WHERE doc_id < 300
+        ),
+        s AS (
+          SELECT doc_id,
+                 list_transform(regexp_extract_all(t, '[^.!?]+[.!?]+'),
+                                x -> trim(x)) AS sents
+          FROM src
+        ),
+        occ AS (
+          SELECT doc_id, u.e['spos'] AS spos, u.e['span'] AS span
+          FROM (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(len(sents) - 1, 1)),
+                                  i -> {'spos': i - 1,
+                                        'span': array_to_string(sents[i:i+2], ' ')}) AS lst
+            FROM s
+          ), UNNEST(lst) AS u(e)
+        ),
+        marked AS (
+          SELECT doc_id, spos,
+                 row_number() OVER (PARTITION BY span ORDER BY doc_id, spos) AS rn,
+                 count(*) OVER (PARTITION BY span) AS cnt
+          FROM occ
+        ),
+        removals AS (
+          SELECT DISTINCT doc_id, spos + dd.d AS pos
+          FROM marked, UNNEST([0, 1, 2]) AS dd(d)
+          WHERE cnt >= 2 AND rn > 1
+        ),
+        sent_pos AS (
+          SELECT doc_id, u.e['pos'] AS pos, u.e['sent'] AS sent
+          FROM (
+            SELECT doc_id,
+                   list_transform(range(len(sents)),
+                                  i -> {'pos': i, 'sent': sents[i+1]}) AS lst
+            FROM s
+          ), UNNEST(lst) AS u(e)
+        ),
+        kept AS (
+          SELECT sp.doc_id, sp.pos, sp.sent
+          FROM sent_pos sp
+          ANTI JOIN removals r ON sp.doc_id = r.doc_id AND sp.pos = r.pos
+        ),
+        rebuilt AS (
+          SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS text_spandedup
+          FROM kept GROUP BY doc_id
+        )
+        SELECT src.doc_id, coalesce(rebuilt.text_spandedup, '') AS text_spandedup
+        FROM src LEFT JOIN rebuilt USING (doc_id)
+        ORDER BY src.doc_id
+    """
 
     for _k in _RETIRED:
         _RETIRED_ORACLES[_k] = oracles.pop(_k)

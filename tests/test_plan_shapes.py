@@ -302,3 +302,21 @@ def test_top_anchor_texts_plan_shape(spark, pages_parquet):
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange") == 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_and_c4_gates_fuse_into_scan(spark, pages_parquet):
+    """passes_gopher + passes_c4 + c4_filtered_text over a parquet scan:
+    the full quality-rule stack is pure Catalyst — zero Exchange, zero
+    Python — and column pruning still reaches the scan (only the text
+    column is read).  The gates add signal computation, never a stage."""
+    from verde_spark.functions.text import c4_filtered_text, passes_c4, passes_gopher
+
+    pages = spark.read.parquet(pages_parquet)
+    out = (
+        pages.filter(passes_gopher("text") & passes_c4("text"))
+        .select("text", c4_filtered_text("text").alias("text_c4"))
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ReadSchema: struct<text:string>" in plan

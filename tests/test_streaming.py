@@ -332,3 +332,50 @@ def test_streaming_clean_corpus_crawl_gates(spark, tmp_path):
     run_to_memory(out, "clean_stream_gates", mode="append")
     got = spark.sql("select url from clean_stream_gates").toPandas()
     assert sorted(got["url"]) == sorted(batch["url"])
+
+
+def test_streaming_clean_corpus_gopher_and_c4(spark, tmp_path):
+    """Late-r4 quality rule sets in the streaming twin: the Gopher and
+    C4 gates run as stateless projections — survivor set matches the
+    batch recipe with the same stages, and the line-cleaned ``text_c4``
+    column appears without rewriting ``text``."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.pipelines import clean_corpus
+    from verde_spark.streaming import streaming_clean_corpus
+
+    prose = ("the cat and the dog sat on the mat because it is a fine day. "
+             "Everyone is happy to walk in the park for a while today! "
+             "Is the weather going to hold? The friends believe that it will. "
+             "And the quiet paths wind between the old tall trees here.")
+    rows = []
+    for i in range(18):
+        if i % 3 == 0:
+            text = f"{prose}\nnav menu footer junk\nUnique suffix number {i}."
+        elif i % 3 == 1:
+            text = "buy now cheap deals " * 6          # fails gopher
+        else:
+            text = f"{prose} extra {i}".replace(".", "")  # no terminal punct → fails c4
+        rows.append((f"http://example.com/p{i}", f"2024-01-01 00:00:{i:02d}", text))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    path = str(tmp_path / "pages_rules")
+    df.write.mode("append").parquet(path)
+
+    stored = spark.read.parquet(path)
+    kw = dict(min_stopword_ratio=0.0, gopher=True,
+              gopher_thresholds={"min_words": 30}, c4=True)
+    batch = clean_corpus(stored, **kw).toPandas()
+    assert sorted(batch["url"]) == [f"http://example.com/p{i}"
+                                    for i in (0, 12, 15, 3, 6, 9)]
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string"
+    ).parquet(path)
+    out = streaming_clean_corpus(stream, watermark="1 hour", **kw)
+    run_to_memory(out, "clean_stream_rules", mode="append")
+    got = spark.sql("select * from clean_stream_rules").toPandas()
+    assert sorted(got["url"]) == sorted(batch["url"])
+    assert "text_c4" in got.columns
+    assert (got["text_c4"] != got["text"]).all()  # nav line dropped, text kept

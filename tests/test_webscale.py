@@ -1290,3 +1290,267 @@ def test_main_entrypoint_clean_snapshot_store(spark, tmp_path, capsys):
     assert store.read(spark).count() == m2["table_rows"]
     # sized output: run 1 respected --rows-per-file
     assert all(e["rows"] <= 100 for e in store._snapshot(1)["files"])
+
+
+_GOPHER_TEXTS = [
+    None,
+    "",
+    "   ",
+    "the cat and the dog sat on the mat because it is a fine day "
+    "and everyone is happy to walk in the park for a while today "
+    "with friends and family members who all enjoy the fresh air "
+    "and the quiet paths that wind between the old tall trees here",
+    "- one\n- two\n- three\n* four",
+    "this line trails off...\nand this one too…\nbut not this one",
+    "buy ### now # cheap ### deals #",
+    "12345 67890 11 22 33 44 55 66 77 88 99 00",
+    "\tword1  word2\nword3\t",
+]
+
+
+def test_gopher_signals_three_engine_parity(spark):
+    """gopher_signals: Catalyst == Python reference == DuckDB twin,
+    bit-for-bit, across nulls/empties/bullets/ellipses/symbols/tabs."""
+    import duckdb
+
+    from verde_spark.functions.text import (
+        gopher_signals,
+        gopher_signals_sql,
+        reference_gopher_signals,
+    )
+
+    rows = [(i, t) for i, t in enumerate(_GOPHER_TEXTS)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: r["s"] and r["s"].asDict()
+        for r in df.select("i", gopher_signals("t").alias("s")).collect()
+    }
+    for i, t in rows:
+        ref = reference_gopher_signals(t)
+        if ref is None:
+            assert got[i] is None, (i, got[i])
+            continue
+        for k, v in ref.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+    con = duckdb.connect()
+    con.register("t_tbl", pd.DataFrame(rows, columns=["i", "t"]))
+    fields = gopher_signals_sql("t")
+    sel = ", ".join(f'{sql} AS "{k}"' for k, sql in fields.items())
+    for r in con.execute(f"select i, {sel} from t_tbl").fetchall():
+        i, vals = r[0], dict(zip(fields.keys(), r[1:]))
+        if got[i] is None:
+            continue  # SQL twin is only defined for non-null text
+        for k, v in vals.items():
+            assert got[i][k] == pytest.approx(v, abs=0, rel=0), (i, k)
+
+
+def test_passes_gopher_gate(spark):
+    from verde_spark.functions.text import passes_gopher
+
+    rows = [(i, t) for i, t in enumerate(_GOPHER_TEXTS)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: r["p"]
+        for r in df.select("i", passes_gopher("t").alias("p")).collect()
+    }
+    assert got[3] is True                      # long natural prose passes
+    assert all(got[i] is False for i in got if i != 3)
+    # threshold overrides: a short prose doc fails the 50-word floor by
+    # default but passes once the floor is lowered
+    short = spark.createDataFrame(
+        [("the tiger sat near the fence today",)], "t string"
+    )
+    assert short.select(passes_gopher("t").alias("p")).first()["p"] is False
+    assert (
+        short.select(
+            passes_gopher("t", min_words=3, min_stopword_hits=1).alias("p")
+        ).first()["p"]
+        is True
+    )
+    with pytest.raises(ValueError, match="unknown gopher"):
+        passes_gopher("t", min_wordz=1)
+
+
+def test_clean_corpus_gopher_stage(spark):
+    from verde_spark.pipelines import clean_corpus
+
+    good = _GOPHER_TEXTS[3]
+    rows = []
+    for i in range(20):
+        text = good + f" number {i}" if i % 2 == 0 else "buy ### now # " * 10
+        rows.append((f"https://site{i % 2}.com/p{i}", "2024-01-01 00:00:00", text))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = clean_corpus(pages, min_tokens=3, gopher=True).collect()
+    assert len(out) == 10 and all("site0" in r["url"] for r in out)
+
+
+_C4_TEXTS = [
+    None,
+    "",
+    "No terminal punctuation here\nso nothing survives the line filter",
+    "This first sentence is kept here. And the second one is too!\n"
+    "Is the third a question? The fourth ends with a quote: \"done.\"\n"
+    "And a fifth sentence closes the page.",
+    "Please enable Javascript to view this page.\nA real sentence stays here.",
+    "lorem ipsum dolor sit amet.\nAnother fine sentence follows it.",
+    "A config block { key: value } appears here.\nPlain prose elsewhere.",
+    "short.\nalso no.\nThis one carries enough words to stay.",
+    "Trailing blanks still count here.   \nTab\tseparated words end fine.\t.",
+]
+
+
+def test_c4_signals_three_engine_parity(spark):
+    """c4_signals: Catalyst == Python reference == DuckDB twin,
+    bit-for-bit, across nulls/empties/javascript/lorem/brace/quote
+    fixtures."""
+    import duckdb
+
+    from verde_spark.functions.text import (
+        c4_signals,
+        c4_signals_sql,
+        reference_c4_signals,
+    )
+
+    rows = [(i, t) for i, t in enumerate(_C4_TEXTS)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: r["s"] and r["s"].asDict()
+        for r in df.select("i", c4_signals("t").alias("s")).collect()
+    }
+    for i, t in rows:
+        ref = reference_c4_signals(t)
+        if ref is None:
+            assert got[i] is None, (i, got[i])
+            continue
+        for k, v in ref.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+    con = duckdb.connect()
+    con.register("t_tbl", pd.DataFrame(rows, columns=["i", "t"]))
+    fields = c4_signals_sql("t")
+    sel = ", ".join(f'{sql} AS "{k}"' for k, sql in fields.items())
+    for r in con.execute(f"select i, {sel} from t_tbl").fetchall():
+        i, vals = r[0], dict(zip(fields.keys(), r[1:]))
+        if got[i] is None:
+            continue  # SQL twin is only defined for non-null text
+        for k, v in vals.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+
+
+def test_passes_c4_gate_and_filtered_text(spark):
+    from verde_spark.functions.text import c4_filtered_text, passes_c4
+
+    rows = [(i, t) for i, t in enumerate(_C4_TEXTS)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: (r["p"], r["ft"])
+        for r in df.select(
+            "i",
+            passes_c4("t").alias("p"),
+            c4_filtered_text("t").alias("ft"),
+        ).collect()
+    }
+    # only the 5-sentence page passes the defaults; lorem/brace pages
+    # fail on the page predicates even with enough sentences
+    assert got[3][0] is True
+    assert all(got[i][0] is False for i in got if i != 3)
+    assert got[0][1] is None and got[1][1] == ""          # null/empty text
+    assert got[4][1] == "A real sentence stays here."     # js line dropped
+    assert got[7][1] == "This one carries enough words to stay."
+    # threshold override + badwords arm
+    relaxed = passes_c4("t", min_sentences=2)
+    got2 = {r["i"]: r["p"] for r in df.select("i", relaxed.alias("p")).collect()}
+    assert got2[8] is True and got2[3] is True
+    bad = passes_c4("t", min_sentences=2, badwords=("tab",))
+    got3 = {r["i"]: r["p"] for r in df.select("i", bad.alias("p")).collect()}
+    assert got3[8] is False and got3[3] is True
+    with pytest.raises(ValueError, match="unknown c4"):
+        passes_c4("t", min_sentencez=1)
+
+
+def test_clean_corpus_c4_stage(spark):
+    from verde_spark.pipelines import clean_corpus
+
+    junk = "no punctuation and the of to is a line that never ends"
+    rows = []
+    for i in range(20):
+        # even docs: the 5-sentence page plus one nav-junk line (dropped
+        # by the line filter, so text_c4 differs from text) and a unique
+        # suffix sentence; odd docs: no terminal punctuation at all
+        text = (
+            _C4_TEXTS[3] + f"\nnav menu footer links\nUnique suffix number {i}."
+            if i % 2 == 0
+            else junk
+        )
+        rows.append((f"https://site{i % 2}.com/p{i}", "2024-01-01 00:00:00", text))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = clean_corpus(pages, min_tokens=3, c4=True).collect()
+    assert len(out) == 10 and all("site0" in r["url"] for r in out)
+    # the line-cleaned body lands in a NEW column; text is untouched
+    assert all(r["text"].startswith("This first sentence") for r in out)
+    assert all(r["text_c4"].startswith("This first sentence") for r in out)
+    assert all(r["text_c4"] != r["text"] for r in out)
+
+
+def _ref_span_dedup(rows, n=3):
+    """Greedy Python reference for drop_duplicate_spans: first (id, pos)
+    occurrence of each duplicated n-sentence span wins; every sentence
+    of a losing span is removed."""
+    import re
+
+    sents = {
+        i: [s.strip(" ") for s in re.findall(r"[^.!?]+[.!?]+", t or "")]
+        for i, t in rows
+    }
+    occ = {}
+    for i, t in sorted(rows):
+        for j in range(max(len(sents[i]) - n + 1, 0)):
+            occ.setdefault(" ".join(sents[i][j : j + n]), []).append((i, j))
+    removed = {
+        (i, j + d)
+        for places in occ.values()
+        if len(places) >= 2
+        for i, j in places[1:]
+        for d in range(n)
+    }
+    return {
+        i: " ".join(
+            s for j, s in enumerate(sents[i]) if (i, j) not in removed
+        )
+        for i, _ in rows
+    }
+
+
+def test_drop_duplicate_spans_matches_greedy_reference(spark):
+    from verde_spark.operators.dedup import drop_duplicate_spans
+
+    boiler = ("Subscribe to our newsletter today! "
+              "Your privacy matters to us. "
+              "Unsubscribe at any time.")
+    rows = []
+    for i in range(8):
+        body = f"Document {i} opens with its own words. It continues uniquely here. "
+        if i % 2 == 0:
+            body += boiler + f" A distinct closing thought number {i}."
+        else:
+            body += f"A calm ending number {i}."
+        rows.append((i, body))
+    rows.append((8, None))
+    rows.append((9, "no terminal punctuation at all"))
+    rows.append((10, "Short. Too short."))  # < 3 sentences: untouched
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text_spandedup"]
+        for r in drop_duplicate_spans(df).collect()
+    }
+    ref = _ref_span_dedup(rows)
+    assert got == ref, {k: (got[k], ref[k]) for k in got if got[k] != ref[k]}
+    # the boilerplate block survives exactly once (in doc 0) and each
+    # doc keeps its unique opening
+    assert "Subscribe" in got[0]
+    assert all("Subscribe" not in got[i] for i in (2, 4, 6))
+    assert all(f"Document {i} opens" in got[i] for i in range(8))
+    assert got[8] == "" and got[9] == "" and got[10] == "Short. Too short."

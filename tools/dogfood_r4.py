@@ -144,6 +144,36 @@ def main() -> int:
     print("PASS robots_filter/filter_blocklist/top_anchor_texts with "
           "page_url/page_html columns")
 
+    from verde_spark.functions.text import passes_gopher
+
+    # every body here is short prose; the 50-word floor rejects all of
+    # them, a relaxed floor accepts all of them — on the custom column
+    n_strict = pages.filter(passes_gopher("body")).count()
+    n_loose = pages.filter(
+        passes_gopher("body", min_words=5, min_stopword_hits=1,
+                      max_symbol_word_ratio=1.0)
+    ).count()
+    assert n_strict == 0 and n_loose == 60, (n_strict, n_loose)
+    print("PASS passes_gopher default + overridden thresholds on custom column")
+
+    from verde_spark.functions.text import c4_filtered_text, passes_c4
+
+    # bodies are one-line prose without terminal punctuation → 0 kept
+    # lines under C4; appending a planted 5-sentence block flips them all
+    assert pages.filter(passes_c4("body")).count() == 0
+    c4pages = pages.withColumn(
+        "body2",
+        F.concat(
+            F.col("body"),
+            F.lit("\nOne full sentence lands here. Then a second one follows!"
+                  "\nIs a third present? A fourth one too. And a fifth now."),
+        ),
+    )
+    assert c4pages.filter(passes_c4("body2")).count() == 60
+    kept = c4pages.select(c4_filtered_text("body2").alias("ft")).first()["ft"]
+    assert kept.startswith("One full sentence") and "\n" in kept
+    print("PASS passes_c4 gate + c4_filtered_text on custom column")
+
     from verde_spark.operators.dedup import dedup_minhash
 
     scored = pages.withColumn("score", (F.col("fetched_at") % 3)).withColumn(

@@ -54,7 +54,9 @@ from .operators.polygons import point_in_polygon, polygon_join, rasterize, zonal
 from .functions.extract import extract_text, reference_extract_text
 from .functions.urls import canonical_url, dedup_url, domain_of, top_domains
 from .functions.pii import pii_counts, redact_pii, reference_redact_pii
+from .functions.text import passes_c4, passes_gopher
 from .operators.decontam import contamination_stats, decontaminate
+from .operators.dedup import drop_duplicate_paragraphs, drop_duplicate_spans
 from .operators.sampling import cap_per_domain
 from .operators.packing import pack_sequences, packing_stats
 from .pipelines import clean_corpus, corpus_report
@@ -111,6 +113,10 @@ __all__ = [
     "Linear",
     "canonical_url",
     "cap_per_domain",
+    "drop_duplicate_paragraphs",
+    "drop_duplicate_spans",
+    "passes_c4",
+    "passes_gopher",
     "pack_sequences",
     "packing_stats",
     "clean_corpus",

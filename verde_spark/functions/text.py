@@ -209,6 +209,363 @@ def repetition_ratio_sql(col: str, n: int = 2) -> str:
     )"""
 
 
+#: Gopher-rule default thresholds (Rae et al. 2021, "Scaling Language
+#: Models: Methods, Analysis & Insights from Training Gopher", table A1
+#: — the standard web-corpus document filter).  Public-paper constants.
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_ratio": 0.9,
+    "max_ellipsis_line_ratio": 0.3,
+    "min_alpha_word_ratio": 0.8,
+    "min_stopword_hits": 2,
+}
+
+#: engine-portable pattern constants shared by the Catalyst / Python /
+#: DuckDB gopher_signals engines
+_BULLET_RE = r"^[ \t]*[-*•]"          # line starts with a bullet mark
+_ELLIPSIS_RE = r"(\.\.\.|…)[ \t]*$"   # line trails off with …
+_SYMBOL_RE = r"#|\.\.\.|…"            # Gopher's symbol list: # and …
+
+
+def gopher_signals(text: Column | str = "text") -> Column:
+    """The Gopher document-quality signals as ONE struct-valued pure
+    projection: ``n_words``, ``mean_word_len`` (non-whitespace chars per
+    word), ``symbol_word_ratio`` (#/… per word), ``bullet_line_ratio``
+    (lines opening with a bullet), ``ellipsis_line_ratio`` (lines
+    trailing off with …), ``alpha_word_ratio`` (words containing a
+    letter).  NULL text → NULL struct; empty text → zeros.
+
+    repetition (dup n-grams) and stopword presence are already separate
+    signals here (:func:`repetition_ratio`, :func:`stopword_ratio`) —
+    this struct adds the remaining Gopher rules.  All counts are exact
+    ints and every ratio is a single IEEE division, so
+    :func:`gopher_signals_sql` replays the struct bit-for-bit.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    split_words = F.split(F.trim(text), "[ \t\r\n\f]+")
+    split_lines = F.split(text, "\n")
+
+    def _build(e: Column) -> Column:
+        words, lines = e["w"], e["l"]
+        n_words = F.when(
+            (F.size(words) == 1) & (F.element_at(words, 1) == ""), F.lit(0)
+        ).otherwise(F.size(words))
+        safe_w = F.greatest(n_words, F.lit(1)).cast("double")
+        n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+        total_chars = F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.length(w)
+        )
+        n_bullet = F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE)))
+        n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_RE)))
+        n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        n_symbols = F.size(F.filter(words, lambda w: w.rlike(_SYMBOL_RE)))
+        return F.struct(
+            n_words.alias("n_words"),
+            (total_chars.cast("double") / safe_w).alias("mean_word_len"),
+            (n_symbols.cast("double") / safe_w).alias("symbol_word_ratio"),
+            (n_bullet.cast("double") / n_lines).alias("bullet_line_ratio"),
+            (n_ellipsis.cast("double") / n_lines).alias("ellipsis_line_ratio"),
+            (n_alpha.cast("double") / safe_w).alias("alpha_word_ratio"),
+        )
+
+    # let-bind both split arrays (no CSE in interpreted Catalyst)
+    sig = F.element_at(
+        F.transform(
+            F.arrays_zip(
+                F.array(split_words).alias("w"), F.array(split_lines).alias("l")
+            ),
+            _build,
+        ),
+        1,
+    )
+    return F.when(text.isNotNull(), sig)
+
+
+def passes_gopher(
+    text: Column | str = "text", lang: str = "en", **overrides
+) -> Column:
+    """Boolean Gopher-rule gate with the paper's default thresholds
+    (override any key of :data:`GOPHER_DEFAULTS`).  Combines
+    :func:`gopher_signals` with the stopword-presence rule (at least
+    ``min_stopword_hits`` function-word tokens, via
+    :func:`stopword_ratio` × word count).  One codegen'd projection;
+    composes with ``DataFrame.filter`` at scan speed."""
+    bad = set(overrides) - set(GOPHER_DEFAULTS)
+    if bad:
+        raise ValueError(f"unknown gopher thresholds: {sorted(bad)}")
+    t = {**GOPHER_DEFAULTS, **overrides}
+    col = F.col(text) if isinstance(text, str) else text
+
+    def _gate(e: Column) -> Column:
+        s = e["s"]
+        sw_hits = e["r"] * s["n_words"].cast("double")
+        return (
+            (s["n_words"] >= t["min_words"])
+            & (s["n_words"] <= t["max_words"])
+            & (s["mean_word_len"] >= t["min_mean_word_len"])
+            & (s["mean_word_len"] <= t["max_mean_word_len"])
+            & (s["symbol_word_ratio"] <= t["max_symbol_word_ratio"])
+            & (s["bullet_line_ratio"] <= t["max_bullet_line_ratio"])
+            & (s["ellipsis_line_ratio"] <= t["max_ellipsis_line_ratio"])
+            & (s["alpha_word_ratio"] >= t["min_alpha_word_ratio"])
+            & (sw_hits >= t["min_stopword_hits"])
+        )
+
+    zipped = F.arrays_zip(
+        F.array(gopher_signals(col)).alias("s"),
+        F.array(stopword_ratio(col, lang=lang)).alias("r"),
+    )
+    return F.coalesce(
+        F.element_at(F.transform(zipped, _gate), 1), F.lit(False)
+    )
+
+
+def reference_gopher_signals(text: str | None) -> dict | None:
+    """Single-value Python reference for :func:`gopher_signals`."""
+    import re as _re
+
+    if text is None:
+        return None
+    # strip SPACES only: Spark trim() and DuckDB trim() are space-only,
+    # while Python str.strip() would also eat tabs/newlines
+    words = _re.split(r"[ \t\r\n\f]+", text.strip(" "))
+    n_words = 0 if words == [""] else len(words)
+    lines = text.split("\n")
+    safe_w = max(n_words, 1)
+    return {
+        "n_words": n_words,
+        "mean_word_len": sum(len(w) for w in words) / safe_w,
+        "symbol_word_ratio": sum(bool(_re.search(_SYMBOL_RE, w)) for w in words) / safe_w,
+        "bullet_line_ratio": sum(bool(_re.search(_BULLET_RE, l)) for l in lines) / max(len(lines), 1),
+        "ellipsis_line_ratio": sum(bool(_re.search(_ELLIPSIS_RE, l)) for l in lines) / max(len(lines), 1),
+        "alpha_word_ratio": sum(bool(_re.search("[A-Za-z]", w)) for w in words) / safe_w,
+    }
+
+
+def gopher_signals_sql(col: str) -> dict[str, str]:
+    """DuckDB twins of each :func:`gopher_signals` field (driver-oracle
+    parity) — same pattern constants, same exact-int divisions."""
+    ws = f"string_split_regex(trim({col}), '[ \\t\\r\\n\\f]+')"
+    ls = f"string_split({col}, chr(10))"
+    n_words = (
+        f"(CASE WHEN len({ws}) = 1 AND {ws}[1] = '' THEN 0 ELSE len({ws}) END)"
+    )
+    safe_w = f"greatest({n_words}, 1)"
+    n_lines = f"greatest(len({ls}), 1)"
+    # DuckDB standard string literals pass backslashes through verbatim,
+    # so the Python pattern text embeds unchanged (RE2 reads \t, \. etc.)
+    bullet = _BULLET_RE.replace("'", "''")
+    ellipsis = _ELLIPSIS_RE.replace("'", "''")
+    symbol = _SYMBOL_RE.replace("'", "''")
+    count_w = "len(list_filter({arr}, x -> regexp_matches(x, '{pat}')))"
+    return {
+        "n_words": n_words,
+        "mean_word_len": (
+            f"(CAST(list_sum(list_transform({ws}, w -> len(w))) AS DOUBLE)"
+            f" / {safe_w})"
+        ),
+        "symbol_word_ratio": (
+            "(CAST(" + count_w.format(arr=ws, pat=symbol) + f" AS DOUBLE) / {safe_w})"
+        ),
+        "bullet_line_ratio": (
+            "(CAST(" + count_w.format(arr=ls, pat=bullet) + f" AS DOUBLE) / {n_lines})"
+        ),
+        "ellipsis_line_ratio": (
+            "(CAST(" + count_w.format(arr=ls, pat=ellipsis) + f" AS DOUBLE) / {n_lines})"
+        ),
+        "alpha_word_ratio": (
+            "(CAST(" + count_w.format(arr=ws, pat="[A-Za-z]") + f" AS DOUBLE) / {safe_w})"
+        ),
+    }
+
+
+#: C4 cleaning-rule defaults (Raffel et al. 2020, "Exploring the Limits
+#: of Transfer Learning with a Unified Text-to-Text Transformer", §2.2 —
+#: the C4 web-corpus heuristics).  Public-paper constants.
+C4_DEFAULTS = {
+    "min_words_per_line": 3,
+    "min_sentences": 5,
+}
+
+#: engine-portable pattern constants shared by the Catalyst / Python /
+#: DuckDB C4 engines (Java-regex ∩ RE2 ∩ Python subset: explicit
+#: whitespace classes, \b word boundaries, inline (?i))
+_C4_TERMINAL_RE = r'[.!?"][ \t]*$'   # line ends in terminal punctuation
+_C4_WORD_RE = r"[^ \t]+"             # a line-level word (no \n in a line)
+_C4_JS_RE = r"(?i)\bjavascript\b"    # paper: drop any line with "Javascript"
+_C4_LOREM_RE = r"(?i)lorem ipsum"    # paper: drop pages mentioning it
+_C4_SENTENCE_RE = r"[.!?]"           # sentence-final marks (heuristic count)
+
+
+def c4_kept_lines(
+    text: Column | str = "text", min_words_per_line: int = 3
+) -> Column:
+    """The C4 line filter as an ``array<string>`` projection: keep the
+    lines that end in terminal punctuation (``. ! ? "``, trailing
+    blanks allowed), carry at least ``min_words_per_line`` words, and do
+    not contain the word "javascript" (the paper's line rules).  NULL
+    text → NULL.
+
+    Pure Catalyst — one ``split`` + one higher-order ``filter`` whose
+    per-line word count is a ``regexp_count`` (exact, no trim/empty-token
+    edge cases); every pattern is in the shared Java/RE2/Python subset so
+    the DuckDB twin replays the kept set verbatim.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(text, "\n"),
+        lambda l: l.rlike(_C4_TERMINAL_RE)
+        & (F.regexp_count(l, F.lit(_C4_WORD_RE)) >= min_words_per_line)
+        & ~l.rlike(_C4_JS_RE),
+    )
+
+
+def c4_filtered_text(
+    text: Column | str = "text", min_words_per_line: int = 3
+) -> Column:
+    """The C4-cleaned document body: kept lines re-joined with ``\\n``.
+    NULL in → NULL out; a document with no kept lines → ``''``.  Write it
+    to a NEW column — the stored text column is never rewritten
+    (byte-identity invariant)."""
+    return F.array_join(c4_kept_lines(text, min_words_per_line), "\n")
+
+
+def c4_signals(text: Column | str = "text", min_words_per_line: int = 3) -> Column:
+    """The C4 page-level signals as ONE struct-valued pure projection:
+    ``n_lines``, ``n_kept_lines`` (surviving the line filter),
+    ``n_sentences`` (sentence-final ``. ! ?`` marks in the KEPT text —
+    the paper's ≥5-sentence rule counts sentences after line cleaning),
+    ``has_lorem_ipsum`` and ``has_curly_brace`` (the page-drop
+    predicates, evaluated on the ORIGINAL text).  NULL text → NULL
+    struct.
+
+    Exact int counts and boolean flags only — :func:`c4_signals_sql`
+    replays the struct bit-for-bit from the same pattern constants.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+
+    def _build(e: Column) -> Column:
+        kept = e["k"]
+        return F.struct(
+            F.size(F.split(text, "\n")).alias("n_lines"),
+            F.size(kept).alias("n_kept_lines"),
+            F.regexp_count(
+                F.array_join(kept, "\n"), F.lit(_C4_SENTENCE_RE)
+            ).alias("n_sentences"),
+            text.rlike(_C4_LOREM_RE).alias("has_lorem_ipsum"),
+            text.contains("{").alias("has_curly_brace"),
+        )
+
+    # let-bind the kept-lines array (no CSE in interpreted Catalyst);
+    # arrays_zip names the lambda element's field from the alias
+    sig = F.element_at(
+        F.transform(
+            F.arrays_zip(
+                F.array(c4_kept_lines(text, min_words_per_line)).alias("k")
+            ),
+            _build,
+        ),
+        1,
+    )
+    return F.when(text.isNotNull(), sig)
+
+
+def passes_c4(
+    text: Column | str = "text",
+    badwords: tuple[str, ...] | list[str] | None = None,
+    **overrides,
+) -> Column:
+    """Boolean C4 page gate with the paper's defaults (override any key
+    of :data:`C4_DEFAULTS`): at least ``min_sentences`` sentences in the
+    line-cleaned text, no "lorem ipsum", no curly brace, and (when
+    ``badwords`` is given — the paper uses a large public blocklist not
+    shipped here) no word-bounded, case-insensitive badword match.
+    NULL text → false.  One codegen'd projection; composes with
+    ``DataFrame.filter`` at scan speed."""
+    bad = set(overrides) - set(C4_DEFAULTS)
+    if bad:
+        raise ValueError(f"unknown c4 thresholds: {sorted(bad)}")
+    t = {**C4_DEFAULTS, **overrides}
+    col = F.col(text) if isinstance(text, str) else text
+
+    def _gate(e: Column) -> Column:
+        s = e["s"]
+        ok = (
+            (s["n_sentences"] >= t["min_sentences"])
+            & ~s["has_lorem_ipsum"]
+            & ~s["has_curly_brace"]
+        )
+        if badwords:
+            ok = ok & ~col.rlike(_badwords_pattern(badwords))
+        return ok
+
+    zipped = F.array(
+        F.struct(c4_signals(col, t["min_words_per_line"]).alias("s"))
+    )
+    return F.coalesce(
+        F.element_at(F.transform(zipped, _gate), 1), F.lit(False)
+    )
+
+
+def _badwords_pattern(badwords) -> str:
+    """Engine-portable word-bounded alternation for the badword rule
+    (words are regex-escaped; Java/RE2/Python all honor ``\\b`` and the
+    inline ``(?i)``)."""
+    import re as _re
+
+    return r"(?i)\b(" + "|".join(_re.escape(w) for w in badwords) + r")\b"
+
+
+def reference_c4_signals(text: str | None, min_words_per_line: int = 3) -> dict | None:
+    """Single-value Python reference for :func:`c4_signals`."""
+    import re as _re
+
+    if text is None:
+        return None
+    lines = text.split("\n")
+    kept = [
+        l
+        for l in lines
+        if _re.search(_C4_TERMINAL_RE, l)
+        and len(_re.findall(_C4_WORD_RE, l)) >= min_words_per_line
+        and not _re.search(_C4_JS_RE, l)
+    ]
+    return {
+        "n_lines": len(lines),
+        "n_kept_lines": len(kept),
+        "n_sentences": len(_re.findall(_C4_SENTENCE_RE, "\n".join(kept))),
+        "has_lorem_ipsum": bool(_re.search(_C4_LOREM_RE, text)),
+        "has_curly_brace": "{" in text,
+    }
+
+
+def c4_signals_sql(col: str, min_words_per_line: int = 3) -> dict[str, str]:
+    """DuckDB twins of each :func:`c4_signals` field (driver-oracle
+    parity) — same pattern constants, same kept-line set.  DuckDB
+    standard string literals pass backslashes through verbatim, so the
+    Python pattern text embeds unchanged (RE2 reads \\b, \\t etc.)."""
+    terminal = _C4_TERMINAL_RE.replace("'", "''")
+    kept = (
+        f"list_filter(string_split({col}, chr(10)), l -> "
+        f"regexp_matches(l, '{terminal}') "
+        f"AND len(regexp_extract_all(l, '{_C4_WORD_RE}')) >= {min_words_per_line} "
+        f"AND NOT regexp_matches(l, '{_C4_JS_RE}'))"
+    )
+    # array_to_string([]) is NULL in DuckDB (Spark: '') — coalesce it
+    kept_text = f"coalesce(array_to_string({kept}, chr(10)), '')"
+    return {
+        "n_lines": f"len(string_split({col}, chr(10)))",
+        "n_kept_lines": f"len({kept})",
+        "n_sentences": f"len(regexp_extract_all({kept_text}, '{_C4_SENTENCE_RE}'))",
+        "has_lorem_ipsum": f"regexp_matches({col}, '{_C4_LOREM_RE}')",
+        "has_curly_brace": f"contains({col}, '{{')",
+    }
+
+
 def fingerprint(text: Column | str = "text") -> Column:
     """Deterministic 64-bit document fingerprint (xxhash64 of the text) —
     the exact-dedup key."""

@@ -131,6 +131,116 @@ def drop_duplicate_paragraphs(
     )
 
 
+#: engine-portable sentence pattern (Java-regex ∩ RE2 ∩ Python): a
+#: maximal run of non-terminal characters closed by one-or-more terminal
+#: marks.  Text after the last terminal mark is not a sentence.
+_SENTENCE_RE = r"[^.!?]+[.!?]+"
+
+
+def sentence_array(text: Column | str = "text") -> Column:
+    """The document's sentences as an ``array<string>`` projection:
+    ``regexp_extract_all`` of :data:`_SENTENCE_RE`, each sentence
+    trimmed.  NULL text → NULL; no terminal punctuation → empty array.
+    The exact spec :func:`drop_duplicate_spans`'s DuckDB oracle replays.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    # NB: a bare F.trim here would receive transform's (element, index)
+    # pair and silently hit trim's deprecated two-arg form
+    return F.transform(
+        F.regexp_extract_all(text, F.lit(_SENTENCE_RE), 0), lambda s: F.trim(s)
+    )
+
+
+def drop_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    output_col: str = "text_spandedup",
+) -> DataFrame:
+    """C4's corpus-level span dedup (Raffel et al. 2020 §2.2: "we
+    discarded all but one of any three-sentence span occurring more than
+    once"): for every *n*-sentence window that appears ≥2 times across
+    the corpus, keep exactly the first occurrence (smallest
+    ``(id, position)``) and remove the sentences of every other
+    occurrence; the surviving sentences re-join with a single space into
+    ``output_col`` (the stored ``text_col`` is never rewritten — the
+    byte-identity invariant; output is whitespace-normalized at sentence
+    boundaries by construction).
+
+    Semantics pinned by the oracle: sentences come from
+    :func:`sentence_array`; spans overlap (positions i..i+n-1 for every
+    i); a sentence inside ANY losing span is removed even when it also
+    belongs to a kept span (the standard greedy rule of the public C4
+    pipeline); docs with fewer than *n* sentences are untouched; text
+    after the last terminal mark is dropped by the sentence split.
+
+    Physical shape (the 100 TB path): the span key is ``xxhash64`` of
+    the joined window (64-bit — the shuffle never carries sentence
+    bodies; a collision can only over-delete, the same contract as
+    :func:`dedup_exact`), built from a let-bound sentence array as a
+    zero-shuffle slice/transform projection.  One window over the span
+    hash picks winners (ONE shuffle, AQE-splittable on viral
+    boilerplate); losers explode to (id, sentence-pos) removal marks; an
+    anti-join drops marked sentences; one groupBy rebuilds survivor
+    order; one left join reattaches paragraph-free docs.  Zero Python.
+    """
+    id_, txt = F.col(id_col), F.col(text_col)
+    sents = df.select(id_, sentence_array(txt).alias("__sents"))
+
+    # span hashes from a let-bound sentence array: span i = sentences
+    # [i, i+n) — a slice/transform chain, no explode-then-window needed
+    def _spans(e: Column) -> Column:
+        arr = e["s"]
+        m = F.greatest(F.size(arr) - F.lit(n - 1), F.lit(0))
+        # sequence(1, 0) would COUNT DOWN ([1, 0]) — guard the no-span case
+        return F.when(m < 1, F.array().cast("array<bigint>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(arr, i, n))),
+            )
+        )
+
+    spans = sents.select(
+        id_,
+        F.col("__sents"),
+        F.element_at(
+            F.transform(F.arrays_zip(F.array("__sents").alias("s")), _spans), 1
+        ).alias("__span_hashes"),
+    )
+    occ = spans.select(
+        id_, F.posexplode("__span_hashes").alias("spos", "h")
+    )
+    win = Window.partitionBy("h")
+    losers = (
+        occ.withColumn("__cnt", F.count(F.lit(1)).over(win))
+        .withColumn("__first", F.min(F.struct(id_, F.col("spos"))).over(win))
+        .filter(
+            (F.col("__cnt") >= 2)
+            & ~((F.col("__first")[id_col] == id_) & (F.col("__first")["spos"] == F.col("spos")))
+        )
+    )
+    removals = losers.select(
+        id_, F.explode(F.sequence(F.col("spos"), F.col("spos") + F.lit(n - 1))).alias("pos")
+    )
+    kept = (
+        sents.select(id_, F.posexplode("__sents").alias("pos", "sent"))
+        .join(removals, on=[id_col, "pos"], how="left_anti")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                lambda s: s["sent"],
+            ),
+            " ",
+        ).alias(output_col)
+    )
+    return df.join(rebuilt, on=id_col, how="left").withColumn(
+        output_col, F.coalesce(F.col(output_col), F.lit(""))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash / LSH
 # ---------------------------------------------------------------------------

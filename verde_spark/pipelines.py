@@ -50,6 +50,11 @@ def clean_corpus(
     max_per_domain: int | None = None,
     blocklist=None,
     respect_noindex: bool = False,
+    gopher: bool = False,
+    gopher_thresholds: dict | None = None,
+    c4: bool = False,
+    c4_thresholds: dict | None = None,
+    c4_badwords=None,
 ) -> DataFrame:
     """Standard crawl-cleaning recipe; see module docstring.
 
@@ -85,6 +90,20 @@ def clean_corpus(
     Both crawl-policy gates run FIRST: they are the cheapest drops and,
     being pure projections, they fuse into the same codegen'd scan stage
     as the quality gates — the stage count does not change.
+
+    ``gopher=True`` additionally applies the Gopher-rule document filter
+    (``functions.text.passes_gopher`` — Rae et al. 2021 defaults;
+    override individual thresholds via ``gopher_thresholds``).  Also a
+    pure projection: it joins the same codegen'd gate stage.
+
+    ``c4=True`` applies the C4 page rules (``functions.text.passes_c4``
+    — Raffel et al. 2020 §2.2: ≥5 sentences after line cleaning, no
+    "lorem ipsum", no curly brace, optional ``c4_badwords``; override
+    thresholds via ``c4_thresholds``) in the same gate stage, and emits
+    the line-cleaned body as a NEW ``<text_col>_c4`` column (terminal-
+    punctuation + ≥3-words + no-javascript lines re-joined) — the stored
+    text column is never rewritten (byte-identity invariant); dedup
+    stages keep keying on the stored text.
     """
     if blocklist is not None:
         from .operators.crawl import filter_blocklist
@@ -122,6 +141,22 @@ def clean_corpus(
         & (F.col("rep_ratio") <= max_repetition)
         & (F.col("quality") >= min_quality)
     )
+    if gopher:
+        from .functions.text import passes_gopher
+
+        out = out.filter(
+            passes_gopher(text_col, lang=lang, **(gopher_thresholds or {}))
+        )
+    if c4:
+        from .functions.text import C4_DEFAULTS, c4_filtered_text, passes_c4
+
+        ct = {**C4_DEFAULTS, **(c4_thresholds or {})}
+        out = out.filter(
+            passes_c4(text_col, badwords=c4_badwords, **ct)
+        ).withColumn(
+            f"{text_col}_c4",
+            c4_filtered_text(text_col, ct["min_words_per_line"]),
+        )
 
     if benchmark is not None:
         from .operators.decontam import decontaminate

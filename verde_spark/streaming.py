@@ -115,6 +115,11 @@ def streaming_clean_corpus(
     redact: bool = False,
     blocklist=None,
     respect_noindex: bool = False,
+    gopher: bool = False,
+    gopher_thresholds: dict | None = None,
+    c4: bool = False,
+    c4_thresholds: dict | None = None,
+    c4_badwords=None,
 ) -> DataFrame:
     """The crawl-cleaning recipe as a continuous query — the streaming
     twin of :func:`verde_spark.pipelines.clean_corpus` for WARC batches
@@ -178,6 +183,25 @@ def streaming_clean_corpus(
             & (F.col("quality") >= min_quality)
         )
     )
+    if gopher:
+        from .functions.text import passes_gopher
+
+        # stateless projection, same as the batch recipe's gopher stage
+        gated = gated.filter(
+            passes_gopher(text_col, lang=lang, **(gopher_thresholds or {}))
+        )
+    if c4:
+        from .functions.text import C4_DEFAULTS, c4_filtered_text, passes_c4
+
+        # stateless gate + line-cleaned NEW column, same as the batch
+        # recipe's c4 stage (byte-identity: text_col never rewritten)
+        ct = {**C4_DEFAULTS, **(c4_thresholds or {})}
+        gated = gated.filter(
+            passes_c4(text_col, badwords=c4_badwords, **ct)
+        ).withColumn(
+            f"{text_col}_c4",
+            c4_filtered_text(text_col, ct["min_words_per_line"]),
+        )
     if benchmark is not None:
         from .operators.decontam import contamination_filter
 
