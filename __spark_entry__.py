@@ -1628,6 +1628,57 @@ def _winnow_sel_sql(src_sql: str) -> str:
     """
 
 
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC front door (sources/warc): documents → deterministic WARC/1.0
+    file blobs → ``split_warc_records`` parse.  The oracle never sees the
+    WARC bytes: it states what a CORRECT parse must recover (url, byte
+    length, md5, status, timestamp) straight from the documents table —
+    so any framing/envelope bug breaks the value hash."""
+    from verde_spark.sources.warc import split_warc_records, warc_table_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    recs = split_warc_records(warc_table_from_documents(docs, files=8))
+    return recs.select(
+        "url",
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("html_md5"),
+        F.col("http_status").cast("long").alias("http_status"),
+        F.col("warc_ts").cast("long").alias("ts_epoch"),
+    ).orderBy("url")
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 (operators/search): 1-row stats agg + one codegen
+    scoring projection + TakeOrderedAndProject.  Rounded score is the
+    ordering key on both sides (ln-ulp robustness)."""
+    from verde_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, ["data", "learning", "model"], k=10)
+
+
+def _q_charlm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram LM training counts (functions/charlm): explode →
+    map-side partial agg → ≤729-row shuffle.  Integer-exact."""
+    from verde_spark.functions.charlm import charlm_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return charlm_counts(docs).orderBy("gram")
+
+
+def _q_charlm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score (functions/charlm): serial left-fold
+    of Python-computed log-prob literals — BIT-identical across
+    Catalyst/Python/DuckDB (no rounding needed; no ln/exp inside either
+    engine)."""
+    from verde_spark.functions.charlm import ENGLISH_LM, logprob_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", logprob_expr(ENGLISH_LM, "text").alias("logprob")
+    ).orderBy("doc_id")
+
+
 #: Queries outside the 50-entry driver registry (the driver artifact caps
 #: at 50): retirees are variants of a still-registered query exercising
 #: the same operator code path (rationale per retiree in COVERAGE.md
@@ -1650,6 +1701,10 @@ _RETIRED = (
     "gopher_signals",        # over-cap: r4 Gopher-rule quality signals, full DuckDB twin
     "c4_signals",            # over-cap: r4 C4 page-cleaning signals, full DuckDB twin
     "span_dedup",            # over-cap: r4 C4 3-sentence span dedup, raw-string DuckDB twin
+    "warc_roundtrip",        # over-cap: r4 WARC reader, oracle states the parse contract from documents
+    "bm25_topk",             # over-cap: r4 Okapi BM25 search, full DuckDB twin
+    "charlm_counts",         # over-cap: r4 char-LM training counts, integer-exact DuckDB twin
+    "charlm_logprob",        # over-cap: r4 CCNet-style LM scoring, bit-identical literal-fold twin
 )
 _RETIRED_ORACLES: dict = {}
 
@@ -1671,6 +1726,10 @@ def retired_queries():
         "gopher_signals": _q_gopher_signals,
         "c4_signals": _q_c4_signals,
         "span_dedup": _q_span_dedup,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "bm25_topk": _q_bm25_topk,
+        "charlm_counts": _q_charlm_counts,
+        "charlm_logprob": _q_charlm_logprob,
     }
 
 
@@ -2679,6 +2738,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT src.doc_id, coalesce(rebuilt.text_spandedup, '') AS text_spandedup
         FROM src LEFT JOIN rebuilt USING (doc_id)
         ORDER BY src.doc_id
+    """
+
+    from verde_spark.functions.charlm import (
+        ENGLISH_LM as _LM,
+        charlm_counts_sql as _counts_sql,
+        charlm_logprob_sql as _lp_sql,
+        charlm_norm_sql as _norm_sql,
+    )
+    from verde_spark.operators.search import bm25_sql as _bm25_sql
+
+    # WARC parse contract: what a correct parse of the synthesized blobs
+    # must recover, computed from documents alone (UTF-8 byte length, md5
+    # of the UTF-8 bytes, the deterministic doc_id-seconds timestamp).
+    oracles["warc_roundtrip"] = """
+        SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(strlen(text) AS bigint) AS n_bytes,
+               md5(text) AS html_md5,
+               CAST(200 AS bigint) AS http_status,
+               CAST(doc_id AS bigint) AS ts_epoch
+        FROM documents
+        ORDER BY url
+    """
+    oracles["bm25_topk"] = _bm25_sql(["data", "learning", "model"], k=10)
+    oracles["charlm_counts"] = _counts_sql() + " ORDER BY gram"
+    oracles["charlm_logprob"] = f"""
+        WITH s AS (
+          SELECT doc_id, {_norm_sql("text")} AS t FROM documents
+        )
+        SELECT doc_id, {_lp_sql(_LM)} AS logprob
+        FROM s ORDER BY doc_id
     """
 
     for _k in _RETIRED:

@@ -1,0 +1,90 @@
+"""WARC reader: synthesize → parse round-trip, resync, file reads."""
+
+import os
+
+import pytest
+
+from verde_spark.sources.warc import (
+    parse_warc,
+    read_warc,
+    split_warc_records,
+    warc_bytes,
+    warc_table_from_documents,
+)
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_parse_roundtrip_pure():
+    recs = [
+        ("https://a.com/1", "2020-01-01T00:00:01Z", b"<html>one</html>"),
+        ("https://b.com/2", "2020-01-01T00:00:02Z", "café".encode()),
+        ("https://c.com/3", "2020-01-01T00:00:03Z", b""),
+    ]
+    parsed = list(parse_warc(warc_bytes(recs)))
+    assert [(p["url"], p["warc_ts"], p["html"]) for p in parsed] == recs
+    assert all(p["http_status"] == 200 for p in parsed)
+
+
+def test_parse_skips_non_response_and_resyncs():
+    good = warc_bytes([("https://a.com/x", "2021-02-03T04:05:06Z", b"BODY")])
+    warcinfo = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+    )
+    broken = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: oops\r\n\r\n"
+    parsed = list(parse_warc(warcinfo + broken + good))
+    assert len(parsed) == 1
+    assert parsed[0]["url"] == "https://a.com/x"
+    assert parsed[0]["html"] == b"BODY"
+
+
+def test_parse_non_http_block_kept_raw():
+    blob = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://raw.com/\r\n"
+        b"WARC-Date: 2020-05-05T05:05:05Z\r\nContent-Length: 3\r\n\r\nraw\r\n\r\n"
+    )
+    (rec,) = parse_warc(blob)
+    assert rec["html"] == b"raw" and rec["http_status"] is None
+
+
+def test_documents_roundtrip_distributed(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    blobs = warc_table_from_documents(docs, files=4)
+    records = split_warc_records(blobs)
+    got = {
+        r["url"]: (r["html"], r["http_status"], r["warc_ts"])
+        for r in records.collect()
+    }
+    want = {
+        f"https://example.com/doc/{r['doc_id']}": r["text"]
+        for r in docs.collect()
+    }
+    assert len(got) == len(want)
+    for url, text in want.items():
+        html, status, ts = got[url]
+        assert bytes(html).decode("utf-8") == text
+        assert status == 200
+        assert ts is not None
+
+
+def test_read_warc_from_files(spark, tmp_path):
+    recs = [
+        (f"https://site{i}.com/p", f"2022-01-01T00:00:{i:02d}Z", f"body{i}".encode())
+        for i in range(6)
+    ]
+    (tmp_path / "a.warc").write_bytes(warc_bytes(recs[:3]))
+    (tmp_path / "b.warc").write_bytes(warc_bytes(recs[3:]))
+    df = read_warc(spark, str(tmp_path))
+    rows = sorted(df.collect(), key=lambda r: r["url"])
+    assert [r["url"] for r in rows] == [r[0] for r in recs]
+    assert [bytes(r["html"]) for r in rows] == [r[2] for r in recs]
+    assert all(r["warc_file"].endswith(".warc") for r in rows)
+
+
+def test_split_is_shuffle_free(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(
+        warc_bytes([("https://x.com/", "2020-01-01T00:00:00Z", b"x")])
+    )
+    plan = read_warc(spark, str(tmp_path))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
