@@ -1679,6 +1679,18 @@ def _q_charlm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-deterministic distributed k-means (operators/clustering): int64
+    fixed-point sums make the Lloyd trajectory exactly reproducible at any
+    parallelism — the oracle replays 3 unrolled iterations in DuckDB and
+    matches assignment-for-assignment with NO tolerance."""
+    from verde_spark.operators.clustering import kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, _ = kmeans_fit(emb, k=8, iterations=3)
+    return assigned.orderBy("vec_id")
+
+
 #: Queries outside the 50-entry driver registry (the driver artifact caps
 #: at 50): retirees are variants of a still-registered query exercising
 #: the same operator code path (rationale per retiree in COVERAGE.md
@@ -1705,6 +1717,7 @@ _RETIRED = (
     "bm25_topk",             # over-cap: r4 Okapi BM25 search, full DuckDB twin
     "charlm_counts",         # over-cap: r4 char-LM training counts, integer-exact DuckDB twin
     "charlm_logprob",        # over-cap: r4 CCNet-style LM scoring, bit-identical literal-fold twin
+    "kmeans_assign",         # over-cap: r4 bit-deterministic k-means, unrolled-iteration DuckDB twin
 )
 _RETIRED_ORACLES: dict = {}
 
@@ -1730,6 +1743,7 @@ def retired_queries():
         "bm25_topk": _q_bm25_topk,
         "charlm_counts": _q_charlm_counts,
         "charlm_logprob": _q_charlm_logprob,
+        "kmeans_assign": _q_kmeans_assign,
     }
 
 
@@ -2769,6 +2783,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, {_lp_sql(_LM)} AS logprob
         FROM s ORDER BY doc_id
     """
+
+    from verde_spark.operators.clustering import kmeans_sql as _kmeans_sql
+
+    oracles["kmeans_assign"] = _kmeans_sql(k=8, iterations=3, dim=64)
 
     for _k in _RETIRED:
         _RETIRED_ORACLES[_k] = oracles.pop(_k)

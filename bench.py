@@ -172,11 +172,68 @@ def text_pipeline(spark, n_pages: int) -> int:
     return tagged.filter(F.col("lon").isNotNull()).count()
 
 
+def warc_pipeline(spark, n_pages: int) -> int:
+    """WARC ingestion throughput (round 4): the sf-scaled page table →
+    deterministic WARC/1.0 file blobs (64 files) → ``split_warc_records``
+    parse.  Both halves are per-file Arrow-batched Python with zero
+    shuffle beyond the 64-way blob grouping — the Common-Crawl front-door
+    shape (one ~1 GiB file per task at cluster scale).  Returns parsed
+    record count."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.sources.warc import split_warc_records, warc_table_from_documents
+
+    pages = spark.read.parquet(pages_parquet(spark, n_pages)).select(
+        F.substring("url", 21, 8).cast("long").alias("doc_id"),
+        F.col("html").cast("string").alias("text"),  # payload = raw html bytes
+    )
+    blobs = warc_table_from_documents(pages, files=64)
+    return split_warc_records(blobs).count()
+
+
+def charlm_pipeline(spark, n_pages: int) -> int:
+    """Char-bigram LM quality gate at page scale (round 4): CCNet-style
+    perplexity under the fixed English LM as a PURE Catalyst literal-fold
+    projection — zero Python, zero shuffle — then a threshold filter.
+    Returns surviving page count."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.functions.charlm import ENGLISH_LM, perplexity_expr
+
+    pages = spark.read.parquet(pages_parquet(spark, n_pages))
+    scored = pages.select(perplexity_expr(ENGLISH_LM, "text").alias("ppl"))
+    return scored.filter(F.col("ppl") < 30.0).count()
+
+
+def kmeans_bench(spark) -> int:
+    """Bit-deterministic distributed k-means (round 4): 200k synthetic
+    16-dim vectors, k=8, 3 Lloyd iterations.  Per iteration one scan +
+    codegen argmin + a k·(dim+1)-number aggregate — the data never
+    shuffles.  Returns clustered row count."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.operators.clustering import kmeans_fit
+
+    df = spark.range(200_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda j: (
+                (F.xxhash64(F.col("id"), j).cast("double") / F.lit(float(1 << 64)))
+                + F.lit(0.5)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    _, model = kmeans_fit(df, k=8, iterations=3)
+    return sum(model.sizes)
+
+
 def bench_queries(spark):
     """Headline operator set over the driver-provided tables."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    qs.update(entrymod.retired_queries())  # over-cap r4 ops are benched too
     picks = [
         "block_mean",
         "block_stats",
@@ -193,6 +250,7 @@ def bench_queries(spark):
         "dedup_components",  # round 2: transitive closure (iterative joins)
         "ivf_topk",  # round 2: IVF ANN probe path
         "winnow_pairs",  # round 3: rolling-hash fingerprint near-dup
+        "bm25_topk",  # round 4: Okapi BM25 batch relevance ranking
     ]
     times = {}
     # Rep 0 is a DISCARDED warm-up (per-query first calls pay Python-worker
@@ -538,6 +596,27 @@ def main():
         n_text = text_pipeline(spark, N_PAGES)
         t_text = min(t_text, time.time() - t0)
     qtimes["text_pipeline"] = round(t_text, 3)
+    warc_pipeline(spark, max(N_PAGES // 20, 10_000))  # warm
+    t_warc, n_warc = float("inf"), 0
+    for _rep in range(3):
+        t0 = time.time()
+        n_warc = warc_pipeline(spark, N_PAGES)
+        t_warc = min(t_warc, time.time() - t0)
+    qtimes["warc_ingest"] = round(t_warc, 3)
+    charlm_pipeline(spark, max(N_PAGES // 20, 10_000))  # warm
+    t_lm = float("inf")
+    for _rep in range(3):
+        t0 = time.time()
+        charlm_pipeline(spark, N_PAGES)
+        t_lm = min(t_lm, time.time() - t0)
+    qtimes["charlm_score"] = round(t_lm, 3)
+    kmeans_bench(spark)  # warm
+    t_km = float("inf")
+    for _rep in range(3):
+        t0 = time.time()
+        kmeans_bench(spark)
+        t_km = min(t_km, time.time() - t0)
+    qtimes["kmeans_200k"] = round(t_km, 3)
     qtimes.update(bench_queries(spark))
     result["reference_head_to_head"] = reference_head_to_head(spark)
     spark.stop()
@@ -546,6 +625,8 @@ def main():
     result["value"] = round(sum(qtimes.values()), 3)
     result["gridded_points_per_sec"] = round(n_pts / t_flag, 1)
     result["text_pages_per_sec"] = round(n_text / qtimes["text_pipeline"], 1)
+    result["warc_records_per_sec"] = round(n_warc / qtimes["warc_ingest"], 1)
+    result["lm_scored_pages_per_sec"] = round(n_pts / qtimes["charlm_score"], 1)
     result["flagship_input_points"] = n_pts
     result["flagship_grid_nodes"] = n_nodes
 

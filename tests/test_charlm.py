@@ -115,6 +115,29 @@ def test_english_lm_separates_prose_from_noise(spark):
     assert out[0] < out[1] / 2
 
 
+def test_clean_corpus_perplexity_stage(spark):
+    from verde_spark.pipelines import clean_corpus
+
+    prose = (
+        "people gather in the market to trade bread and fruit and "
+        "stories about the weather and the roads in their lives"
+    )
+    noise = "zqxj vkwp zzqq jjxx qqzz wwkk xxjj zzvv qpqp zxzx kqvz jxqw"
+    rows = [
+        (f"https://site{i % 2}.com/p{i}", "2024-01-01 00:00:00",
+         prose + f" number {i}" if i % 2 == 0 else noise + f" {i}")
+        for i in range(20)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    base = clean_corpus(pages, min_tokens=3)
+    gated = clean_corpus(pages, min_tokens=3, max_perplexity=15.0)
+    assert base.count() == 20
+    out = gated.collect()
+    assert len(out) == 10 and all("site0" in r["url"] for r in out)
+
+
 def test_scoring_plan_is_pure_projection(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = (

@@ -197,6 +197,56 @@ def main() -> int:
         assert store.read(spark).count() == n
     print("PASS SnapshotStore append/time-travel/rollback on the cleaned corpus")
 
+    # --- WARC front door with a custom id/text shape ------------------
+    from verde_spark.sources.warc import split_warc_records, warc_table_from_documents
+
+    warc_src = pages.select(
+        F.xxhash64("page_url").alias("crawl_id"), F.col("body").alias("payload")
+    )
+    blobs = warc_table_from_documents(
+        warc_src, id_col="crawl_id", text_col="payload", files=3
+    )
+    parsed = split_warc_records(blobs)
+    assert parsed.count() == warc_src.count()
+    assert parsed.filter(F.col("http_status") != 200).count() == 0
+    print("PASS warc synthesize/parse round-trip with custom id/text columns")
+
+    # --- BM25 over a custom text/id column ----------------------------
+    from verde_spark.operators.search import bm25_topk
+
+    hits = bm25_topk(
+        pages, ["report", "data"], k=5, text_col="body", id_col="page_url"
+    )
+    assert hits.count() <= 5
+    assert set(hits.columns) == {"page_url", "bm25", "rank"}
+    print("PASS bm25_topk with custom text/id columns")
+
+    # --- char-LM: train on the corpus itself, score a custom column ---
+    from verde_spark.functions.charlm import (
+        perplexity_expr,
+        train_char_lm,
+    )
+
+    lm = train_char_lm(pages, text_col="body")
+    ppl = pages.select(perplexity_expr(lm, "body").alias("p"))
+    assert ppl.filter(F.col("p").isNull()).count() == 0
+    print("PASS train_char_lm/perplexity on a custom text column")
+
+    # --- k-means over a custom vector/id column ------------------------
+    from verde_spark.operators.clustering import kmeans_fit
+
+    vecs = pages.select(
+        F.xxhash64("page_url").alias("pid"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda j: (F.pmod(F.xxhash64("page_url", j), F.lit(1000)).cast("double") / 1000.0).cast("float"),
+        ).alias("feats"),
+    )
+    assigned, model = kmeans_fit(vecs, k=4, iterations=2, vec_col="feats", id_col="pid")
+    assert assigned.count() == vecs.count()
+    assert sum(model.sizes) == vecs.count()
+    print("PASS kmeans_fit with custom vector/id columns")
+
     spark.stop()
     print("DOGFOOD r4: ALL PASS")
     return 0

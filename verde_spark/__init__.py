@@ -59,6 +59,10 @@ from .operators.decontam import contamination_stats, decontaminate
 from .operators.dedup import drop_duplicate_paragraphs, drop_duplicate_spans
 from .operators.sampling import cap_per_domain
 from .operators.packing import pack_sequences, packing_stats
+from .operators.search import bm25_scores, bm25_topk
+from .operators.clustering import kmeans_fit
+from .functions.charlm import ENGLISH_LM, perplexity_expr, train_char_lm
+from .sources.warc import read_warc, split_warc_records
 from .pipelines import clean_corpus, corpus_report
 from .operators.linkgraph import (
     extract_anchor_texts,
@@ -119,6 +123,14 @@ __all__ = [
     "passes_gopher",
     "pack_sequences",
     "packing_stats",
+    "bm25_scores",
+    "bm25_topk",
+    "kmeans_fit",
+    "ENGLISH_LM",
+    "perplexity_expr",
+    "train_char_lm",
+    "read_warc",
+    "split_warc_records",
     "clean_corpus",
     "corpus_report",
     "contamination_stats",

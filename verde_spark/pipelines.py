@@ -55,6 +55,8 @@ def clean_corpus(
     c4: bool = False,
     c4_thresholds: dict | None = None,
     c4_badwords=None,
+    max_perplexity: float | None = None,
+    lm=None,
 ) -> DataFrame:
     """Standard crawl-cleaning recipe; see module docstring.
 
@@ -95,6 +97,12 @@ def clean_corpus(
     (``functions.text.passes_gopher`` — Rae et al. 2021 defaults;
     override individual thresholds via ``gopher_thresholds``).  Also a
     pure projection: it joins the same codegen'd gate stage.
+
+    ``max_perplexity`` applies the CCNet-style LM quality gate: documents
+    whose char-bigram perplexity under the reference LM (``lm`` — default
+    the fixed ``ENGLISH_LM``; or a ``train_char_lm`` corpus model)
+    exceeds the threshold are dropped.  Pure literal-fold projection, no
+    added stage; texts too short to score (NULL) are kept.
 
     ``c4=True`` applies the C4 page rules (``functions.text.passes_c4``
     — Raffel et al. 2020 §2.2: ≥5 sentences after line cleaning, no
@@ -141,6 +149,16 @@ def clean_corpus(
         & (F.col("rep_ratio") <= max_repetition)
         & (F.col("quality") >= min_quality)
     )
+    if max_perplexity is not None:
+        from .functions.charlm import ENGLISH_LM, perplexity_expr
+
+        # CCNet-shape LM gate: perplexity under a clean-text reference LM
+        # (functions/charlm; default ENGLISH_LM, or pass a corpus-trained
+        # CharLM via ``lm``).  Pure literal-fold projection — joins the
+        # same codegen'd gate stage; short/no-gram texts score NULL and
+        # are kept (no signal ≠ bad signal).
+        ppl = perplexity_expr(lm or ENGLISH_LM, text_col)
+        out = out.filter(ppl.isNull() | (ppl <= F.lit(float(max_perplexity))))
     if gopher:
         from .functions.text import passes_gopher
 

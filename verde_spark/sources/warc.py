@@ -236,8 +236,10 @@ def warc_table_from_documents(
         recs = [
             (
                 f"https://example.com/doc/{int(i)}",
-                # deterministic per-doc timestamp: seconds since epoch = id
-                pd.Timestamp(int(i), unit="s", tz="UTC").strftime(
+                # deterministic per-doc timestamp: seconds since epoch =
+                # id mod 2^31 (ids can be arbitrary 64-bit hashes — raw
+                # values overflow pandas' ns-epoch Timestamp range)
+                pd.Timestamp(int(i) % (1 << 31), unit="s", tz="UTC").strftime(
                     "%Y-%m-%dT%H:%M:%SZ"
                 ),
                 ("" if t is None else str(t)).encode("utf-8"),
