@@ -1691,6 +1691,36 @@ def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.orderBy("vec_id")
 
 
+def _q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing (operators/mixing.sample_to_mix): per-group
+    quotas from target proportions, smallest-arithmetic-hash selection —
+    deterministic at any parallelism; ONE window shuffle, quotas are
+    literals (no join)."""
+    from verde_spark.operators.mixing import sample_to_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sample_to_mix(
+        docs, "lang", {"en": 0.5, "de": 0.2, "fr": 0.1}, total=200,
+        id_col="doc_id",
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _q_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling (operators/mixing.repeat_weighted):
+    the LLaMA-recipe shape — floor(e) copies plus a hash-thresholded
+    extra; pure projection, zero shuffles."""
+    from verde_spark.operators.mixing import repeat_weighted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repeat_weighted(
+        docs, "lang", {"en": 2.4, "de": 0.5, "fr": 0.0}, id_col="doc_id"
+    )
+    return out.select(
+        "doc_id", "lang", F.col("epoch").cast("long").alias("epoch")
+    ).orderBy("doc_id", "epoch")
+
+
 #: Queries outside the 50-entry driver registry (the driver artifact caps
 #: at 50): retirees are variants of a still-registered query exercising
 #: the same operator code path (rationale per retiree in COVERAGE.md
@@ -1718,6 +1748,8 @@ _RETIRED = (
     "charlm_counts",         # over-cap: r4 char-LM training counts, integer-exact DuckDB twin
     "charlm_logprob",        # over-cap: r4 CCNet-style LM scoring, bit-identical literal-fold twin
     "kmeans_assign",         # over-cap: r4 bit-deterministic k-means, unrolled-iteration DuckDB twin
+    "sample_mix",            # over-cap: r4 corpus rebalancing, full DuckDB twin
+    "repeat_epochs",         # over-cap: r4 fractional-epoch upsampling, full DuckDB twin
 )
 _RETIRED_ORACLES: dict = {}
 
@@ -1744,6 +1776,8 @@ def retired_queries():
         "charlm_counts": _q_charlm_counts,
         "charlm_logprob": _q_charlm_logprob,
         "kmeans_assign": _q_kmeans_assign,
+        "sample_mix": _q_sample_mix,
+        "repeat_epochs": _q_repeat_epochs,
     }
 
 
@@ -2787,6 +2821,28 @@ def oracle_sql() -> dict[str, str]:
     from verde_spark.operators.clustering import kmeans_sql as _kmeans_sql
 
     oracles["kmeans_assign"] = _kmeans_sql(k=8, iterations=3, dim=64)
+
+    from verde_spark.operators.mixing import (
+        repeat_weighted_sql as _repeat_sql,
+        sample_to_mix_sql as _mix_sql,
+    )
+
+    oracles["sample_mix"] = (
+        _mix_sql(
+            "SELECT * FROM documents", "lang",
+            {"en": 0.5, "de": 0.2, "fr": 0.1}, 200,
+            id_col="doc_id", select_cols="doc_id, lang",
+        )
+        + " ORDER BY doc_id"
+    )
+    oracles["repeat_epochs"] = (
+        _repeat_sql(
+            "SELECT * FROM documents", "lang",
+            {"en": 2.4, "de": 0.5, "fr": 0.0},
+            id_col="doc_id", select_cols="doc_id, lang",
+        )
+        + " ORDER BY doc_id, epoch"
+    )
 
     for _k in _RETIRED:
         _RETIRED_ORACLES[_k] = oracles.pop(_k)

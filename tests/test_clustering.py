@@ -85,6 +85,27 @@ def test_assignment_plan_is_codegen_projection(spark, emb):
     assert "Exchange" not in plan and "EvalPython" not in plan
 
 
+def test_kmeans_centroids_feed_ivf(spark, emb):
+    """Cross-op: full-corpus reproducible centroids power the IVF ANN
+    path; with probe-all the result must equal exact top-k regardless of
+    the centroids used (same contract the ivf_topk oracle relies on)."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.operators.similarity import cosine_topk, ivf_topk
+
+    _, model = kmeans_fit(emb, k=4, iterations=2)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_topk(
+        emb, queries, k=3, centroids=model.centroids_unit_scale(), n_probe=4
+    )
+    want = cosine_topk(emb, queries, k=3)
+    assert sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in got.collect()) == sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in want.collect()
+    )
+
+
 def test_kmeans_small_k_raises(spark, emb):
     with pytest.raises(ValueError):
         kmeans_fit(emb.limit(3), k=10, iterations=1)

@@ -1,0 +1,138 @@
+"""Corpus mixing: quota math, determinism, Python cross-check, DuckDB
+twins, plan shapes (mix = one window shuffle; repeat = zero shuffles)."""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from verde_spark.operators.mixing import (
+    _HASH_MOD,
+    _HASH_MULT,
+    repeat_weighted,
+    repeat_weighted_sql,
+    sample_to_mix,
+    sample_to_mix_sql,
+)
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _h(i: int) -> int:
+    return (((i % _HASH_MOD) + _HASH_MOD) % _HASH_MOD * _HASH_MULT) % _HASH_MOD
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_sample_to_mix_quotas_and_selection(spark, docs):
+    targets = {"en": 0.5, "de": 0.2}
+    out = sample_to_mix(docs, "lang", targets, total=100, id_col="doc_id")
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    pop = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(by_lang) <= {"en", "de"}
+    assert len(by_lang.get("en", [])) == min(50, pop.get("en", 0))
+    assert len(by_lang.get("de", [])) == min(20, pop.get("de", 0))
+    # selection = smallest-hash ids per group (id tiebreak)
+    all_ids = {
+        r["lang"]: [x["doc_id"] for x in docs.filter(F.col("lang") == r["lang"]).collect()]
+        for r in docs.select("lang").distinct().collect()
+    }
+    for g, picked in by_lang.items():
+        want = sorted(all_ids[g], key=lambda i: (_h(i), i))[: len(picked)]
+        assert sorted(picked) == sorted(want)
+
+
+def test_sample_to_mix_matches_duckdb(spark, docs):
+    targets = {"en": 0.4, "fr": 0.3}
+    got = sorted(
+        (r["doc_id"], r["lang"])
+        for r in sample_to_mix(docs, "lang", targets, total=60, id_col="doc_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    sql = sample_to_mix_sql(
+        "SELECT * FROM documents", "lang", targets, 60,
+        id_col="doc_id", select_cols="doc_id, lang",
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_repeat_weighted_counts_and_determinism(spark, docs):
+    epochs = {"en": 2.4, "de": 0.5, "fr": 0.0}
+    out = repeat_weighted(docs, "lang", epochs, id_col="doc_id")
+    rows = out.select("doc_id", "lang", "epoch").collect()
+    # per-id copy count matches the hash-threshold rule exactly
+    from collections import Counter
+
+    copies = Counter((r["doc_id"], r["lang"]) for r in rows)
+    for r in docs.collect():
+        e = epochs.get(r["lang"], 1.0)
+        base, frac = int(e), e - int(e)
+        want = base + (1 if _h(r["doc_id"]) / _HASH_MOD < frac else 0)
+        assert copies.get((r["doc_id"], r["lang"]), 0) == want
+    # epoch indices are 1..n
+    assert all(r["epoch"] >= 1 for r in rows)
+    # rerun → identical result (no rand())
+    again = Counter(
+        (r["doc_id"], r["lang"])
+        for r in repeat_weighted(docs, "lang", epochs, id_col="doc_id").collect()
+    )
+    assert copies == again
+
+
+def test_repeat_weighted_matches_duckdb(spark, docs):
+    epochs = {"en": 1.5, "pt": 3.0}
+    got = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in repeat_weighted(docs, "lang", epochs, id_col="doc_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    sql = repeat_weighted_sql(
+        "SELECT * FROM documents", "lang", epochs,
+        id_col="doc_id", select_cols="doc_id",
+    )
+    want = sorted((r[0], r[1]) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_mix_validation(spark, docs):
+    with pytest.raises(ValueError):
+        sample_to_mix(docs, "lang", {}, total=10, id_col="doc_id")
+    with pytest.raises(ValueError):
+        sample_to_mix(docs, "lang", {"en": 0.9, "de": 0.2}, total=10, id_col="doc_id")
+    with pytest.raises(ValueError):
+        repeat_weighted(docs, "lang", {"en": -1.0}, id_col="doc_id")
+
+
+def test_repeat_weighted_plan_zero_shuffle(spark, docs):
+    plan = (
+        repeat_weighted(docs, "lang", {"en": 2.5}, id_col="doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_sample_to_mix_plan_one_window_shuffle(spark, docs):
+    plan = (
+        sample_to_mix(docs, "lang", {"en": 0.5}, total=50, id_col="doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # quota is a literal CASE: no join in the plan, exactly one exchange
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1

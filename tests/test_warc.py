@@ -82,6 +82,53 @@ def test_read_warc_from_files(spark, tmp_path):
     assert all(r["warc_file"].endswith(".warc") for r in rows)
 
 
+def test_streaming_warc_ingest(spark, tmp_path):
+    """The WARC front door works as a Structured Streaming source: a
+    directory of .warc files streamed via binaryFile → the SAME
+    split_warc_records mapInPandas → records arrive incrementally (new
+    files in the directory become new micro-batches)."""
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    recs = [
+        (f"https://s{i}.com/", f"2023-03-0{i + 1}T00:00:00Z", f"doc{i}".encode())
+        for i in range(4)
+    ]
+    (warc_dir / "a.warc").write_bytes(warc_bytes(recs[:2]))
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+        .load(str(warc_dir))
+    )
+    out = split_warc_records(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("warc_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got1 = {r["url"] for r in spark.sql("select * from warc_stream").collect()}
+    assert got1 == {r[0] for r in recs[:2]}
+
+    # a new segment lands → the next run picks up only the new records
+    (warc_dir / "b.warc").write_bytes(warc_bytes(recs[2:]))
+    q2 = (
+        out.writeStream.format("memory")
+        .queryName("warc_stream2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {r["url"] for r in spark.sql("select * from warc_stream2").collect()}
+    assert {r[0] for r in recs} <= got2
+
+
 def test_split_is_shuffle_free(spark, tmp_path):
     (tmp_path / "a.warc").write_bytes(
         warc_bytes([("https://x.com/", "2020-01-01T00:00:00Z", b"x")])

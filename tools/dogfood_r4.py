@@ -247,6 +247,20 @@ def main() -> int:
     assert sum(model.sizes) == vecs.count()
     print("PASS kmeans_fit with custom vector/id columns")
 
+    # --- corpus mixing with custom group/id columns --------------------
+    from verde_spark.operators.mixing import repeat_weighted, sample_to_mix
+
+    tagged = pages.withColumn("src", F.when(F.col("fetched_at") % 2 == 0, "web").otherwise("books")).withColumn(
+        "pid", F.xxhash64("page_url")
+    )
+    mixed = sample_to_mix(tagged, "src", {"web": 0.5, "books": 0.3}, total=40, id_col="pid")
+    assert mixed.count() <= 32  # 20 + 12 quota ceiling
+    rep = repeat_weighted(tagged, "src", {"web": 2.0, "books": 0.5}, id_col="pid")
+    n_web = tagged.filter(F.col("src") == "web").count()
+    assert rep.filter(F.col("src") == "web").count() == 2 * n_web
+    assert "epoch" in rep.columns
+    print("PASS sample_to_mix/repeat_weighted with custom group/id columns")
+
     spark.stop()
     print("DOGFOOD r4: ALL PASS")
     return 0

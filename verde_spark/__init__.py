@@ -60,6 +60,7 @@ from .operators.dedup import drop_duplicate_paragraphs, drop_duplicate_spans
 from .operators.sampling import cap_per_domain
 from .operators.packing import pack_sequences, packing_stats
 from .operators.search import bm25_scores, bm25_topk
+from .operators.mixing import repeat_weighted, sample_to_mix
 from .operators.clustering import kmeans_fit
 from .functions.charlm import ENGLISH_LM, perplexity_expr, train_char_lm
 from .sources.warc import read_warc, split_warc_records
@@ -125,6 +126,8 @@ __all__ = [
     "packing_stats",
     "bm25_scores",
     "bm25_topk",
+    "repeat_weighted",
+    "sample_to_mix",
     "kmeans_fit",
     "ENGLISH_LM",
     "perplexity_expr",

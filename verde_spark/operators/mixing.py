@@ -1,0 +1,202 @@
+"""Corpus mixing — the "data recipe" stage of a training pipeline:
+rebalance a corpus to target group proportions (languages, sources,
+domains) and upsample groups by fractional epoch weights (the public
+LLaMA/GPT-3 recipe shape: e.g. wiki ×2.4 means every wiki doc appears
+twice and 40% of them a third time).
+
+Both operators are deterministic by construction — selection and the
+fractional-repeat decision come from an arithmetic hash of the id
+(Knuth multiplicative, portable to any SQL engine), never from ``rand()``
+— so the same corpus yields the same mix at any parallelism, and a DuckDB
+twin replays them exactly.
+
+Scale shapes:
+
+* :func:`sample_to_mix` — ONE count aggregate (tiny result, collected:
+  one row per group) to size the quotas, then ONE hash-partition window
+  (`row_number` per group over the hash order) + a literal quota filter.
+  A single shuffle of the surviving columns; quotas are literals, so no
+  join.
+* :func:`repeat_weighted` — ZERO shuffles: copies = a per-row
+  ``explode(sequence(...))`` whose length is ``floor(e)`` plus a
+  hash-thresholded extra — a pure projection at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["mix_hash_expr", "sample_to_mix", "repeat_weighted", "repeat_weighted_sql", "sample_to_mix_sql"]
+
+_HASH_MULT = 2654435761
+_HASH_MOD = 2**31
+
+
+def mix_hash_expr(id_col: Column | str) -> Column:
+    """Portable deterministic pseudo-uniform int in [0, 2^31) from a
+    NUMERIC id: ``((id mod 2^31) · 2654435761) mod 2^31`` (reduced before
+    the multiply so 64-bit hash ids cannot overflow the checked multiply)."""
+    i = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(
+        F.pmod(i.cast("long"), F.lit(_HASH_MOD)) * F.lit(_HASH_MULT),
+        F.lit(_HASH_MOD),
+    )
+
+
+def _hash_sql(id_col: str) -> str:
+    return (
+        f"(((({id_col} % {_HASH_MOD}) + {_HASH_MOD}) % {_HASH_MOD})"
+        f" * {_HASH_MULT}) % {_HASH_MOD}"
+    )
+
+
+def sample_to_mix(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, float],
+    total: int,
+    *,
+    id_col: str,
+) -> DataFrame:
+    """Downsample to a target mix: keep ``floor(targets[g] · total)``
+    rows of group *g* (clamped to the group's population; groups not in
+    *targets* are dropped), chosen as the group's smallest-hash rows with
+    id tiebreak — reproducible at any parallelism.
+
+    One tiny count aggregate (collected — one row per group) sizes the
+    quotas; one window ranks within groups.  Raises if *targets* don't
+    sum to ≤ 1 + 1e-9.
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    s = sum(targets.values())
+    if s > 1.0 + 1e-9:
+        raise ValueError(f"targets sum to {s} > 1")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    quotas = {
+        g: min(int(frac * total), counts.get(g, 0))
+        for g, frac in targets.items()
+    }
+    w = Window.partitionBy(group_col).orderBy(
+        mix_hash_expr(id_col), F.col(id_col)
+    )
+    quota_expr = None
+    for g, q in quotas.items():
+        cond = F.col(group_col) == F.lit(g)
+        quota_expr = (
+            F.when(cond, F.lit(q))
+            if quota_expr is None
+            else quota_expr.when(cond, F.lit(q))
+        )
+    quota_expr = quota_expr.otherwise(F.lit(0))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota_expr)
+        .drop("__rk")
+    )
+
+
+def sample_to_mix_sql(
+    src_sql: str,
+    group_col: str,
+    targets: dict[str, float],
+    total: int,
+    *,
+    id_col: str,
+    select_cols: str,
+) -> str:
+    """DuckDB twin of :func:`sample_to_mix` over the rows of *src_sql*."""
+    # quotas need the same count-then-clamp; replay it in SQL
+    when = " ".join(
+        f"WHEN '{g}' THEN least(CAST(floor({frac!r} * {total}) AS BIGINT), grp_n)"
+        for g, frac in targets.items()
+    )
+    return f"""
+        WITH src AS ({src_sql}),
+        cnt AS (
+          SELECT {group_col} AS g, count(*) AS grp_n FROM src GROUP BY 1
+        ),
+        ranked AS (
+          SELECT src.*, cnt.grp_n,
+                 row_number() OVER (
+                   PARTITION BY src.{group_col}
+                   ORDER BY {_hash_sql(f"src.{id_col}")}, src.{id_col}
+                 ) AS rk
+          FROM src JOIN cnt ON cnt.g = src.{group_col}
+        )
+        SELECT {select_cols} FROM ranked
+        WHERE rk <= (CASE {group_col} {when} ELSE 0 END)
+    """
+
+
+def repeat_weighted(
+    df: DataFrame,
+    group_col: str,
+    epochs: dict[str, float],
+    *,
+    id_col: str,
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Fractional-epoch upsampling: group *g* rows appear
+    ``floor(epochs[g])`` times, plus once more for the deterministic
+    ``frac(epochs[g])`` share of ids (hash-thresholded — the SAME ids
+    every run).  Adds an ``epoch`` column (1-based copy index).
+
+    A pure projection (``explode(sequence(...))``) — zero shuffles at any
+    corpus size; downstream packing/shuffling treats copies as rows.
+    """
+    if any(e < 0 for e in epochs.values()) or default_epochs < 0:
+        raise ValueError("epochs must be >= 0")
+    h = mix_hash_expr(id_col).cast("double") / F.lit(float(_HASH_MOD))
+
+    n_copies = None
+    for g, e in epochs.items():
+        base, frac = int(e), e - int(e)
+        expr = F.lit(base) + (h < F.lit(frac)).cast("int")
+        cond = F.col(group_col) == F.lit(g)
+        n_copies = (
+            F.when(cond, expr) if n_copies is None else n_copies.when(cond, expr)
+        )
+    de_base, de_frac = int(default_epochs), default_epochs - int(default_epochs)
+    default_expr = F.lit(de_base) + (h < F.lit(de_frac)).cast("int")
+    n_copies = (
+        default_expr if n_copies is None else n_copies.otherwise(default_expr)
+    )
+    return df.withColumn("__n", n_copies).filter(F.col("__n") > 0).select(
+        "*", F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("epoch")
+    ).drop("__n")
+
+
+def repeat_weighted_sql(
+    src_sql: str,
+    group_col: str,
+    epochs: dict[str, float],
+    *,
+    id_col: str,
+    select_cols: str,
+    default_epochs: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`repeat_weighted`."""
+    h = f"(CAST(({_hash_sql(id_col)}) AS DOUBLE) / {float(_HASH_MOD)!r})"
+
+    def copies(e: float) -> str:
+        base, frac = int(e), e - int(e)
+        return f"({base} + (CASE WHEN {h} < {frac!r} THEN 1 ELSE 0 END))"
+
+    when = " ".join(
+        f"WHEN '{g}' THEN {copies(e)}" for g, e in epochs.items()
+    )
+    n = f"(CASE {group_col} {when} ELSE {copies(default_epochs)} END)"
+    return f"""
+        WITH src AS ({src_sql}),
+        n_tbl AS (SELECT *, {n} AS n FROM src)
+        SELECT {select_cols}, CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch
+        FROM n_tbl WHERE n > 0
+    """
