@@ -1721,6 +1721,38 @@ def _q_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "epoch")
 
 
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency vocabulary (functions/vocab.build_vocab): one word-count
+    agg → top-k by (count, token) → dense ids.  Integer-exact."""
+    from verde_spark.functions.vocab import build_vocab
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_vocab(docs, size=100).orderBy("id")
+
+
+def _q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding (functions/vocab.encode_tokens, literal-map
+    engine — zero shuffles): text → array<int> under the built vocab with
+    unk_id=-1.  The DuckDB twin uses the join semantics; both engines are
+    also pinned equal to each other in pytest."""
+    from verde_spark.functions.vocab import build_vocab, encode_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = build_vocab(docs, size=100)
+    return (
+        encode_tokens(docs, vocab, method="map")
+        .select(
+            "doc_id",
+            # array → csv string: the compare harness sorts rows by every
+            # column and raw arrays are unsortable/unhashable there
+            F.concat_ws(
+                ",", F.transform(F.col("token_ids"), lambda x: x.cast("string"))
+            ).alias("ids_csv"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: Queries outside the 50-entry driver registry (the driver artifact caps
 #: at 50): retirees are variants of a still-registered query exercising
 #: the same operator code path (rationale per retiree in COVERAGE.md
@@ -1750,6 +1782,8 @@ _RETIRED = (
     "kmeans_assign",         # over-cap: r4 bit-deterministic k-means, unrolled-iteration DuckDB twin
     "sample_mix",            # over-cap: r4 corpus rebalancing, full DuckDB twin
     "repeat_epochs",         # over-cap: r4 fractional-epoch upsampling, full DuckDB twin
+    "vocab_topk",            # over-cap: r4 frequency vocabulary, integer-exact DuckDB twin
+    "encode_tokens",         # over-cap: r4 token-id encoding, join-semantics DuckDB twin
 )
 _RETIRED_ORACLES: dict = {}
 
@@ -1778,6 +1812,8 @@ def retired_queries():
         "kmeans_assign": _q_kmeans_assign,
         "sample_mix": _q_sample_mix,
         "repeat_epochs": _q_repeat_epochs,
+        "vocab_topk": _q_vocab_topk,
+        "encode_tokens": _q_encode_tokens,
     }
 
 
@@ -2843,6 +2879,19 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ORDER BY doc_id, epoch"
     )
+
+    from verde_spark.functions.vocab import (
+        build_vocab_sql as _vocab_sql,
+        encode_tokens_sql as _encode_sql,
+    )
+
+    oracles["vocab_topk"] = _vocab_sql(size=100) + " ORDER BY id"
+    _enc = _encode_sql("SELECT * FROM documents", _vocab_sql(size=100))
+    oracles["encode_tokens"] = f"""
+        SELECT doc_id,
+               array_to_string(token_ids, ',') AS ids_csv
+        FROM ({_enc}) ORDER BY doc_id
+    """
 
     for _k in _RETIRED:
         _RETIRED_ORACLES[_k] = oracles.pop(_k)

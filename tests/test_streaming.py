@@ -379,3 +379,40 @@ def test_streaming_clean_corpus_gopher_and_c4(spark, tmp_path):
     assert sorted(got["url"]) == sorted(batch["url"])
     assert "text_c4" in got.columns
     assert (got["text_c4"] != got["text"]).all()  # nav line dropped, text kept
+
+
+def test_streaming_clean_corpus_lm_gate(spark, tmp_path):
+    """r4 second wave: the char-LM perplexity gate in the streaming twin
+    — a stateless literal-fold projection whose survivor set matches the
+    batch recipe with the same threshold."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.pipelines import clean_corpus
+    from verde_spark.streaming import streaming_clean_corpus
+
+    prose = ("people gather in the market to trade bread and fruit and "
+             "stories about the weather and the roads in their lives")
+    noise = "zqxj vkwp zzqq jjxx qqzz wwkk xxjj zzvv qpqp zxzx kqvz jxqw"
+    rows = [
+        (f"http://example.com/p{i}", f"2024-01-01 00:00:{i:02d}",
+         f"{prose} number {i}" if i % 2 == 0 else f"{noise} {i}")
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    path = str(tmp_path / "pages_lm")
+    df.write.mode("append").parquet(path)
+
+    stored = spark.read.parquet(path)
+    kw = dict(min_tokens=3, max_perplexity=15.0)
+    batch = clean_corpus(stored, **kw).toPandas()
+    assert len(batch) == 8
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string"
+    ).parquet(path)
+    out = streaming_clean_corpus(stream, watermark="1 hour", **kw)
+    run_to_memory(out, "clean_stream_lm", mode="append")
+    got = spark.sql("select * from clean_stream_lm").toPandas()
+    assert sorted(got["url"]) == sorted(batch["url"])

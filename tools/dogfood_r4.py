@@ -261,6 +261,19 @@ def main() -> int:
     assert "epoch" in rep.columns
     print("PASS sample_to_mix/repeat_weighted with custom group/id columns")
 
+    # --- vocab + encoding with custom text/id columns -------------------
+    from verde_spark.functions.vocab import build_vocab, encode_tokens
+
+    voc = build_vocab(pages, text_col="body", size=50)
+    enc = encode_tokens(
+        pages.withColumn("pid2", F.xxhash64("page_url")),
+        voc, text_col="body", id_col="pid2", out_col="ids", method="join",
+    )
+    enc_map = encode_tokens(pages, voc, text_col="body", out_col="ids", method="map")
+    assert enc.count() == enc_map.count() == pages.count()
+    assert all(len(r["ids"]) > 0 for r in enc_map.limit(5).collect())
+    print("PASS build_vocab/encode_tokens (both engines) on custom columns")
+
     spark.stop()
     print("DOGFOOD r4: ALL PASS")
     return 0

@@ -61,6 +61,7 @@ from .operators.sampling import cap_per_domain
 from .operators.packing import pack_sequences, packing_stats
 from .operators.search import bm25_scores, bm25_topk
 from .operators.mixing import repeat_weighted, sample_to_mix
+from .functions.vocab import build_vocab, encode_tokens
 from .operators.clustering import kmeans_fit
 from .functions.charlm import ENGLISH_LM, perplexity_expr, train_char_lm
 from .sources.warc import read_warc, split_warc_records
@@ -128,6 +129,8 @@ __all__ = [
     "bm25_topk",
     "repeat_weighted",
     "sample_to_mix",
+    "build_vocab",
+    "encode_tokens",
     "kmeans_fit",
     "ENGLISH_LM",
     "perplexity_expr",

@@ -120,6 +120,8 @@ def streaming_clean_corpus(
     c4: bool = False,
     c4_thresholds: dict | None = None,
     c4_badwords=None,
+    max_perplexity: float | None = None,
+    lm=None,
 ) -> DataFrame:
     """The crawl-cleaning recipe as a continuous query — the streaming
     twin of :func:`verde_spark.pipelines.clean_corpus` for WARC batches
@@ -183,6 +185,15 @@ def streaming_clean_corpus(
             & (F.col("quality") >= min_quality)
         )
     )
+    if max_perplexity is not None:
+        from .functions.charlm import ENGLISH_LM, perplexity_expr
+
+        # stateless literal-fold projection, same as the batch recipe's
+        # LM gate (NULL-scoring short texts are kept)
+        ppl = perplexity_expr(lm or ENGLISH_LM, text_col)
+        gated = gated.filter(
+            ppl.isNull() | (ppl <= F.lit(float(max_perplexity)))
+        )
     if gopher:
         from .functions.text import passes_gopher
 
