@@ -1554,3 +1554,39 @@ def test_drop_duplicate_spans_matches_greedy_reference(spark):
     assert all("Subscribe" not in got[i] for i in (2, 4, 6))
     assert all(f"Document {i} opens" in got[i] for i in range(8))
     assert got[8] == "" and got[9] == "" and got[10] == "Short. Too short."
+
+
+def test_main_entrypoint_encode_job(spark, tmp_path, capsys):
+    """--job encode: clean → vocab → token ids → packed layout, three
+    parquet tables, layout consistent with the token table."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from verde_spark.__main__ import main
+
+    out = str(tmp_path / "enc")
+    assert main([
+        "--synthesize", "2000", "--job", "encode", "--output", out,
+        "--vocab-size", "200", "--seq-len", "64", "--n-shards", "4",
+        "--min-tokens", "3",
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_kept"] == 2000 and stats["vocab_size"] == 200
+    assert stats["sequences"] > 0 and stats["shards"] == 4
+
+    vocab = spark.read.parquet(f"{out}/vocab")
+    toks = spark.read.parquet(f"{out}/tokens")
+    layout = spark.read.parquet(f"{out}/layout")
+    assert vocab.count() == 200
+    assert toks.count() == layout.count() == 2000
+    # every id is in-vocab or the unk marker
+    mx = vocab.agg(F.max("id")).first()[0]
+    bad = toks.filter(
+        F.exists("token_ids", lambda x: (x < -1) | (x > F.lit(mx)))
+    ).count()
+    assert bad == 0
+    # layout spans are consistent: end - start == n_ids per doc
+    j = toks.join(layout, "doc_id")
+    off = j.filter(F.col("end_tok") - F.col("start_tok") != F.col("n_ids")).count()
+    assert off == 0

@@ -42,14 +42,18 @@ def main(argv=None) -> int:
     ap.add_argument("--shape", default="400x400", help="grid shape ROWSxCOLS")
     ap.add_argument("--checkpoint", default=None, help="per-tile checkpoint dir (resumable)")
     ap.add_argument(
-        "--job", default="grid", choices=("grid", "dedup", "ivf-index", "clean"),
+        "--job", default="grid",
+        choices=("grid", "dedup", "ivf-index", "clean", "encode"),
         help="grid: flagship gridding pipeline (default); "
              "dedup: exact + transitive-MinHash dedup of the page table; "
              "ivf-index: build a cluster-partitioned ANN index from an "
              "embeddings parquet (--input must carry vec_id + embedding); "
              "clean: the full training-data front door "
              "(pipelines.clean_corpus: url dedup + quality gates + "
-             "content dedup) written as parquet",
+             "content dedup) written as parquet; "
+             "encode: clean → frequency vocab → token-id arrays → packed "
+             "fixed-length sequence layout, written as three parquet "
+             "tables under --output (vocab/, tokens/, layout/)",
     )
     ap.add_argument("--threshold", type=float, default=0.8, help="dedup Jaccard threshold")
     ap.add_argument("--min-tokens", type=int, default=5, help="clean job: minimum token count gate")
@@ -75,6 +79,10 @@ def main(argv=None) -> int:
              "pure projections and byte-equivalent on well-formed tables)",
     )
     ap.add_argument("--centroids", type=int, default=64, help="ivf-index centroid count")
+    ap.add_argument("--vocab-size", type=int, default=32768, help="encode job: vocabulary size")
+    ap.add_argument("--seq-len", type=int, default=2048, help="encode job: packed sequence length")
+    ap.add_argument("--n-shards", type=int, default=64, help="encode job: independent packing streams")
+    ap.add_argument("--max-perplexity", type=float, default=None, help="clean/encode jobs: drop docs above this char-LM perplexity (CCNet-style gate)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -133,6 +141,7 @@ def main(argv=None) -> int:
             min_tokens=args.min_tokens, max_repetition=args.max_repetition,
             benchmark=bench, redact=args.redact_pii,
             max_per_domain=args.max_per_domain,
+            max_perplexity=args.max_perplexity,
         )
         if args.snapshot_store:
             from verde_spark.sources.snapshots import SnapshotStore
@@ -156,6 +165,50 @@ def main(argv=None) -> int:
         print(json.dumps({
             "job": "clean", "rows_in": before, "rows_out": after,
             "dropped": before - after, "sec": round(time.time() - t0, 3),
+        }))
+        return 0
+
+    if args.job == "encode":
+        # the full text→training-shards path: clean → vocab → ids → layout
+        from verde_spark.functions.vocab import build_vocab, encode_tokens
+        from verde_spark.operators.packing import pack_sequences, packing_stats
+        from verde_spark.pipelines import clean_corpus
+
+        before = pages.count()
+        cleaned = clean_corpus(
+            pages, min_tokens=args.min_tokens,
+            max_repetition=args.max_repetition,
+            max_perplexity=args.max_perplexity,
+        ).withColumn("__docid", F.xxhash64("url", "warc_ts"))
+        vocab = build_vocab(cleaned, size=args.vocab_size)
+        vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
+        vocab = spark.read.parquet(f"{args.output}/vocab")  # re-read: one vocab job
+        # literal-map engine inlines comfortably to ~64k entries; beyond
+        # that the broadcast-join engine keeps the plan size bounded
+        method = "map" if args.vocab_size <= 65536 else "join"
+        enc = encode_tokens(
+            cleaned, vocab, id_col="__docid", method=method, unk_id=-1
+        ).withColumn("n_ids", F.size("token_ids"))
+        enc.select(
+            "url", "warc_ts", F.col("__docid").alias("doc_id"),
+            "token_ids", "n_ids",
+        ).write.mode("overwrite").parquet(f"{args.output}/tokens")
+        enc_stored = spark.read.parquet(f"{args.output}/tokens")
+        layout = pack_sequences(
+            enc_stored, seq_len=args.seq_len, id_col="doc_id",
+            n_shards=args.n_shards, tokens_col="n_ids",
+        )
+        layout.write.mode("overwrite").parquet(f"{args.output}/layout")
+        stats = packing_stats(
+            spark.read.parquet(f"{args.output}/layout"), seq_len=args.seq_len
+        ).collect()
+        n_seqs = sum(int(r["n_sequences"]) for r in stats)
+        print(json.dumps({
+            "job": "encode", "rows_in": before,
+            "rows_kept": enc_stored.count(),
+            "vocab_size": vocab.count(), "seq_len": args.seq_len,
+            "sequences": n_seqs, "shards": len(stats),
+            "sec": round(time.time() - t0, 3),
         }))
         return 0
 
