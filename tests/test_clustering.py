@@ -106,6 +106,15 @@ def test_kmeans_centroids_feed_ivf(spark, emb):
     )
 
 
+def test_kmeans_arrow_engine_bit_identical(spark, emb):
+    """engine='arrow' (vectorized NumPy, serial per-dim accumulation)
+    must reproduce the Catalyst fold EXACTLY — assignments and centroids."""
+    a_cat, m_cat = kmeans_fit(emb, k=6, iterations=3, engine="catalyst")
+    a_arr, m_arr = kmeans_fit(emb, k=6, iterations=3, engine="arrow")
+    assert m_cat.centroids == m_arr.centroids
+    assert sorted(map(tuple, a_cat.collect())) == sorted(map(tuple, a_arr.collect()))
+
+
 def test_kmeans_small_k_raises(spark, emb):
     with pytest.raises(ValueError):
         kmeans_fit(emb.limit(3), k=10, iterations=1)

@@ -39,6 +39,7 @@ import math
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -47,6 +48,7 @@ __all__ = [
     "quantize_expr",
     "kmeans_init",
     "kmeans_assign_expr",
+    "kmeans_assign_udf",
     "kmeans_fit",
     "reference_kmeans",
     "kmeans_sql",
@@ -141,6 +143,35 @@ def kmeans_assign_expr(
     return F.array_min(pairs)["c"].cast("int")
 
 
+def kmeans_assign_udf(
+    qvec: Column | str, centroids: list[list[float]]
+) -> Column:
+    """Arrow fast-path argmin — BIT-IDENTICAL to
+    :func:`kmeans_assign_expr` by construction: the squared distance
+    accumulates serially over dimensions (one vectorized add per dim, so
+    per-row addition order equals the Catalyst fold), and ``argmin``
+    takes the first minimum (= lowest cluster id).  Use for large k·dim
+    where the unrolled codegen expression gets heavy; the Catalyst
+    engine remains the oracle-parity reference."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype="float64")  # (k, d)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype="float64")  # (n, d)
+        n = X.shape[0]
+        if n == 0:
+            return pd.Series([], dtype="int32")
+        dist = np.zeros((n, C.shape[0]))
+        for j in range(C.shape[1]):  # serial over dims = the fold order
+            dj = X[:, j : j + 1] - C[None, :, j]
+            dist = dist + dj * dj
+        return pd.Series(np.argmin(dist, axis=1).astype("int32"))
+
+    return assign(F.col(qvec) if isinstance(qvec, str) else qvec)
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
@@ -149,6 +180,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     quantize_bits: int = 16,
+    engine: str = "catalyst",
 ) -> tuple[DataFrame, KMeansModel]:
     """Lloyd k-means → ``(assignments (id_col, cluster int), model)``.
 
@@ -161,9 +193,16 @@ def kmeans_fit(
     exchange carries k·(dim+1) DECIMAL/longs per task — the embedding
     rows themselves never move.  ``df`` is scanned ``iterations`` times;
     persist upstream if the scan is expensive.
+
+    ``engine="catalyst"`` (default) assigns via the unrolled codegen
+    expression; ``engine="arrow"`` uses the vectorized NumPy UDF —
+    bit-identical by construction (serial per-dim accumulation, tested),
+    preferable when k·dim is large enough to strain codegen.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if engine not in ("catalyst", "arrow"):
+        raise ValueError(f"unknown engine: {engine!r}")
     q = df.select(
         F.col(id_col), quantize_expr(vec_col, quantize_bits).alias("__qv")
     )
@@ -172,12 +211,15 @@ def kmeans_fit(
     centroids: list[list[float]] = [[float(x) for x in c] for c in init]
     sizes = [0] * k
 
+    assign_fn = (
+        kmeans_assign_expr if engine == "catalyst" else kmeans_assign_udf
+    )
     assigned = None
     for it in range(iterations):
         assigned = q.select(
             id_col,
             "__qv",
-            kmeans_assign_expr("__qv", centroids).alias("cluster"),
+            assign_fn("__qv", centroids).alias("cluster"),
         )
         # exact integer per-dim sums (DECIMAL(38,0) — overflow-checked)
         sums = (
