@@ -1248,6 +1248,57 @@ def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt file-level gate (operators/crawl.robots_txt_filter,
+    RFC 9309) for agent ``mybot``: six path arms per doc_id%6 hit prefix
+    rules, the ``*`` wildcard, the ``$`` anchor (and a query string
+    defeating it), an exact Allow/Disallow tie, and an empty path; the
+    per-host robots dim (derived from documents doc_id<7) alternates a
+    ``*``-group policy, an agent-specific full block, and a missing row
+    (→ everything allowed).  The corpus side is never shuffled: parse is
+    a scalar fold on the dim, the join is a broadcast, the verdict is
+    one LIKE projection.  DuckDB replays the identical fold + LIKE
+    compilation."""
+    from verde_spark.operators.crawl import robots_txt_filter
+
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = (
+        F.when(d % 6 == 0, F.lit("/public/a"))
+        .when(d % 6 == 1, F.lit("/private/x"))
+        .when(d % 6 == 2, F.lit("/files/r.pdf"))
+        .when(d % 6 == 3, F.lit("/files/r.pdf?dl=1"))
+        .when(d % 6 == 4, F.lit("/p"))
+        .otherwise(F.lit(""))
+    )
+    host = F.concat(F.lit("site"), (d % 7).cast("string"), F.lit(".com"))
+    pages = docs.filter(d < 420).select(
+        "doc_id", F.concat(F.lit("http://"), host, path).alias("url")
+    )
+    robots = (
+        docs.filter((d < 7) & (d % 3 < 2))
+        .select(
+            F.concat(F.lit("site"), d.cast("string"), F.lit(".com")).alias("host"),
+            F.when(d % 3 == 0, F.lit(_ROBOTS_TXT_STAR))
+            .otherwise(F.lit(_ROBOTS_TXT_MYBOT))
+            .alias("robots_txt"),
+        )
+    )
+    return robots_txt_filter(pages, robots, agent="mybot").orderBy("doc_id")
+
+
+#: robots.txt bodies for the gate fixture — the '*' policy exercises
+#: prefix, wildcard+$ and a tie; the second names `mybot` explicitly so
+#: agent-group precedence (over the trailing '*' group) is attested
+_ROBOTS_TXT_STAR = (
+    "User-agent: *\nDisallow: /private/\nDisallow: /*.pdf$\n"
+    "Allow: /p\nDisallow: /p\n"
+)
+_ROBOTS_TXT_MYBOT = (
+    "User-agent: mybot\nDisallow: /\n\nUser-agent: *\nAllow: /\n"
+)
+
+
 def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-blocklist gate (operators/crawl.filter_blocklist): hosts
     with subdomains/ports/userinfo vs a list blocking one registrable
@@ -1770,6 +1821,7 @@ _RETIRED = (
     "deterministic_sample",  # TakeOrderedAndProject top-n — stratified_sample (per-group twin) + cap_per_domain attest the same arithmetic-rank selection
     "pack_sequences",        # over-cap: new r4 operator, registry full — full DuckDB window-cumsum oracle, replayable via --retired
     "robots_gate",           # over-cap: r4 crawl-policy gate (meta robots), full DuckDB regex twin
+    "robots_txt_gate",       # over-cap: r4 RFC 9309 robots.txt parse + longest-match gate, full DuckDB fold twin
     "blocklist_filter",      # over-cap: r4 domain-suffix blocklist, full DuckDB twin
     "anchor_topk",           # over-cap: r4 per-host top-k anchor texts, full DuckDB twin
     "gopher_signals",        # over-cap: r4 Gopher-rule quality signals, full DuckDB twin
@@ -1800,6 +1852,7 @@ def retired_queries():
         "deterministic_sample": _q_deterministic_sample,
         "pack_sequences": _q_pack_sequences,
         "robots_gate": _q_robots_gate,
+        "robots_txt_gate": _q_robots_txt_gate,
         "blocklist_filter": _q_blocklist_filter,
         "anchor_topk": _q_anchor_topk,
         "gopher_signals": _q_gopher_signals,
@@ -2679,6 +2732,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST({_ni} AS INTEGER) AS noindex,
                CAST({_nf} AS INTEGER) AS nofollow
         FROM pages ORDER BY doc_id
+    """
+    from verde_spark.operators.crawl import (
+        robots_allowed_sql,
+        robots_matchable_sql,
+        robots_rules_sql,
+    )
+
+    _rb_star = _ROBOTS_TXT_STAR.replace("'", "''")
+    _rb_mybot = _ROBOTS_TXT_MYBOT.replace("'", "''")
+    _rb_rules = robots_rules_sql("robots_txt", "mybot")
+    _rb_ok = robots_allowed_sql(robots_matchable_sql("url"), _rb_rules)
+    oracles["robots_txt_gate"] = f"""
+        WITH pages AS (
+          SELECT doc_id,
+                 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+                 CASE CAST(doc_id % 6 AS INTEGER)
+                   WHEN 0 THEN '/public/a'
+                   WHEN 1 THEN '/private/x'
+                   WHEN 2 THEN '/files/r.pdf'
+                   WHEN 3 THEN '/files/r.pdf?dl=1'
+                   WHEN 4 THEN '/p'
+                   ELSE '' END AS url,
+                 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+          FROM documents WHERE doc_id < 420
+        ), robots AS (
+          SELECT 'site' || CAST(doc_id AS VARCHAR) || '.com' AS host,
+                 CASE WHEN doc_id % 3 = 0 THEN '{_rb_star}'
+                      ELSE '{_rb_mybot}' END AS robots_txt
+          FROM documents WHERE doc_id < 7 AND doc_id % 3 < 2
+        ), joined AS (
+          SELECT p.doc_id, p.url, r.robots_txt
+          FROM pages p LEFT JOIN robots r ON p.host = r.host
+        )
+        SELECT doc_id, url FROM joined
+        WHERE {_rb_ok} ORDER BY doc_id
     """
     _blocked = blocked_sql("url", ["site0.com", "sub2.site1.com"])
     oracles["blocklist_filter"] = f"""

@@ -217,3 +217,148 @@ def test_clean_corpus_crawl_gates(spark):
     assert all(int(u.rsplit("p", 1)[1]) % 5 != 0 for u in urls)
     # 40 pages - 10 on site3.com - 6 noindex pages not already blocked
     assert len(urls) == 24
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (file-level REP, RFC 9309)
+
+# fixtures chosen to hit every semantic arm: allow-overrides-disallow by
+# specificity, agent-specific group precedence (incl. an EMPTY specific
+# group after blank-line merge), consecutive user-agent headers sharing a
+# group, CRLF, `*`/`$` wildcards (and a query string defeating `$`),
+# empty Disallow, comments + tab padding, a rule before any header
+# (ignored), an exact tie (allow wins), non-rule fields inside a group,
+# LIKE metacharacters (%/_) appearing literally, NULL robots.txt, an
+# empty path normalizing to '/', and case-insensitive agent tokens.
+_ROBOTS_CASES = [
+    ("User-agent: *\nDisallow: /private/\nAllow: /private/ok\n",
+     "http://h.com/private/ok.html", "*"),
+    ("User-agent: *\nDisallow: /private/\n", "http://h.com/private/x", "*"),
+    ("User-agent: *\nDisallow: /private/\n", "http://h.com/public/x", "*"),
+    ("User-agent: googlebot\nDisallow: /\n\nUser-agent: *\nDisallow: /tmp/\n",
+     "http://h.com/a", "googlebot"),
+    ("User-agent: googlebot\nDisallow: /\n\nUser-agent: *\nDisallow: /tmp/\n",
+     "http://h.com/tmp/a", "mybot"),
+    # rule-less group merges across the blank line into the '*' group
+    # (Google's parser semantics: blank lines never delimit groups)
+    ("User-agent: googlebot\n\nUser-agent: *\nDisallow: /\n",
+     "http://h.com/a", "googlebot"),
+    ("User-agent: a\nUser-agent: *\nDisallow: /x\n", "http://h.com/x1", "b"),
+    ("User-agent: *\r\nDisallow: /*.pdf$\r\n",
+     "http://h.com/doc/file.pdf", "*"),
+    ("User-agent: *\nDisallow: /*.pdf$\n", "http://h.com/file.pdf?x=1", "*"),
+    ("User-agent: *\nDisallow: /a*b\n", "http://h.com/aXYZb/c", "*"),
+    ("User-agent: *\nDisallow:\n", "http://h.com/anything", "*"),
+    ("# comment only\nUser-agent: * # trailing\n\tDisallow\t: /t\t\n",
+     "http://h.com/t2", "*"),
+    ("Disallow: /orphan\nUser-agent: *\nAllow: /\n",
+     "http://h.com/orphan", "*"),
+    ("User-agent: *\nDisallow: /p\nAllow: /p\n", "http://h.com/p/x", "*"),
+    ("User-agent: *\nCrawl-delay: 5\nDisallow: /q\nUser-agent: x\nDisallow: /r\n",
+     "http://h.com/q", "*"),
+    ("User-agent: *\nDisallow: /q\nUser-agent: x\nDisallow: /r\n",
+     "http://h.com/r", "*"),
+    ("User-agent: *\nDisallow: /100%_sure\n", "http://h.com/100%_sure/x", "*"),
+    (None, "http://h.com/x", "*"),
+    ("User-agent: *\nDisallow: /\n", "http://h.com", "*"),
+    ("User-agent: MyBot\nDisallow: /m\nUser-agent: *\nAllow: /\n",
+     "http://h.com/m1", "mybot"),
+]
+
+
+def _robots_expected():
+    from verde_spark.operators.crawl import reference_robots_allowed
+
+    return [
+        reference_robots_allowed(t, u, a) for t, u, a in _ROBOTS_CASES
+    ]
+
+
+def test_robots_txt_spark_parity(spark):
+    """Catalyst fold + LIKE matcher ≡ the Python reference on the full
+    fixture corpus (grouped per agent: the expression is per-agent)."""
+    from verde_spark.operators.crawl import (
+        reference_robots_allowed,
+        robots_allowed_expr,
+        robots_txt_rules,
+    )
+
+    for agent in sorted({a for _, _, a in _ROBOTS_CASES}):
+        sub = [(t, u) for t, u, a in _ROBOTS_CASES if a == agent]
+        df = spark.createDataFrame(sub, "txt string, url string")
+        rows = df.select(
+            "txt", "url",
+            robots_allowed_expr(
+                "url", robots_txt_rules("txt", agent)
+            ).alias("ok"),
+        ).collect()
+        for r in rows:
+            assert r["ok"] == reference_robots_allowed(
+                r["txt"], r["url"], agent
+            ), (agent, r["txt"], r["url"])
+
+
+def test_robots_txt_duckdb_parity():
+    """The DuckDB twin replays the same verdicts (same fold, seeded via a
+    prepended state-shaped element; same LIKE compilation)."""
+    from verde_spark.operators.crawl import (
+        reference_robots_allowed,
+        robots_allowed_sql,
+        robots_matchable_sql,
+        robots_rules_sql,
+    )
+
+    con = duckdb.connect()
+    for txt, url, agent in _ROBOTS_CASES:
+        rules = robots_rules_sql("t.txt", agent)
+        m = robots_matchable_sql("t.url")
+        sql = (
+            f"SELECT {robots_allowed_sql(m, rules)} "
+            "FROM (SELECT ?::VARCHAR AS txt, ?::VARCHAR AS url) t"
+        )
+        got = con.execute(sql, [txt, url]).fetchone()[0]
+        assert got == reference_robots_allowed(txt, url, agent), (txt, url)
+
+
+def test_robots_txt_rules_parse_shape(spark):
+    """Raw-rule extraction parity (pre-LIKE): pattern order preserved,
+    allow/disallow flags right, agent-group override exact."""
+    from verde_spark.operators.crawl import (
+        reference_robots_rules,
+        robots_txt_rules,
+    )
+
+    texts = sorted({t for t, _, a in _ROBOTS_CASES if t and a == "*"})
+    df = spark.createDataFrame([(t,) for t in texts], "txt string")
+    rows = df.select(
+        "txt", robots_txt_rules("txt", "*").alias("rules")
+    ).collect()
+    for r in rows:
+        got = [(x["allow"], x["pattern"]) for x in (r["rules"] or [])]
+        assert got == reference_robots_rules(r["txt"], "*"), r["txt"]
+
+
+def test_robots_txt_filter_broadcasts_and_keeps_unlisted_hosts(spark):
+    """End-to-end gate: disallowed page dropped, allowed kept, a host
+    with no robots.txt row keeps everything; the join is a broadcast
+    (the corpus side must never shuffle)."""
+    from verde_spark.operators.crawl import robots_txt_filter
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.com/keep", 1),
+            ("http://a.com/private/x", 2),
+            ("http://sub.a.com:8080/private/y", 3),  # different host: kept
+            ("http://b.com/anything", 4),
+        ],
+        "url string, id int",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    out = robots_txt_filter(pages, robots)
+    assert sorted(r["id"] for r in out.collect()) == [1, 3, 4]
+    assert out.columns == ["url", "id"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

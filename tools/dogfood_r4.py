@@ -144,6 +144,43 @@ def main() -> int:
     print("PASS robots_filter/filter_blocklist/top_anchor_texts with "
           "page_url/page_html columns")
 
+    # --- robots.txt file-level gate (late r4) ------------------------------
+    from verde_spark import robots_txt_filter
+
+    robots_dim = spark.createDataFrame(
+        [
+            ("host1.example", "User-agent: dogbot\nDisallow: /\n"),
+            ("host2.example",
+             "User-agent: *\nDisallow: /p1*$\nAllow: /p1\n"),
+        ],
+        "site string, policy string",
+    )
+    # pages: page_url = https://host{i%4}.example/p{i}; for agent dogbot:
+    # host1 fully blocked (15 pages); host2: /p1*$ disallows /p2, /p6 …
+    # wait — patterns match from the path start, so /p1*$ hits ONLY the
+    # /p1... pages on host2 (p2, p6, ..., p58 are /p2 etc — unaffected),
+    # and the shorter Allow /p1 LOSES to the longer /p1*$ on specificity;
+    # host2 pages /p10,/p14,... (two-digit starting 1) + /p1 itself drop
+    rb_gated = robots_txt_filter(
+        pages, robots_dim,
+        url_col="page_url", host_col="site", txt_col="policy",
+        agent="dogbot",
+    )
+    kept = [r["page_url"] for r in rb_gated.collect()]
+    from verde_spark import reference_robots_allowed
+
+    # cross-check each kept/dropped verdict against the Python reference
+    pol = {r["site"]: r["policy"] for r in robots_dim.collect()}
+    for r in pages.collect():
+        host = r["page_url"].split("/")[2]
+        want = reference_robots_allowed(pol.get(host), r["page_url"], "dogbot")
+        assert (r["page_url"] in kept) == want, (r["page_url"], want)
+    assert any("host1" not in u for u in kept) and all(
+        "host1.example" not in u for u in kept
+    )
+    print("PASS robots_txt_filter with site/policy/page_url columns, "
+          "agent-specific full block + wildcard/$ rules")
+
     from verde_spark.functions.text import passes_gopher
 
     # every body here is short prose; the 50-word floor rejects all of

@@ -77,7 +77,14 @@ from .operators.crawl import (
     filter_blocklist,
     meta_robots,
     reference_meta_robots,
+    reference_robots_allowed,
+    reference_robots_rules,
+    robots_allowed_expr,
     robots_filter,
+    robots_matchable,
+    robots_rules,
+    robots_txt_filter,
+    robots_txt_rules,
 )
 from .operators.projections import project_grid, project_points
 from .checkpoint import TileCheckpoint, run_resumable
@@ -153,6 +160,13 @@ __all__ = [
     "meta_robots",
     "reference_meta_robots",
     "robots_filter",
+    "reference_robots_allowed",
+    "reference_robots_rules",
+    "robots_allowed_expr",
+    "robots_matchable",
+    "robots_rules",
+    "robots_txt_filter",
+    "robots_txt_rules",
     "top_anchor_texts",
     "extract_text",
     "point_in_polygon",

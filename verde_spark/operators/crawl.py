@@ -246,3 +246,419 @@ def filter_blocklist(
     return pages.join(
         matched, pages[url_col] == matched["__url"], "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (the FILE-level Robots Exclusion Protocol, RFC 9309) — the
+# third crawl-policy gate, complementing the page-level meta directives
+# above.  A crawl corpus carries one robots.txt per host (a dim table,
+# tiny next to the pages), and the training pipeline must honor it.
+#
+# Spark-first shape: the parse is a SCALAR fold (``F.aggregate`` over the
+# split lines) producing an ``array<struct>`` of match-ready rules — one
+# projection over the robots dim table, zero shuffle, zero Python.  The
+# page-side gate is a broadcast hash join on host plus ONE projection
+# evaluating RFC 9309 longest-match: the corpus is never shuffled at any
+# scale.  Wildcard matching compiles each rule to a SQL LIKE pattern at
+# parse time (``*`` → ``%``, trailing ``$`` anchor → no trailing ``%``;
+# ``%``/``_``/``\`` escaped) — LIKE is engine-native in both Spark and
+# DuckDB, so the twin replays bit-for-bit and nothing recompiles regexes
+# per row.
+#
+# Semantics implemented (documented scope):
+# - groups: consecutive ``User-agent`` lines form one group header; the
+#   group's rules run until the next header (RFC 9309 §2.1).  Blank
+#   lines are ignored entirely; unknown fields (sitemap, crawl-delay)
+#   stay inside the group but terminate the header run.
+# - agent selection: if any group names ``agent`` (case-insensitive
+#   exact token), ONLY those groups apply — even if they contain no
+#   rules; otherwise the ``*`` groups apply (RFC 9309 §2.2.1).
+# - matching: most-specific (longest raw pattern, char length) wins;
+#   on a tie ``Allow`` wins; no applicable rule → allowed (§2.2.2).
+# - ``Disallow:`` / ``Allow:`` with an empty value match nothing.
+# - out of scope (documented): percent-encoding normalization of rule
+#   vs path octets; byte (vs char) pattern lengths.  Both are noted in
+#   COVERAGE.md; neither changes any fixture in the test corpus.
+
+#: line separators accepted by the parser (CRLF / CR / LF)
+_ROBOTS_EOL_RE = r"\r\n|\r|\n"
+#: comment: '#' to end of line
+_ROBOTS_COMMENT_RE = r"#.*"
+#: field-line whitespace trim (space + tab; SQL trim() is space-only)
+_ROBOTS_TRIM_RE = r"^[ \t]+|[ \t]+$"
+
+_RULE_FIELDS = ("allow", "disallow")
+
+
+def _wtrim(c: Column) -> Column:
+    return F.regexp_replace(c, _ROBOTS_TRIM_RE, "")
+
+
+def _empty_rules() -> Column:
+    """A typed empty ``array<struct<allow,pattern>>`` (slice-of-one trick:
+    ``F.array().cast`` loses field names under interpreted Catalyst)."""
+    one = F.array(
+        F.struct(F.lit(True).alias("allow"), F.lit("").alias("pattern"))
+    )
+    return F.slice(one, 1, 0)
+
+
+def _like_rule(r: Column) -> Column:
+    """Compile a raw (allow, pattern) rule into the match-ready struct:
+    ``*`` → ``%``, a trailing ``$`` anchors (no trailing ``%``), LIKE
+    metacharacters escaped with ``\\``; ``plen`` is the raw pattern's
+    char length (the RFC 9309 specificity key)."""
+    p = r["pattern"]
+    anchored = p.endswith("$")
+    body = p.substr(
+        F.lit(1), F.length(p) - F.when(anchored, F.lit(1)).otherwise(F.lit(0))
+    )
+    e = F.replace(body, F.lit("\\"), F.lit("\\\\"))
+    e = F.replace(e, F.lit("%"), F.lit("\\%"))
+    e = F.replace(e, F.lit("_"), F.lit("\\_"))
+    e = F.replace(e, F.lit("*"), F.lit("%"))
+    like_pat = F.concat(
+        e, F.when(anchored, F.lit("")).otherwise(F.lit("%"))
+    )
+    return F.struct(
+        r["allow"].alias("allow"),
+        p.alias("pattern"),
+        F.length(p).alias("plen"),
+        like_pat.alias("like_pat"),
+    )
+
+
+def robots_txt_rules(txt: Column | str = "robots_txt", agent: str = "*") -> Column:
+    """Parse a robots.txt body into match-ready rules for *agent* —
+    ``array<struct<allow boolean, pattern string, plen int, like_pat
+    string>>``.  One scalar ``aggregate`` fold over the split lines:
+    pure Catalyst projection, zero shuffle, zero Python.  NULL text →
+    NULL rules (no robots.txt → everything allowed downstream).
+
+    No let-binding here on purpose: this runs once per HOST (the dim
+    table), not per page — the page-side hot path never touches it.
+    """
+    t = (F.col(txt) if isinstance(txt, str) else txt).cast("string")
+    agent_lit = F.lit(agent.strip().lower())
+    empty = _empty_rules()
+    init = F.struct(
+        F.lit(False).alias("sa"),   # inside a '*' group
+        F.lit(False).alias("aa"),   # inside a group naming `agent`
+        F.lit(False).alias("ag"),   # any group named `agent` anywhere
+        F.lit(False).alias("pu"),   # previous line was a User-agent line
+        empty.alias("sr"),          # rules collected under '*' groups
+        empty.alias("ar"),          # rules collected under `agent` groups
+    )
+
+    def _merge(acc: Column, line: Column) -> Column:
+        # bind the cleaned line once (interpreted Catalyst has no CSE;
+        # the comment-strip regex would otherwise re-run per reference)
+        def _with_clean(c: Column) -> Column:
+            pos = F.locate(":", c)
+            fld = F.lower(_wtrim(c.substr(F.lit(1), pos - 1)))
+            val = _wtrim(c.substr(pos + 1, F.length(c)))
+            is_ua = (pos > 0) & (fld == "user-agent")
+            tok = F.lower(val)
+            new_group = is_ua & ~acc["pu"]
+            sa0 = F.when(new_group, F.lit(False)).otherwise(acc["sa"])
+            aa0 = F.when(new_group, F.lit(False)).otherwise(acc["aa"])
+            sa = F.when(is_ua, sa0 | (tok == F.lit("*"))).otherwise(acc["sa"])
+            aa = F.when(is_ua, aa0 | (tok == agent_lit)).otherwise(acc["aa"])
+            ag = acc["ag"] | (is_ua & (tok == agent_lit))
+            is_rule = (pos > 0) & fld.isin(*_RULE_FIELDS) & (val != "")
+            rule = F.struct(
+                (fld == F.lit("allow")).alias("allow"), val.alias("pattern")
+            )
+            sr = F.when(
+                is_rule & acc["sa"], F.array_append(acc["sr"], rule)
+            ).otherwise(acc["sr"])
+            ar = F.when(
+                is_rule & acc["aa"], F.array_append(acc["ar"], rule)
+            ).otherwise(acc["ar"])
+            # blank lines are ignored for grouping (RFC 9309): pu holds
+            pu = F.when(c == "", acc["pu"]).otherwise(is_ua)
+            return F.struct(
+                sa.alias("sa"), aa.alias("aa"), ag.alias("ag"),
+                pu.alias("pu"), sr.alias("sr"), ar.alias("ar"),
+            )
+
+        cleaned = _wtrim(F.regexp_replace(line, _ROBOTS_COMMENT_RE, ""))
+        return F.element_at(F.transform(F.array(cleaned), _with_clean), 1)
+
+    def _finish(acc: Column) -> Column:
+        raw = F.when(acc["ag"], acc["ar"]).otherwise(acc["sr"])
+        return F.transform(raw, _like_rule)
+
+    lines = F.split(t, _ROBOTS_EOL_RE)
+    return F.aggregate(lines, init, _merge, _finish)
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """``(host, rules)`` — the parsed per-host rule table (one projection
+    over the robots dim table)."""
+    return robots.select(
+        F.lower(F.trim(F.col(host_col))).alias("host"),
+        robots_txt_rules(txt_col, agent).alias("rules"),
+    )
+
+
+def robots_matchable(url: Column | str = "url") -> Column:
+    """The string RFC 9309 rules match against: path plus ``?query``
+    when a query is present; an empty path normalizes to ``/``."""
+    u = F.col(url) if isinstance(url, str) else url
+
+    def _build(t: Column) -> Column:
+        path = F.regexp_extract(t, _URL_RE, 3)
+        query = F.regexp_extract(t, _URL_RE, 4)
+        p = F.when(path == "", F.lit("/")).otherwise(path)
+        return F.when(query == "", p).otherwise(F.concat(p, F.lit("?"), query))
+
+    return F.element_at(F.transform(F.array(u), _build), 1)
+
+
+def robots_allowed_expr(url: Column | str, rules: Column | str) -> Column:
+    """Boolean: RFC 9309 verdict of *rules* (as built by
+    :func:`robots_txt_rules`) for the url — longest match wins, Allow
+    wins ties, no match (or NULL rules / no robots.txt row) → allowed.
+    ONE projection: a LIKE filter over the rule array plus a fold
+    picking the most specific rule."""
+    r = F.col(rules) if isinstance(rules, str) else rules
+
+    def _verdict(m: Column) -> Column:
+        applicable = F.filter(
+            r, lambda rule: F.like(m, rule["like_pat"], F.lit("\\"))
+        )
+        init = F.struct(
+            F.lit(True).alias("allow"), F.lit(-1).alias("plen")
+        )
+        best = F.aggregate(
+            applicable,
+            init,
+            lambda acc, rule: F.when(
+                (rule["plen"] > acc["plen"])
+                | ((rule["plen"] == acc["plen"]) & rule["allow"] & ~acc["allow"]),
+                F.struct(rule["allow"].alias("allow"), rule["plen"].alias("plen")),
+            ).otherwise(acc),
+        )
+        return best["allow"]
+
+    # bind the matchable string once: it feeds every LIKE in the filter
+    verdict = F.element_at(
+        F.transform(F.array(robots_matchable(url)), _verdict), 1
+    )
+    return F.coalesce(verdict, F.lit(True))
+
+
+def robots_txt_filter(
+    pages: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Drop pages a host's robots.txt disallows for *agent*.
+
+    100 TB shape: the robots table is per-host (a dim, tiny next to the
+    corpus) — parse it once (projection), BROADCAST it, left-join on
+    host, evaluate the verdict as one projection.  The corpus side never
+    shuffles; hosts with no robots.txt row keep all their pages.
+    """
+    rules = robots_rules(robots, host_col, txt_col, agent).select(
+        F.col("host").alias("__rb_host"), F.col("rules").alias("__rb_rules")
+    )
+    joined = pages.join(
+        F.broadcast(rules),
+        host_of(url_col) == F.col("__rb_host"),
+        "left",
+    )
+    return joined.filter(
+        robots_allowed_expr(url_col, F.col("__rb_rules"))
+    ).drop("__rb_host", "__rb_rules")
+
+
+def reference_robots_rules(
+    robots_txt: str | None, agent: str = "*"
+) -> list[tuple[bool, str]]:
+    """Single-value Python reference for :func:`robots_txt_rules` (raw
+    ``(allow, pattern)`` pairs, pre-LIKE compilation) — same grouping,
+    agent-selection and trimming semantics, used as parity ground truth
+    by the tests."""
+    if robots_txt is None:
+        return []
+    if isinstance(robots_txt, (bytes, bytearray)):
+        robots_txt = robots_txt.decode("utf-8", errors="replace")
+    agent = agent.strip().lower()
+    sa = aa = ag = pu = False
+    sr: list[tuple[bool, str]] = []
+    ar: list[tuple[bool, str]] = []
+    for line in re.split(_ROBOTS_EOL_RE, robots_txt):
+        c = re.sub(_ROBOTS_TRIM_RE, "", re.sub(_ROBOTS_COMMENT_RE, "", line))
+        if c == "":
+            continue  # blank lines are ignored for grouping
+        pos = c.find(":")
+        fld = re.sub(_ROBOTS_TRIM_RE, "", c[:pos]).lower() if pos >= 0 else ""
+        val = re.sub(_ROBOTS_TRIM_RE, "", c[pos + 1 :]) if pos >= 0 else ""
+        is_ua = pos >= 0 and fld == "user-agent"
+        if is_ua:
+            if not pu:
+                sa = aa = False
+            tok = val.lower()
+            sa = sa or tok == "*"
+            aa = aa or tok == agent
+            ag = ag or tok == agent
+        elif pos >= 0 and fld in _RULE_FIELDS and val != "":
+            rule = (fld == "allow", val)
+            if sa:
+                sr.append(rule)
+            if aa:
+                ar.append(rule)
+        pu = is_ua
+    return ar if ag else sr
+
+
+def reference_robots_allowed(
+    robots_txt: str | None, url: str, agent: str = "*"
+) -> bool:
+    """Single-value Python reference for :func:`robots_allowed_expr` —
+    regex-backed glob matching equivalent to the LIKE compilation
+    (``fullmatch`` with ``.*`` for ``*`` reproduces LIKE's whole-string
+    semantics; the implicit trailing ``%`` is the unanchored arm)."""
+    m = re.match(_URL_RE, url or "")
+    path = (m.group(3) if m else "") or "/"
+    query = m.group(4) if m else ""
+    matchable = f"{path}?{query}" if query else path
+    best: tuple[int, bool] | None = None
+    for allow, pattern in reference_robots_rules(robots_txt, agent):
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = ".*".join(re.escape(part) for part in body.split("*"))
+        if not anchored:
+            rx += ".*"
+        if re.fullmatch(rx, matchable, flags=re.DOTALL) is None:
+            continue
+        key = (len(pattern), allow)
+        if best is None or key > best:
+            best = key
+    return True if best is None else best[1]
+
+
+def robots_rules_sql(txt: str, agent: str = "*") -> str:
+    """DuckDB twin of :func:`robots_txt_rules` over a string expression
+    *txt* — the same fold, expressed with ``list_reduce`` (DuckDB has no
+    seeded fold, so the seed rides as a prepended state-shaped element
+    whose ``line`` is NULL; real lines enter as state-shaped elements
+    carrying only ``line``).
+
+    DuckDB 1.0's ``list_reduce`` silently RESETS list-valued struct
+    fields in the accumulator each step (scalars/strings accumulate
+    fine — verified), so the collected rules ride as newline-delimited
+    strings (``'A<pattern>'`` / ``'D<pattern>'`` records): a newline can
+    never occur inside a pattern because lines were split on EOL.  The
+    encoded string is split back into rule structs after the fold."""
+    a = agent.strip().lower().replace("'", "''")
+    state = (
+        "{{'sa': false, 'aa': false, 'ag': false, 'pu': false, "
+        "'sr': '', 'ar': '', 'line': {line}}}"
+    )
+    seed = state.format(line="NULL::VARCHAR")
+    elem = state.format(line="l")
+    lines = (
+        f"list_transform(string_split_regex({txt}, '{_ROBOTS_EOL_RE}'), "
+        f"l -> {elem})"
+    )
+    # the merge body, with c/pos/fld/val spelled out per reference
+    # coalesce: the seed element's NULL line must behave as a blank line
+    # (ignored entirely); greatest(): DuckDB substr rejects negative
+    # lengths (Spark clamps), and pos = 0 on non-directive lines
+    c = f"coalesce(regexp_replace(regexp_replace(x.line, '{_ROBOTS_COMMENT_RE}', ''), '{_ROBOTS_TRIM_RE}', '', 'g'), '')"
+    pos = f"strpos({c}, ':')"
+    fld = f"lower(regexp_replace(substr({c}, 1, greatest({pos} - 1, 0)), '{_ROBOTS_TRIM_RE}', '', 'g'))"
+    val = f"regexp_replace(substr({c}, {pos} + 1), '{_ROBOTS_TRIM_RE}', '', 'g')"
+    is_ua = f"({pos} > 0 AND {fld} = 'user-agent')"
+    tok = f"lower({val})"
+    new_group = f"({is_ua} AND NOT acc.pu)"
+    sa = (
+        f"CASE WHEN {is_ua} THEN "
+        f"((CASE WHEN {new_group} THEN false ELSE acc.sa END) OR {tok} = '*') "
+        f"ELSE acc.sa END"
+    )
+    aa = (
+        f"CASE WHEN {is_ua} THEN "
+        f"((CASE WHEN {new_group} THEN false ELSE acc.aa END) OR {tok} = '{a}') "
+        f"ELSE acc.aa END"
+    )
+    ag = f"(acc.ag OR ({is_ua} AND {tok} = '{a}'))"
+    is_rule = f"({pos} > 0 AND {fld} IN ('allow', 'disallow') AND {val} <> '')"
+    rule = (
+        f"(CASE WHEN {fld} = 'allow' THEN 'A' ELSE 'D' END) "
+        f"|| {val} || chr(10)"
+    )
+    sr = f"CASE WHEN {is_rule} AND acc.sa THEN acc.sr || {rule} ELSE acc.sr END"
+    ar = f"CASE WHEN {is_rule} AND acc.aa THEN acc.ar || {rule} ELSE acc.ar END"
+    pu = f"CASE WHEN {c} = '' THEN acc.pu ELSE {is_ua} END"
+    merged = (
+        f"{{'sa': {sa}, 'aa': {aa}, 'ag': {ag}, 'pu': {pu}, "
+        f"'sr': {sr}, 'ar': {ar}, 'line': NULL::VARCHAR}}"
+    )
+    folded = (
+        f"list_reduce(list_prepend({seed}, {lines}), (acc, x) -> {merged})"
+    )
+    # bind the fold once (it is referenced twice) via a 1-element list,
+    # then decode the newline-delimited rule records into structs
+    encoded = (
+        f"list_transform([{folded}], s -> "
+        "CASE WHEN s.ag THEN s.ar ELSE s.sr END)[1]"
+    )
+    raw = (
+        f"list_transform(list_filter(string_split({encoded}, chr(10)), "
+        "x -> x <> ''), x -> "
+        "{'allow': substr(x, 1, 1) = 'A', 'pattern': substr(x, 2)})"
+    )
+    # LIKE compilation (mirrors _like_rule)
+    anch = "ends_with(r.pattern, '$')"
+    body = f"substr(r.pattern, 1, length(r.pattern) - CASE WHEN {anch} THEN 1 ELSE 0 END)"
+    esc = (
+        "replace(replace(replace(replace("
+        f"{body}, '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%')"
+    )
+    like_pat = f"{esc} || CASE WHEN {anch} THEN '' ELSE '%' END"
+    compiled = (
+        f"list_transform({raw}, r -> {{'allow': r.allow, 'pattern': r.pattern, "
+        f"'plen': length(r.pattern)::INT, 'like_pat': {like_pat}}})"
+    )
+    # NULL robots_txt → NULL rules (Spark: split/aggregate propagate NULL)
+    return (
+        f"CASE WHEN {txt} IS NULL THEN "
+        "NULL::STRUCT(allow BOOLEAN, pattern VARCHAR, plen INT, like_pat VARCHAR)[] "
+        f"ELSE {compiled} END"
+    )
+
+
+def robots_matchable_sql(url: str) -> str:
+    """DuckDB twin of :func:`robots_matchable` over a url expression."""
+    path = f"regexp_extract({url}, '{_URL_RE}', 3)"
+    query = f"regexp_extract({url}, '{_URL_RE}', 4)"
+    p = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    return f"CASE WHEN {query} = '' THEN {p} ELSE {p} || '?' || {query} END"
+
+
+def robots_allowed_sql(matchable: str, rules: str) -> str:
+    """DuckDB twin of :func:`robots_allowed_expr` given a matchable
+    string expression and a rules expression (both SQL strings)."""
+    applicable = (
+        f"list_filter({rules}, r -> {matchable} LIKE r.like_pat ESCAPE '\\')"
+    )
+    init = "{'allow': true, 'plen': -1}"
+    best = (
+        f"list_reduce(list_prepend({init}, "
+        f"list_transform({applicable}, r -> {{'allow': r.allow, 'plen': r.plen}})), "
+        "(acc, r) -> CASE WHEN r.plen > acc.plen OR "
+        "(r.plen = acc.plen AND r.allow AND NOT acc.allow) THEN r ELSE acc END)"
+    )
+    return f"coalesce(({best}).allow, true)"
