@@ -1299,6 +1299,63 @@ _ROBOTS_TXT_MYBOT = (
 )
 
 
+def _q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery chain (operators/crawl): per-host robots.txt →
+    Sitemap lines (global field) + Crawl-delay (agent-precedence fold,
+    agent ``mybot``) + the declared sitemap's (loc, lastmod) entries —
+    three robots policies (star delay + 2 sitemaps / agent override /
+    named-but-silent agent group → NULL delay) × a urlset body with an
+    entity-escaped loc, a padded loc, a lastmod-less entry and a
+    loc-less block that must drop.  All pure projections + one Generate
+    over the per-host DIM; DuckDB replays the folds, the entity
+    unescape and the explode bit-for-bit."""
+    from verde_spark.operators.crawl import (
+        robots_crawl_delay,
+        robots_sitemaps,
+        sitemap_urls,
+    )
+
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    host = F.concat(F.lit("site"), d.cast("string"), F.lit(".com"))
+    robots = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: 10\nSitemap: https://"),
+                host, F.lit("/sm.xml\nsitemap: https://"), host,
+                F.lit("/sm2.xml # mirror\n"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("User-agent: mybot\nCrawl-delay: 2.5\n\n"
+                      "User-agent: *\nCrawl-delay: 7\nSitemap: https://"),
+                host, F.lit("/sm.xml\n"),
+            ),
+        )
+        .otherwise(
+            F.lit("User-agent: mybot\nDisallow: /\n"
+                  "User-agent: *\nCrawl-delay: 7\n")
+        )
+    )
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://"), host,
+        F.lit("/p?a=1&amp;b=2</loc><lastmod>2024-01-0"),
+        (d % 9 + 1).cast("string"),
+        F.lit("</lastmod></url><url><loc> https://"), host,
+        F.lit("/q </loc></url><url><priority>1</priority></url></urlset>"),
+    )
+    dim = docs.filter(d < 9).select(
+        host.alias("host"),
+        robots_crawl_delay(robots, "mybot").alias("crawl_delay"),
+        F.array_join(robots_sitemaps(robots), ",").alias("sitemaps"),
+        xml.alias("sitemap_xml"),
+    )
+    return sitemap_urls(dim).orderBy("host", "loc")
+
+
 def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-blocklist gate (operators/crawl.filter_blocklist): hosts
     with subdomains/ports/userinfo vs a list blocking one registrable
@@ -1822,6 +1879,7 @@ _RETIRED = (
     "pack_sequences",        # over-cap: new r4 operator, registry full — full DuckDB window-cumsum oracle, replayable via --retired
     "robots_gate",           # over-cap: r4 crawl-policy gate (meta robots), full DuckDB regex twin
     "robots_txt_gate",       # over-cap: r4 RFC 9309 robots.txt parse + longest-match gate, full DuckDB fold twin
+    "sitemap_discovery",     # over-cap: r4 sitemap/crawl-delay discovery chain, full DuckDB fold+unnest twin
     "blocklist_filter",      # over-cap: r4 domain-suffix blocklist, full DuckDB twin
     "anchor_topk",           # over-cap: r4 per-host top-k anchor texts, full DuckDB twin
     "gopher_signals",        # over-cap: r4 Gopher-rule quality signals, full DuckDB twin
@@ -1853,6 +1911,7 @@ def retired_queries():
         "pack_sequences": _q_pack_sequences,
         "robots_gate": _q_robots_gate,
         "robots_txt_gate": _q_robots_txt_gate,
+        "sitemap_discovery": _q_sitemap_discovery,
         "blocklist_filter": _q_blocklist_filter,
         "anchor_topk": _q_anchor_topk,
         "gopher_signals": _q_gopher_signals,
@@ -2767,6 +2826,51 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, url FROM joined
         WHERE {_rb_ok} ORDER BY doc_id
+    """
+    from verde_spark.operators.crawl import (
+        robots_crawl_delay_sql,
+        robots_sitemaps_sql,
+        sitemap_entries_sql,
+    )
+
+    _sd_delay = robots_crawl_delay_sql("robots_txt", "mybot")
+    _sd_maps = robots_sitemaps_sql("robots_txt")
+    _sd_entries = sitemap_entries_sql("sitemap_xml")
+    oracles["sitemap_discovery"] = f"""
+        WITH hosts AS (
+          SELECT doc_id, 'site' || CAST(doc_id AS VARCHAR) || '.com' AS host
+          FROM documents WHERE doc_id < 9
+        ), dim AS (
+          SELECT host,
+                 CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN 'User-agent: *' || chr(10) ||
+                     'Crawl-delay: 10' || chr(10) ||
+                     'Sitemap: https://' || host || '/sm.xml' || chr(10) ||
+                     'sitemap: https://' || host || '/sm2.xml # mirror' || chr(10)
+                   WHEN 1 THEN 'User-agent: mybot' || chr(10) ||
+                     'Crawl-delay: 2.5' || chr(10) || chr(10) ||
+                     'User-agent: *' || chr(10) || 'Crawl-delay: 7' || chr(10) ||
+                     'Sitemap: https://' || host || '/sm.xml' || chr(10)
+                   ELSE 'User-agent: mybot' || chr(10) || 'Disallow: /' ||
+                     chr(10) || 'User-agent: *' || chr(10) ||
+                     'Crawl-delay: 7' || chr(10)
+                 END AS robots_txt,
+                 '<urlset><url><loc>https://' || host ||
+                 '/p?a=1&amp;b=2</loc><lastmod>2024-01-0' ||
+                 CAST(doc_id % 9 + 1 AS VARCHAR) ||
+                 '</lastmod></url><url><loc> https://' || host ||
+                 '/q </loc></url><url><priority>1</priority></url></urlset>'
+                   AS sitemap_xml
+          FROM hosts
+        ), parsed AS (
+          SELECT host, {_sd_delay} AS crawl_delay,
+                 coalesce(array_to_string({_sd_maps}, ','), '') AS sitemaps,
+                 UNNEST({_sd_entries}) AS e
+          FROM dim
+        )
+        SELECT host, crawl_delay, sitemaps,
+               e.loc AS loc, e.lastmod AS lastmod
+        FROM parsed ORDER BY host, loc
     """
     _blocked = blocked_sql("url", ["site0.com", "sub2.site1.com"])
     oracles["blocklist_filter"] = f"""

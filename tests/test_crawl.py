@@ -362,3 +362,144 @@ def test_robots_txt_filter_broadcasts_and_keeps_unlisted_hosts(spark):
     assert out.columns == ["url", "id"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --- sitemaps + robots.txt discovery fields (late r4) ----------------------
+
+_ROBOTS_DISCOVERY_CASES = [
+    # global Sitemap lines: anywhere, any case, comments, inside groups
+    "Sitemap: https://a.com/s.xml\nUser-agent: *\nDisallow: /x\n"
+    "sitemap: https://a.com/s2.xml  # mirror\n",
+    # crawl-delay in a '*' group; agent group overrides with its own
+    "User-agent: *\nCrawl-delay: 10\n\nUser-agent: mybot\nCrawl-delay: 2.5\n",
+    # agent group NAMED but declares no delay -> NULL (star ignored)
+    "User-agent: mybot\nDisallow: /\nUser-agent: *\nCrawl-delay: 7\n",
+    # last-wins within applicable groups; non-numeric kills the value
+    "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 9\n",
+    "User-agent: *\nCrawl-delay: 3\nCrawl-delay: abc\n",
+    # shared group header (stacked user-agents), tabs + CRLF
+    "User-agent: mybot\r\nUser-agent: other\r\nCrawl-delay:\t4\r\n",
+    # empty value ignored; no sitemap/delay at all
+    "User-agent: *\nCrawl-delay:\nDisallow: /q\n",
+    "",
+]
+
+_SITEMAP_XML_CASES = [
+    # plain urlset, entity-escaped loc, lastmod present/absent, noise
+    """<?xml version="1.0"?><urlset>
+      <url><loc>https://a.com/p?x=1&amp;y=2</loc>
+           <lastmod>2024-01-02</lastmod><priority>0.8</priority></url>
+      <url><loc> https://a.com/q </loc></url>
+      <url><changefreq>daily</changefreq></url>
+    </urlset>""",
+    # UPPER/mixed tag noise must NOT match; empty loc dropped
+    "<urlset><url><loc></loc></url><url><loc>https://b.io/</loc>"
+    "<lastmod>2023-12-31T18:00:15+00:00</lastmod></url></urlset>",
+    "no xml here",
+    "",
+]
+
+_SITEMAP_INDEX = (
+    "<sitemapindex><sitemap><loc>https://c.org/s1.xml.gz</loc>"
+    "<lastmod>2024-02-02</lastmod></sitemap>"
+    "<sitemap><loc>https://c.org/s2.xml.gz</loc></sitemap></sitemapindex>"
+)
+
+
+def test_robots_discovery_three_engine_parity(spark):
+    from verde_spark.operators.crawl import (
+        reference_robots_crawl_delay,
+        reference_robots_sitemaps,
+        robots_crawl_delay,
+        robots_crawl_delay_sql,
+        robots_sitemaps,
+        robots_sitemaps_sql,
+    )
+
+    rows = [(i, t) for i, t in enumerate(_ROBOTS_DISCOVERY_CASES)] + [(99, None)]
+    df = spark.createDataFrame(rows, "i int, robots_txt string")
+    got = {
+        r["i"]: (r["sm"], r["cd"])
+        for r in df.select(
+            "i",
+            robots_sitemaps("robots_txt").alias("sm"),
+            robots_crawl_delay("robots_txt", "MyBot").alias("cd"),
+        ).collect()
+    }
+    for i, txt in rows:
+        want_sm = reference_robots_sitemaps(txt)
+        want_cd = reference_robots_crawl_delay(txt, "MyBot")
+        got_sm = got[i][0] or []
+        assert list(got_sm) == want_sm, (i, got_sm, want_sm)
+        assert got[i][1] == want_cd, (i, got[i][1], want_cd)
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["i", "robots_txt"]))
+    duck = con.execute(
+        f"SELECT i, {robots_sitemaps_sql('robots_txt')} AS sm, "
+        f"{robots_crawl_delay_sql('robots_txt', 'MyBot')} AS cd "
+        "FROM t ORDER BY i"
+    ).fetchall()
+    for i, sm, cd in duck:
+        txt = dict(rows)[i]
+        assert list(sm or []) == reference_robots_sitemaps(txt), (i, sm)
+        assert cd == reference_robots_crawl_delay(txt, "MyBot"), (i, cd)
+
+
+def test_sitemap_entries_three_engine_parity(spark):
+    from verde_spark.operators.crawl import (
+        reference_sitemap_entries,
+        sitemap_entries,
+        sitemap_entries_sql,
+    )
+
+    rows = [(i, x) for i, x in enumerate(_SITEMAP_XML_CASES)] + [
+        (50, _SITEMAP_INDEX), (99, None),
+    ]
+    df = spark.createDataFrame(rows, "i int, sitemap_xml string")
+    for tag in ("url", "sitemap"):
+        got = {
+            r["i"]: [(e["loc"], e["lastmod"]) for e in (r["e"] or [])]
+            for r in df.select(
+                "i", sitemap_entries("sitemap_xml", tag).alias("e")
+            ).collect()
+        }
+        for i, xml in rows:
+            assert got[i] == reference_sitemap_entries(xml, tag), (tag, i)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(rows, columns=["i", "sitemap_xml"]))
+        duck = con.execute(
+            f"SELECT i, {sitemap_entries_sql('sitemap_xml', tag)} AS e "
+            "FROM t ORDER BY i"
+        ).fetchall()
+        for i, es in duck:
+            want = reference_sitemap_entries(dict(rows)[i], tag)
+            norm = [(e["loc"], e["lastmod"]) for e in (es or [])]
+            assert norm == want, (tag, i, norm, want)
+    # the urlset fixture's entity unescape is actually exercised
+    assert ("https://a.com/p?x=1&y=2", "2024-01-02") in \
+        reference_sitemap_entries(_SITEMAP_XML_CASES[0])
+
+
+def test_sitemap_urls_explode_is_shuffle_free(spark):
+    from verde_spark.operators.crawl import sitemap_urls
+
+    dim = spark.createDataFrame(
+        [("h1", _SITEMAP_XML_CASES[0]), ("h2", _SITEMAP_XML_CASES[1])],
+        "host string, body string",
+    )
+    out = sitemap_urls(dim, xml_col="body")
+    assert out.columns == ["host", "loc", "lastmod"]
+    rows = {(r["host"], r["loc"]) for r in out.collect()}
+    assert rows == {
+        ("h1", "https://a.com/p?x=1&y=2"), ("h1", "https://a.com/q"),
+        ("h2", "https://b.io/"),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" in plan
+    # index flavor
+    idx = spark.createDataFrame([( _SITEMAP_INDEX,)], "body string")
+    got = sitemap_urls(idx, xml_col="body", tag="sitemap").collect()
+    assert [r["loc"] for r in got] == [
+        "https://c.org/s1.xml.gz", "https://c.org/s2.xml.gz",
+    ]

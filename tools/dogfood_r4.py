@@ -181,6 +181,36 @@ def main() -> int:
     print("PASS robots_txt_filter with site/policy/page_url columns, "
           "agent-specific full block + wildcard/$ rules")
 
+    # --- sitemap discovery with non-default columns (late r4) --------------
+    from verde_spark import (
+        reference_robots_crawl_delay,
+        reference_robots_sitemaps,
+        robots_crawl_delay,
+        robots_sitemaps,
+        sitemap_urls,
+    )
+
+    body = ("User-agent: dogbot\nCrawl-delay: 1.5\nUser-agent: *\n"
+            "Crawl-delay: 9\nSitemap: https://host9.example/sm.xml\n")
+    disc = spark.createDataFrame([("host9.example", body)],
+                                 "site string, policy string")
+    row = disc.select(
+        robots_crawl_delay("policy", "dogbot").alias("cd"),
+        robots_sitemaps("policy").alias("sm"),
+    ).collect()[0]
+    assert row["cd"] == reference_robots_crawl_delay(body, "dogbot") == 1.5
+    assert list(row["sm"]) == reference_robots_sitemaps(body)
+    sm_xml = ("<urlset><url><loc>https://host9.example/a&amp;b</loc>"
+              "<lastmod>2024-03-04</lastmod></url></urlset>")
+    sm_df = spark.createDataFrame([("host9.example", sm_xml)],
+                                  "site string, xml_body string")
+    got = sitemap_urls(sm_df, xml_col="xml_body").collect()
+    assert [(r["site"], r["loc"], r["lastmod"]) for r in got] == [
+        ("host9.example", "https://host9.example/a&b", "2024-03-04")
+    ]
+    print("PASS robots_sitemaps/robots_crawl_delay/sitemap_urls with "
+          "site/policy/xml_body columns")
+
     from verde_spark.functions.text import passes_gopher
 
     # every body here is short prose; the 50-word floor rejects all of

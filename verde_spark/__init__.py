@@ -78,13 +78,20 @@ from .operators.crawl import (
     meta_robots,
     reference_meta_robots,
     reference_robots_allowed,
+    reference_robots_crawl_delay,
     reference_robots_rules,
+    reference_robots_sitemaps,
+    reference_sitemap_entries,
     robots_allowed_expr,
+    robots_crawl_delay,
     robots_filter,
     robots_matchable,
     robots_rules,
+    robots_sitemaps,
     robots_txt_filter,
     robots_txt_rules,
+    sitemap_entries,
+    sitemap_urls,
 )
 from .operators.projections import project_grid, project_points
 from .checkpoint import TileCheckpoint, run_resumable
@@ -167,6 +174,13 @@ __all__ = [
     "robots_rules",
     "robots_txt_filter",
     "robots_txt_rules",
+    "reference_robots_crawl_delay",
+    "reference_robots_sitemaps",
+    "reference_sitemap_entries",
+    "robots_crawl_delay",
+    "robots_sitemaps",
+    "sitemap_entries",
+    "sitemap_urls",
     "top_anchor_texts",
     "extract_text",
     "point_in_polygon",

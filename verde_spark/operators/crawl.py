@@ -662,3 +662,343 @@ def robots_allowed_sql(matchable: str, rules: str) -> str:
         "(r.plen = acc.plen AND r.allow AND NOT acc.allow) THEN r ELSE acc END)"
     )
     return f"coalesce(({best}).allow, true)"
+
+
+# ---------------------------------------------------------------------------
+# Sitemap discovery (sitemaps.org protocol) + the two robots.txt
+# discovery fields: ``Sitemap:`` (GLOBAL — independent of any group,
+# per the sitemaps.org robots extension) and ``Crawl-delay:``
+# (per-group de-facto extension; same agent-precedence semantics as
+# Allow/Disallow).  Together with the gates above these complete the
+# crawl-policy front door: a pipeline can discover each host's
+# sitemaps, honor its delay, and enumerate (loc, lastmod) URL entries
+# for incremental recrawl — all as pure Catalyst projections over the
+# per-host robots/sitemap DIM tables; the page corpus is never touched.
+#
+# Scope notes (documented): sitemap <loc> values are unescaped for the
+# five predefined XML entities (the protocol requires entity-escaped
+# URLs); <lastmod> stays a raw W3C-datetime STRING — same-format values
+# compare lexicographically, and casting is left to the caller (Spark
+# and DuckDB timestamp parsers differ on zone suffixes, so a cast here
+# would break the twin's bit-parity).  Crawl-delay: LAST applicable
+# value wins; non-numeric → NULL (try_cast semantics in both engines).
+
+#: one <url>…</url> (urlset) or <sitemap>…</sitemap> (index) block
+_SITEMAP_BLOCK_RE = r"(?is)<{tag}\b[^>]*>(.*?)</{tag}>"
+#: child element bodies inside a block ([^<]*: element content only)
+_SITEMAP_LOC_RE = r"(?is)<loc[^>]*>([^<]*)</loc>"
+_SITEMAP_LASTMOD_RE = r"(?is)<lastmod[^>]*>([^<]*)</lastmod>"
+
+#: the five predefined XML entities, ampersand LAST (unescape order)
+_XML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&apos;", "'"), ("&amp;", "&"),
+)
+
+
+def _xml_unescape(c: Column) -> Column:
+    for ent, ch in _XML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def _xml_unescape_sql(expr: str) -> str:
+    for ent, ch in _XML_ENTITIES:
+        lit = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{lit}')"
+    return expr
+
+
+def robots_sitemaps(txt: Column | str = "robots_txt") -> Column:
+    """``array<string>`` of the Sitemap URLs a robots.txt declares.
+    Sitemap lines are global (sitemaps.org robots extension): no group
+    state needed — one split + per-line field extract + filter, a pure
+    projection over the per-host robots dim.  NULL text → NULL."""
+    t = (F.col(txt) if isinstance(txt, str) else txt).cast("string")
+
+    def _val(line: Column) -> Column:
+        # like robots_txt_rules, this runs once per HOST — no binding
+        c = _wtrim(F.regexp_replace(line, _ROBOTS_COMMENT_RE, ""))
+        pos = F.locate(":", c)
+        fld = F.lower(_wtrim(c.substr(F.lit(1), pos - 1)))
+        val = _wtrim(c.substr(pos + 1, F.length(c)))
+        return F.when((pos > 0) & (fld == "sitemap"), val).otherwise(F.lit(""))
+
+    lines = F.split(t, _ROBOTS_EOL_RE)
+    return F.filter(F.transform(lines, _val), lambda v: v != "")
+
+
+def robots_crawl_delay(
+    txt: Column | str = "robots_txt", agent: str = "*"
+) -> Column:
+    """``double`` Crawl-delay for *agent*, or NULL when no applicable
+    group declares one (or the last declared value is non-numeric).
+    Group/agent semantics match :func:`robots_txt_rules` exactly: if
+    any group names *agent*, ONLY those groups apply; within the
+    applicable groups the LAST value wins.  One scalar fold — same
+    shape as the rules parse, scalar accumulator fields only."""
+    t = (F.col(txt) if isinstance(txt, str) else txt).cast("string")
+    agent_lit = F.lit(agent.strip().lower())
+    nul = F.lit(None).cast("string")
+    init = F.struct(
+        F.lit(False).alias("sa"), F.lit(False).alias("aa"),
+        F.lit(False).alias("ag"), F.lit(False).alias("pu"),
+        nul.alias("sd"), nul.alias("ad"),
+    )
+
+    def _merge(acc: Column, line: Column) -> Column:
+        def _with_clean(c: Column) -> Column:
+            pos = F.locate(":", c)
+            fld = F.lower(_wtrim(c.substr(F.lit(1), pos - 1)))
+            val = _wtrim(c.substr(pos + 1, F.length(c)))
+            is_ua = (pos > 0) & (fld == "user-agent")
+            tok = F.lower(val)
+            new_group = is_ua & ~acc["pu"]
+            sa0 = F.when(new_group, F.lit(False)).otherwise(acc["sa"])
+            aa0 = F.when(new_group, F.lit(False)).otherwise(acc["aa"])
+            sa = F.when(is_ua, sa0 | (tok == F.lit("*"))).otherwise(acc["sa"])
+            aa = F.when(is_ua, aa0 | (tok == agent_lit)).otherwise(acc["aa"])
+            ag = acc["ag"] | (is_ua & (tok == agent_lit))
+            is_cd = (pos > 0) & (fld == F.lit("crawl-delay")) & (val != "")
+            sd = F.when(is_cd & acc["sa"], val).otherwise(acc["sd"])
+            ad = F.when(is_cd & acc["aa"], val).otherwise(acc["ad"])
+            pu = F.when(c == "", acc["pu"]).otherwise(is_ua)
+            return F.struct(
+                sa.alias("sa"), aa.alias("aa"), ag.alias("ag"),
+                pu.alias("pu"), sd.alias("sd"), ad.alias("ad"),
+            )
+
+        cleaned = _wtrim(F.regexp_replace(line, _ROBOTS_COMMENT_RE, ""))
+        return F.element_at(F.transform(F.array(cleaned), _with_clean), 1)
+
+    def _finish(acc: Column) -> Column:
+        return F.when(acc["ag"], acc["ad"]).otherwise(acc["sd"]).try_cast(
+            "double"
+        )
+
+    lines = F.split(t, _ROBOTS_EOL_RE)
+    return F.aggregate(lines, init, _merge, _finish)
+
+
+def sitemap_entries(
+    xml: Column | str = "sitemap_xml", tag: str = "url"
+) -> Column:
+    """``array<struct<loc string, lastmod string>>`` parsed from a
+    sitemap body: ``tag="url"`` reads a urlset, ``tag="sitemap"`` reads
+    a sitemap INDEX (child-sitemap locs; lastmod when present).  One
+    regexp_extract_all over the block tag + per-block child extracts —
+    pure projection.  Blocks without a <loc> are dropped; <loc> is
+    XML-entity-unescaped; <lastmod> stays a raw string (absent → '')."""
+    if tag not in ("url", "sitemap"):
+        raise ValueError(f"tag must be 'url' or 'sitemap', got {tag!r}")
+    x = (F.col(xml) if isinstance(xml, str) else xml).cast("string")
+    block_re = _SITEMAP_BLOCK_RE.format(tag=tag)
+
+    def _entry(b: Column) -> Column:
+        return F.struct(
+            _xml_unescape(
+                _wtrim(F.regexp_extract(b, _SITEMAP_LOC_RE, 1))
+            ).alias("loc"),
+            _wtrim(F.regexp_extract(b, _SITEMAP_LASTMOD_RE, 1)).alias(
+                "lastmod"
+            ),
+        )
+
+    blocks = F.regexp_extract_all(x, F.lit(block_re), F.lit(1))
+    return F.filter(
+        F.transform(blocks, _entry), lambda e: e["loc"] != ""
+    )
+
+
+def sitemap_urls(
+    sitemaps: DataFrame,
+    xml_col: str = "sitemap_xml",
+    tag: str = "url",
+) -> DataFrame:
+    """Explode a sitemap dim table into one row per (loc, lastmod)
+    entry, keeping every other column.  Projection + Generate — zero
+    shuffle at any scale; the sitemap table is per-host (dim-sized)."""
+    other = [c for c in sitemaps.columns if c != xml_col]
+    return sitemaps.select(
+        *other, F.explode(sitemap_entries(xml_col, tag)).alias("__e")
+    ).select(*other, F.col("__e.loc").alias("loc"),
+             F.col("__e.lastmod").alias("lastmod"))
+
+
+def reference_robots_sitemaps(robots_txt: str | None) -> list[str]:
+    """Single-value Python reference for :func:`robots_sitemaps`."""
+    if robots_txt is None:
+        return []
+    if isinstance(robots_txt, (bytes, bytearray)):
+        robots_txt = robots_txt.decode("utf-8", errors="replace")
+    out = []
+    for line in re.split(_ROBOTS_EOL_RE, robots_txt):
+        c = re.sub(_ROBOTS_TRIM_RE, "", re.sub(_ROBOTS_COMMENT_RE, "", line))
+        pos = c.find(":")
+        if pos < 0:
+            continue
+        fld = re.sub(_ROBOTS_TRIM_RE, "", c[:pos]).lower()
+        val = re.sub(_ROBOTS_TRIM_RE, "", c[pos + 1 :])
+        if fld == "sitemap" and val != "":
+            out.append(val)
+    return out
+
+
+def reference_robots_crawl_delay(
+    robots_txt: str | None, agent: str = "*"
+) -> float | None:
+    """Single-value Python reference for :func:`robots_crawl_delay`."""
+    if robots_txt is None:
+        return None
+    if isinstance(robots_txt, (bytes, bytearray)):
+        robots_txt = robots_txt.decode("utf-8", errors="replace")
+    agent = agent.strip().lower()
+    sa = aa = ag = pu = False
+    sd: str | None = None
+    ad: str | None = None
+    for line in re.split(_ROBOTS_EOL_RE, robots_txt):
+        c = re.sub(_ROBOTS_TRIM_RE, "", re.sub(_ROBOTS_COMMENT_RE, "", line))
+        if c == "":
+            continue
+        pos = c.find(":")
+        fld = re.sub(_ROBOTS_TRIM_RE, "", c[:pos]).lower() if pos >= 0 else ""
+        val = re.sub(_ROBOTS_TRIM_RE, "", c[pos + 1 :]) if pos >= 0 else ""
+        is_ua = pos >= 0 and fld == "user-agent"
+        if is_ua:
+            if not pu:
+                sa = aa = False
+            tok = val.lower()
+            sa = sa or tok == "*"
+            aa = aa or tok == agent
+            ag = ag or tok == agent
+        elif pos >= 0 and fld == "crawl-delay" and val != "":
+            if sa:
+                sd = val
+            if aa:
+                ad = val
+        pu = is_ua
+    raw = ad if ag else sd
+    if raw is None:
+        return None
+    try:
+        return float(raw)
+    except ValueError:
+        return None
+
+
+def reference_sitemap_entries(
+    xml: str | None, tag: str = "url"
+) -> list[tuple[str, str]]:
+    """Single-value Python reference for :func:`sitemap_entries`."""
+    if xml is None:
+        return []
+    if isinstance(xml, (bytes, bytearray)):
+        xml = xml.decode("utf-8", errors="replace")
+    out = []
+    for block in re.findall(_SITEMAP_BLOCK_RE.format(tag=tag), xml):
+        locs = re.findall(_SITEMAP_LOC_RE, block)
+        loc = re.sub(_ROBOTS_TRIM_RE, "", locs[0]) if locs else ""
+        for ent, ch in _XML_ENTITIES:
+            loc = loc.replace(ent, ch)
+        if loc == "":
+            continue
+        mods = re.findall(_SITEMAP_LASTMOD_RE, block)
+        out.append((loc, re.sub(_ROBOTS_TRIM_RE, "", mods[0]) if mods else ""))
+    return out
+
+
+def robots_sitemaps_sql(txt: str) -> str:
+    """DuckDB twin of :func:`robots_sitemaps`."""
+    c = (
+        f"regexp_replace(regexp_replace(l, '{_ROBOTS_COMMENT_RE}', ''), "
+        f"'{_ROBOTS_TRIM_RE}', '', 'g')"
+    )
+    pos = f"strpos({c}, ':')"
+    fld = (
+        f"lower(regexp_replace(substr({c}, 1, greatest({pos} - 1, 0)), "
+        f"'{_ROBOTS_TRIM_RE}', '', 'g'))"
+    )
+    val = f"regexp_replace(substr({c}, {pos} + 1), '{_ROBOTS_TRIM_RE}', '', 'g')"
+    mapped = (
+        f"list_transform(string_split_regex({txt}, '{_ROBOTS_EOL_RE}'), "
+        f"l -> CASE WHEN {pos} > 0 AND {fld} = 'sitemap' THEN {val} "
+        "ELSE '' END)"
+    )
+    return f"list_filter({mapped}, v -> v <> '')"
+
+
+def robots_crawl_delay_sql(txt: str, agent: str = "*") -> str:
+    """DuckDB twin of :func:`robots_crawl_delay` — same string-state
+    ``list_reduce`` fold as :func:`robots_rules_sql` (scalar fields
+    accumulate fine; no list-valued state needed here)."""
+    a = agent.strip().lower().replace("'", "''")
+    state = (
+        "{{'sa': false, 'aa': false, 'ag': false, 'pu': false, "
+        "'sd': NULL::VARCHAR, 'ad': NULL::VARCHAR, 'line': {line}}}"
+    )
+    seed = state.format(line="NULL::VARCHAR")
+    elem = state.format(line="l")
+    lines = (
+        f"list_transform(string_split_regex({txt}, '{_ROBOTS_EOL_RE}'), "
+        f"l -> {elem})"
+    )
+    c = (
+        "coalesce(regexp_replace(regexp_replace(x.line, "
+        f"'{_ROBOTS_COMMENT_RE}', ''), '{_ROBOTS_TRIM_RE}', '', 'g'), '')"
+    )
+    pos = f"strpos({c}, ':')"
+    fld = (
+        f"lower(regexp_replace(substr({c}, 1, greatest({pos} - 1, 0)), "
+        f"'{_ROBOTS_TRIM_RE}', '', 'g'))"
+    )
+    val = f"regexp_replace(substr({c}, {pos} + 1), '{_ROBOTS_TRIM_RE}', '', 'g')"
+    is_ua = f"({pos} > 0 AND {fld} = 'user-agent')"
+    tok = f"lower({val})"
+    new_group = f"({is_ua} AND NOT acc.pu)"
+    sa = (
+        f"CASE WHEN {is_ua} THEN "
+        f"((CASE WHEN {new_group} THEN false ELSE acc.sa END) OR {tok} = '*') "
+        f"ELSE acc.sa END"
+    )
+    aa = (
+        f"CASE WHEN {is_ua} THEN "
+        f"((CASE WHEN {new_group} THEN false ELSE acc.aa END) OR {tok} = '{a}') "
+        f"ELSE acc.aa END"
+    )
+    ag = f"(acc.ag OR ({is_ua} AND {tok} = '{a}'))"
+    is_cd = f"({pos} > 0 AND {fld} = 'crawl-delay' AND {val} <> '')"
+    sd = f"CASE WHEN {is_cd} AND acc.sa THEN {val} ELSE acc.sd END"
+    ad = f"CASE WHEN {is_cd} AND acc.aa THEN {val} ELSE acc.ad END"
+    pu = f"CASE WHEN {c} = '' THEN acc.pu ELSE {is_ua} END"
+    merged = (
+        f"{{'sa': {sa}, 'aa': {aa}, 'ag': {ag}, 'pu': {pu}, "
+        f"'sd': {sd}, 'ad': {ad}, 'line': NULL::VARCHAR}}"
+    )
+    folded = (
+        f"list_reduce(list_prepend({seed}, {lines}), (acc, x) -> {merged})"
+    )
+    picked = (
+        f"list_transform([{folded}], s -> "
+        "CASE WHEN s.ag THEN s.ad ELSE s.sd END)[1]"
+    )
+    return f"TRY_CAST({picked} AS DOUBLE)"
+
+
+def sitemap_entries_sql(xml: str, tag: str = "url") -> str:
+    """DuckDB twin of :func:`sitemap_entries`."""
+    if tag not in ("url", "sitemap"):
+        raise ValueError(f"tag must be 'url' or 'sitemap', got {tag!r}")
+    block_re = _SITEMAP_BLOCK_RE.format(tag=tag)
+    loc_raw = f"regexp_extract(b, '{_SITEMAP_LOC_RE}', 1)"
+    loc = _xml_unescape_sql(
+        f"regexp_replace({loc_raw}, '{_ROBOTS_TRIM_RE}', '', 'g')"
+    )
+    mod = (
+        f"regexp_replace(regexp_extract(b, '{_SITEMAP_LASTMOD_RE}', 1), "
+        f"'{_ROBOTS_TRIM_RE}', '', 'g')"
+    )
+    entries = (
+        f"list_transform(regexp_extract_all({xml}, '{block_re}', 1), "
+        f"b -> {{'loc': {loc}, 'lastmod': {mod}}})"
+    )
+    return f"list_filter({entries}, e -> e.loc <> '')"
