@@ -1356,6 +1356,29 @@ def _q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_urls(dim).orderBy("host", "loc")
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir, Xie et al. 2023) under
+    the code-constant EXAMPLE_DSIR model: per-document hashed-n-gram
+    log-weight as a serial literal fold — bit-identical in DuckDB
+    because the log-ratio table is Python-computed at import (the
+    charlm discipline) and the bucket hash is an exact mod-prime
+    polynomial (the kgram_hashes discipline).  n_grams pins the feature
+    extraction (unigrams + bigrams) integer-exactly."""
+    from verde_spark.operators.dsir import EXAMPLE_DSIR, dsir_bucket_ids
+
+    m = EXAMPLE_DSIR
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.filter(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            F.size(dsir_bucket_ids("text", m.num_buckets)).alias("n_grams"),
+            m.weight_expr("text").alias("dsir_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-blocklist gate (operators/crawl.filter_blocklist): hosts
     with subdomains/ports/userinfo vs a list blocking one registrable
@@ -1880,6 +1903,7 @@ _RETIRED = (
     "robots_gate",           # over-cap: r4 crawl-policy gate (meta robots), full DuckDB regex twin
     "robots_txt_gate",       # over-cap: r4 RFC 9309 robots.txt parse + longest-match gate, full DuckDB fold twin
     "sitemap_discovery",     # over-cap: r4 sitemap/crawl-delay discovery chain, full DuckDB fold+unnest twin
+    "dsir_weights",          # over-cap: r4 DSIR importance weights, bit-identical literal-fold twin
     "blocklist_filter",      # over-cap: r4 domain-suffix blocklist, full DuckDB twin
     "anchor_topk",           # over-cap: r4 per-host top-k anchor texts, full DuckDB twin
     "gopher_signals",        # over-cap: r4 Gopher-rule quality signals, full DuckDB twin
@@ -1912,6 +1936,7 @@ def retired_queries():
         "robots_gate": _q_robots_gate,
         "robots_txt_gate": _q_robots_txt_gate,
         "sitemap_discovery": _q_sitemap_discovery,
+        "dsir_weights": _q_dsir_weights,
         "blocklist_filter": _q_blocklist_filter,
         "anchor_topk": _q_anchor_topk,
         "gopher_signals": _q_gopher_signals,
@@ -2871,6 +2896,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, crawl_delay, sitemaps,
                e.loc AS loc, e.lastmod AS lastmod
         FROM parsed ORDER BY host, loc
+    """
+    from verde_spark.operators.dsir import (
+        EXAMPLE_DSIR,
+        dsir_bucket_ids_sql,
+    )
+
+    _dsir_ids = dsir_bucket_ids_sql("text", EXAMPLE_DSIR.num_buckets)
+    oracles["dsir_weights"] = f"""
+        SELECT doc_id,
+               len({_dsir_ids})::INT AS n_grams,
+               {EXAMPLE_DSIR.weight_sql("text")} AS dsir_weight
+        FROM documents WHERE doc_id < 400 ORDER BY doc_id
     """
     _blocked = blocked_sql("url", ["site0.com", "sub2.site1.com"])
     oracles["blocklist_filter"] = f"""

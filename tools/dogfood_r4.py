@@ -211,6 +211,33 @@ def main() -> int:
     print("PASS robots_sitemaps/robots_crawl_delay/sitemap_urls with "
           "site/policy/xml_body columns")
 
+    # --- DSIR importance resampling with non-default columns (late r4) -----
+    from verde_spark import dsir_resample, fit_dsir
+
+    tgt = spark.createDataFrame(
+        [("the river carved a deep canyon through layered rock",),
+         ("careful measurement and clear writing help readers",)],
+        "body string",
+    )
+    raw_rows = [
+        (f"p{i}", "the river carved a deep canyon through layered rock")
+        for i in range(10)
+    ] + [
+        (f"j{i}", "click subscribe buy now free shipping cart checkout")
+        for i in range(10)
+    ]
+    raw = spark.createDataFrame(raw_rows, "page_id string, body string")
+    model = fit_dsir(tgt, raw, text_col="body", num_buckets=128)
+    picked = dsir_resample(
+        raw, model, 5, text_col="body", id_col="page_id", seed=11,
+        weight_col="iw",
+    )
+    ids = [r["page_id"] for r in picked.collect()]
+    assert len(ids) == 5 and sum(1 for i in ids if i.startswith("p")) >= 4, ids
+    assert "iw" in picked.columns
+    print("PASS fit_dsir/dsir_resample with page_id/body columns, "
+          "target-like pages dominate the sample")
+
     from verde_spark.functions.text import passes_gopher
 
     # every body here is short prose; the 50-word floor rejects all of

@@ -93,6 +93,14 @@ from .operators.crawl import (
     sitemap_entries,
     sitemap_urls,
 )
+from .operators.dsir import (
+    DsirModel,
+    bucket_counts,
+    dsir_bucket_ids,
+    dsir_resample,
+    fit_dsir,
+    fit_dsir_python,
+)
 from .operators.projections import project_grid, project_points
 from .checkpoint import TileCheckpoint, run_resumable
 from .operators.windows import expanding_window, rolling_window
@@ -174,6 +182,12 @@ __all__ = [
     "robots_rules",
     "robots_txt_filter",
     "robots_txt_rules",
+    "DsirModel",
+    "bucket_counts",
+    "dsir_bucket_ids",
+    "dsir_resample",
+    "fit_dsir",
+    "fit_dsir_python",
     "reference_robots_crawl_delay",
     "reference_robots_sitemaps",
     "reference_sitemap_entries",
