@@ -1379,6 +1379,42 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the tfidf_scores oracle query string — shared by the Spark query and
+#: the DuckDB twin so both score against the identical literal vector
+_TFIDF_QUERY_TEXT = "the survey region and the river canyon measurement"
+
+
+def _q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed TF-IDF similarity scores (functions/tfidf) under the
+    code-constant EXAMPLE_TFIDF model: every document scored against
+    one literal query vector — attests feature hashing, idf literals,
+    L2 normalization (integer tf · Python-literal idf · IEEE sqrt) and
+    the ascending-index dot fold, all bit-identical in DuckDB."""
+    from verde_spark.functions.tfidf import (
+        EXAMPLE_TFIDF,
+        reference_sparse_tfidf,
+        sparse_cosine,
+    )
+
+    m = EXAMPLE_TFIDF
+    q_idx, q_val = reference_sparse_tfidf(_TFIDF_QUERY_TEXT, m)
+    qv = F.struct(
+        F.lit(list(q_idx)).alias("indices"),
+        F.lit(list(q_val)).alias("values"),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vec = m.sparse_expr("text")
+    return (
+        docs.filter((F.col("doc_id") < 300) & F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(vec["indices"]).alias("n_terms"),
+            sparse_cosine(vec, qv).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-blocklist gate (operators/crawl.filter_blocklist): hosts
     with subdomains/ports/userinfo vs a list blocking one registrable
@@ -1904,6 +1940,7 @@ _RETIRED = (
     "robots_txt_gate",       # over-cap: r4 RFC 9309 robots.txt parse + longest-match gate, full DuckDB fold twin
     "sitemap_discovery",     # over-cap: r4 sitemap/crawl-delay discovery chain, full DuckDB fold+unnest twin
     "dsir_weights",          # over-cap: r4 DSIR importance weights, bit-identical literal-fold twin
+    "tfidf_scores",          # over-cap: r4 hashed TF-IDF vectors + cosine, bit-identical twin
     "blocklist_filter",      # over-cap: r4 domain-suffix blocklist, full DuckDB twin
     "anchor_topk",           # over-cap: r4 per-host top-k anchor texts, full DuckDB twin
     "gopher_signals",        # over-cap: r4 Gopher-rule quality signals, full DuckDB twin
@@ -1937,6 +1974,7 @@ def retired_queries():
         "robots_txt_gate": _q_robots_txt_gate,
         "sitemap_discovery": _q_sitemap_discovery,
         "dsir_weights": _q_dsir_weights,
+        "tfidf_scores": _q_tfidf_scores,
         "blocklist_filter": _q_blocklist_filter,
         "anchor_topk": _q_anchor_topk,
         "gopher_signals": _q_gopher_signals,
@@ -2908,6 +2946,22 @@ def oracle_sql() -> dict[str, str]:
                len({_dsir_ids})::INT AS n_grams,
                {EXAMPLE_DSIR.weight_sql("text")} AS dsir_weight
         FROM documents WHERE doc_id < 400 ORDER BY doc_id
+    """
+    from verde_spark.functions.tfidf import (
+        EXAMPLE_TFIDF,
+        reference_sparse_tfidf,
+        sparse_cosine_literal_sql,
+    )
+
+    _tq_idx, _tq_val = reference_sparse_tfidf(_TFIDF_QUERY_TEXT, EXAMPLE_TFIDF)
+    _t_vec = EXAMPLE_TFIDF.sparse_sql("text")
+    _t_score = sparse_cosine_literal_sql(_t_vec, _tq_idx, _tq_val)
+    oracles["tfidf_scores"] = f"""
+        SELECT doc_id,
+               len(({_t_vec}).indices)::INT AS n_terms,
+               {_t_score} AS score
+        FROM documents
+        WHERE doc_id < 300 AND text IS NOT NULL ORDER BY doc_id
     """
     _blocked = blocked_sql("url", ["site0.com", "sub2.site1.com"])
     oracles["blocklist_filter"] = f"""

@@ -238,6 +238,19 @@ def main() -> int:
     print("PASS fit_dsir/dsir_resample with page_id/body columns, "
           "target-like pages dominate the sample")
 
+    # --- hashed TF-IDF retrieval with non-default columns (late r4) --------
+    from verde_spark import fit_tfidf, tfidf_topk
+
+    tf_model = fit_tfidf(raw, text_col="body", dim=256)
+    hits = tfidf_topk(
+        raw, "the river carved a deep canyon through layered rock",
+        tf_model, k=3, text_col="body", id_col="page_id",
+    ).collect()
+    assert len(hits) == 3 and all(h["page_id"].startswith("p") for h in hits)
+    assert abs(hits[0]["score"] - 1.0) < 1e-12  # exact-match page
+    print("PASS fit_tfidf/tfidf_topk with page_id/body columns, "
+          "exact-match page scores ~1")
+
     from verde_spark.functions.text import passes_gopher
 
     # every body here is short prose; the 50-word floor rejects all of

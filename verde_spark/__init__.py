@@ -101,6 +101,13 @@ from .operators.dsir import (
     fit_dsir,
     fit_dsir_python,
 )
+from .functions.tfidf import (
+    TfidfModel,
+    fit_tfidf,
+    fit_tfidf_python,
+    sparse_cosine,
+    tfidf_topk,
+)
 from .operators.projections import project_grid, project_points
 from .checkpoint import TileCheckpoint, run_resumable
 from .operators.windows import expanding_window, rolling_window
@@ -183,6 +190,11 @@ __all__ = [
     "robots_txt_filter",
     "robots_txt_rules",
     "DsirModel",
+    "TfidfModel",
+    "fit_tfidf",
+    "fit_tfidf_python",
+    "sparse_cosine",
+    "tfidf_topk",
     "bucket_counts",
     "dsir_bucket_ids",
     "dsir_resample",
