@@ -205,6 +205,52 @@ def charlm_pipeline(spark, n_pages: int) -> int:
     return scored.filter(F.col("ppl") < 30.0).count()
 
 
+def dsir_pipeline(spark, n_pages: int) -> int:
+    """DSIR importance scoring at page scale (late round 4): hashed
+    word-n-gram log-weights under the code-constant EXAMPLE_DSIR model —
+    ONE pure Catalyst literal-fold projection, zero Python, zero shuffle
+    — aggregated so the projection cannot be pruned.  Returns scored
+    page count."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.operators.dsir import EXAMPLE_DSIR
+
+    pages = spark.read.parquet(pages_parquet(spark, n_pages))
+    w = EXAMPLE_DSIR.weight_expr("text")
+    row = pages.select(w.alias("w")).agg(
+        F.count("w").alias("n"), F.sum("w").alias("s")
+    ).collect()[0]
+    return int(row["n"])
+
+
+def tfidf_pipeline(spark, n_pages: int) -> int:
+    """Hashed TF-IDF scoring at page scale (late round 4): sparse
+    L2-normalized vectors + cosine against one literal query vector —
+    one projection, zero shuffle (the tfidf_topk shape without the
+    top-k, so every page is scored).  Returns scored page count."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.functions.tfidf import (
+        EXAMPLE_TFIDF,
+        reference_sparse_tfidf,
+        sparse_cosine,
+    )
+
+    q_idx, q_val = reference_sparse_tfidf(
+        "the survey region and the river canyon measurement", EXAMPLE_TFIDF
+    )
+    qv = F.struct(
+        F.lit(list(q_idx)).alias("indices"),
+        F.lit(list(q_val)).alias("values"),
+    )
+    pages = spark.read.parquet(pages_parquet(spark, n_pages))
+    s = sparse_cosine(EXAMPLE_TFIDF.sparse_expr("text"), qv)
+    row = pages.select(s.alias("s")).agg(
+        F.count("s").alias("n"), F.sum("s").alias("t")
+    ).collect()[0]
+    return int(row["n"])
+
+
 def kmeans_bench(spark) -> int:
     """Bit-deterministic distributed k-means (round 4): 200k synthetic
     16-dim vectors, k=8, 3 Lloyd iterations.  Per iteration one scan +
@@ -610,6 +656,20 @@ def main():
         charlm_pipeline(spark, N_PAGES)
         t_lm = min(t_lm, time.time() - t0)
     qtimes["charlm_score"] = round(t_lm, 3)
+    dsir_pipeline(spark, max(N_PAGES // 20, 10_000))  # warm
+    t_ds = float("inf")
+    for _rep in range(3):
+        t0 = time.time()
+        dsir_pipeline(spark, N_PAGES)
+        t_ds = min(t_ds, time.time() - t0)
+    qtimes["dsir_score"] = round(t_ds, 3)
+    tfidf_pipeline(spark, max(N_PAGES // 20, 10_000))  # warm
+    t_tf = float("inf")
+    for _rep in range(3):
+        t0 = time.time()
+        tfidf_pipeline(spark, N_PAGES)
+        t_tf = min(t_tf, time.time() - t0)
+    qtimes["tfidf_score"] = round(t_tf, 3)
     kmeans_bench(spark)  # warm
     t_km = float("inf")
     for _rep in range(3):
@@ -627,6 +687,8 @@ def main():
     result["text_pages_per_sec"] = round(n_text / qtimes["text_pipeline"], 1)
     result["warc_records_per_sec"] = round(n_warc / qtimes["warc_ingest"], 1)
     result["lm_scored_pages_per_sec"] = round(n_pts / qtimes["charlm_score"], 1)
+    result["dsir_scored_pages_per_sec"] = round(n_pts / qtimes["dsir_score"], 1)
+    result["tfidf_scored_pages_per_sec"] = round(n_pts / qtimes["tfidf_score"], 1)
     result["flagship_input_points"] = n_pts
     result["flagship_grid_nodes"] = n_nodes
 

@@ -140,6 +140,32 @@ def test_resample_deterministic_prefers_target_like_docs(spark):
     assert dsir_resample(df, m, 10, seed=4).count() == 10
 
 
+def test_weight_udf_matches_catalyst(spark):
+    from verde_spark.operators.dsir import dsir_weight_udf
+
+    m = EXAMPLE_DSIR
+    extra = _TEXTS + ["a\x0bb vertical tab", "word " * 300]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(extra)], "doc_id int, text string"
+    ).coalesce(1)
+    rows = df.select(
+        "doc_id",
+        dsir_weight_udf(m)("text").alias("w"),
+        m.weight_expr("text").alias("wc"),
+    ).collect()
+    for r in rows:
+        want = reference_weight(extra[r["doc_id"]], m)
+        if want is None:
+            assert r["w"] is None and r["wc"] is None
+        else:
+            assert r["wc"] == want
+            assert abs(r["w"] - want) <= 1e-9 * max(1.0, abs(want))
+    # a batch of only empty texts must not crash the vector path
+    e = spark.createDataFrame([("",), ("",)], "text string").coalesce(1)
+    got = e.select(dsir_weight_udf(m)("text").alias("w")).collect()
+    assert [r["w"] for r in got] == [0.0, 0.0]
+
+
 def test_gumbel_uniform_is_open_interval():
     # u = (h mod R + 0.5)/R can never hit 0 or 1 -> -log(-log(u)) finite
     assert 0.0 < 0.5 / _GUMBEL_RES and (_GUMBEL_RES - 0.5) / _GUMBEL_RES < 1.0

@@ -98,6 +98,7 @@ from .operators.dsir import (
     bucket_counts,
     dsir_bucket_ids,
     dsir_resample,
+    dsir_weight_udf,
     fit_dsir,
     fit_dsir_python,
 )
@@ -198,6 +199,7 @@ __all__ = [
     "bucket_counts",
     "dsir_bucket_ids",
     "dsir_resample",
+    "dsir_weight_udf",
     "fit_dsir",
     "fit_dsir_python",
     "reference_robots_crawl_delay",

@@ -65,6 +65,7 @@ __all__ = [
     "dsir_bucket_ids",
     "dsir_bucket_ids_sql",
     "dsir_resample",
+    "dsir_weight_udf",
     "fit_dsir",
     "reference_bucket_ids",
     "reference_weight",
@@ -78,7 +79,10 @@ _HASH_MOD = 2147483647
 #: default feature-space size (the paper uses 10^4; a power of two keeps
 #: the final % cheap and the literal table plan-light)
 _DEFAULT_BUCKETS = 4096
-_WORD_SPLIT_RE = r"\s+"
+#: explicit ASCII whitespace class instead of \s: Java \s is
+#: [ \t\n\x0B\f\r], RE2 \s omits \x0B, Python \s is full Unicode — the
+#: explicit class is the ONLY spelling all three engines read identically
+_WORD_SPLIT_RE = r"[ \t\n\x0b\f\r]+"
 
 
 def _word_array(text: Column) -> Column:
@@ -301,6 +305,97 @@ def dsir_resample(
         .limit(k)
         .drop("__dsir_key")
     )
+
+
+def dsir_weight_udf(model: DsirModel):
+    """Arrow fast path for :meth:`DsirModel.weight_expr` — a vectorized
+    pandas UDF for hot pipelines (same model, same grams, same buckets;
+    ulp-level diffs from summation order only — the charlm_logprob_udf
+    discipline).  Usage: ``df.select(dsir_weight_udf(m)("text"))``.
+
+    Vectorization shape (per Arrow batch, no per-gram Python):
+    the batch's lowered texts join into ONE string (ws separator), one
+    utf-32 encode gives the codepoint array, word spans come from the
+    whitespace mask, per-LENGTH matrix gathers fold the polynomial hash
+    in ``max_word_len`` vectorized steps, and bigram hashes derive from
+    word hashes algebraically — ``poly(a + ' ' + b) = poly(a)·257^(|b|+1)
+    + 32·257^|b| + poly(b) (mod M)`` — so bigrams cost one vector
+    expression, not a re-hash.  Per-doc sums are two ``np.bincount``
+    dots.  Everything stays int64-safe: h < 2^31, so h·257^1 terms stay
+    under 2^63 via the per-step mod, and the bigram combine peaks at
+    ~2^62."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    lr = np.asarray(model.log_ratio, dtype=np.float64)
+    nb = model.num_buckets
+    bigrams = model.bigrams
+    ws_codes = np.array([0x20, 0x09, 0x0A, 0x0B, 0x0C, 0x0D], dtype=np.uint32)
+
+    @pandas_udf("double")
+    def _weights(s):  # (pd.Series) -> pd.Series; hints stringified by
+        # `from __future__ import annotations` confuse the udf inspector
+        notnull = s.notna().to_numpy()
+        out = np.zeros(len(s), dtype=np.float64)
+        texts = [t.lower() for t in s[notnull]]
+        if texts:
+            lens = np.fromiter((len(t) for t in texts), dtype=np.int64)
+            doc_starts = np.zeros(len(texts), dtype=np.int64)
+            np.cumsum(lens[:-1] + 1, out=doc_starts[1:])
+            joined = "\n".join(texts)
+            codes = np.frombuffer(
+                joined.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            if codes.size == 0:  # every text empty → weights stay 0.0
+                res = pd.Series(out, dtype="Float64")
+                res[~notnull] = pd.NA
+                return res
+            nonws = ~np.isin(codes, ws_codes)
+            prev = np.empty_like(nonws)
+            prev[0] = False
+            prev[1:] = nonws[:-1]
+            nxt = np.empty_like(nonws)
+            nxt[-1] = False
+            nxt[:-1] = nonws[1:]
+            w_start = np.flatnonzero(nonws & ~prev)
+            w_end = np.flatnonzero(nonws & ~nxt)
+            w_len = w_end - w_start + 1
+            doc_of = (
+                np.searchsorted(doc_starts, w_start, side="right") - 1
+            )
+            wh = np.zeros(len(w_start), dtype=np.int64)
+            for L in np.unique(w_len):
+                sel = w_len == L
+                mat = codes[w_start[sel][:, None] + np.arange(L)]
+                h = np.zeros(mat.shape[0], dtype=np.int64)
+                for j in range(L):
+                    h = (h * _HASH_BASE + mat[:, j]) % _HASH_MOD
+                wh[sel] = h
+            n_docs = len(texts)
+            acc = np.bincount(
+                doc_of, weights=lr[wh % nb], minlength=n_docs
+            )
+            if bigrams and len(wh) > 1:
+                same = doc_of[1:] == doc_of[:-1]
+                p = np.ones(int(w_len.max()) + 2, dtype=np.int64)
+                for i in range(1, len(p)):
+                    p[i] = (p[i - 1] * _HASH_BASE) % _HASH_MOD
+                lb = w_len[1:][same]
+                hb = (
+                    wh[:-1][same] * p[lb + 1]
+                    + 32 * p[lb]
+                    + wh[1:][same]
+                ) % _HASH_MOD
+                acc += np.bincount(
+                    doc_of[1:][same], weights=lr[hb % nb], minlength=n_docs
+                )
+            out[notnull] = acc
+        res = pd.Series(out, dtype="Float64")
+        res[~notnull] = pd.NA
+        return res
+
+    return _weights
 
 
 # --- Python references (single-value ground truth for the tests) -----------
