@@ -503,3 +503,36 @@ def test_sitemap_urls_explode_is_shuffle_free(spark):
     assert [r["loc"] for r in got] == [
         "https://c.org/s1.xml.gz", "https://c.org/s2.xml.gz",
     ]
+
+
+def test_clean_corpus_robots_txt_stage(spark):
+    """robots= as a clean_corpus stage: pages a host's robots.txt
+    disallows for the agent are gone; hosts with no robots row keep
+    everything that passes the quality gates."""
+    from verde_spark.pipelines import clean_corpus
+
+    rows = []
+    for i in range(30):
+        host = f"site{i % 3}.com"
+        path = "/private/x" if i % 2 else "/public/y"
+        text = f"page {i} has enough plain words to pass the token gate easily"
+        rows.append((f"https://{host}{path}?i={i}",
+                     "2024-01-01 00:00:00", text))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    robots = spark.createDataFrame(
+        [("site0.com", "User-agent: *\nDisallow: /private/\n"),
+         ("site1.com", "User-agent: mybot\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    out = clean_corpus(
+        pages, min_tokens=3, robots=robots, robots_agent="mybot"
+    ).collect()
+    urls = {r["url"] for r in out}
+    # site0: /private/* dropped; site1: everything dropped for mybot;
+    # site2 (no robots row): everything kept
+    assert urls and all("site1.com" not in u for u in urls)
+    assert all(not ("site0.com" in u and "/private/" in u) for u in urls)
+    assert any("site2.com" in u for u in urls)
+    assert any("site0.com" in u and "/public/" in u for u in urls)

@@ -416,3 +416,49 @@ def test_streaming_clean_corpus_lm_gate(spark, tmp_path):
     run_to_memory(out, "clean_stream_lm", mode="append")
     got = spark.sql("select * from clean_stream_lm").toPandas()
     assert sorted(got["url"]) == sorted(batch["url"])
+
+
+def test_streaming_clean_corpus_robots_stage(spark, tmp_path):
+    """The RFC 9309 robots.txt gate in the streaming twin: a STATIC
+    per-host robots dim stream-static-joined to the page stream —
+    survivor set equals the batch recipe's on the same files."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.pipelines import clean_corpus
+    from verde_spark.streaming import streaming_clean_corpus
+
+    good = "the cat sat on the mat and it is a fine day for walking"
+    rows = []
+    for i in range(24):
+        host = f"site{i % 2}.com"
+        path = "/private/x" if i % 3 == 0 else "/ok"
+        rows.append((f"https://{host}{path}?i={i}",
+                     f"2024-01-01 00:00:{i:02d}", f"{good} {i}"))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    path = str(tmp_path / "pages")
+    df.write.mode("append").parquet(path)
+    robots = spark.createDataFrame(
+        [("site0.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+
+    stored = spark.read.parquet(path)
+    batch = clean_corpus(stored, min_tokens=5, robots=robots)
+    batch_urls = {r["url"] for r in batch.collect()}
+    assert all(not ("site0.com" in u and "/private/" in u)
+               for u in batch_urls)
+    assert any("site1.com" in u and "/private/" in u for u in batch_urls)
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string"
+    ).parquet(path)
+    out = streaming_clean_corpus(stream, watermark="1 hour", min_tokens=5,
+                                 robots=robots)
+    run_to_memory(out, "robots_stream", mode="append")
+    got = {
+        r["url"]
+        for r in spark.sql("select url from robots_stream").collect()
+    }
+    assert got == batch_urls

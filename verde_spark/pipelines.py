@@ -50,6 +50,8 @@ def clean_corpus(
     max_per_domain: int | None = None,
     blocklist=None,
     respect_noindex: bool = False,
+    robots: DataFrame | None = None,
+    robots_agent: str = "*",
     gopher: bool = False,
     gopher_thresholds: dict | None = None,
     c4: bool = False,
@@ -87,11 +89,17 @@ def clean_corpus(
     * ``respect_noindex=True`` — drop pages whose
       ``<meta name="robots">`` requests noindex
       (``operators.crawl.robots_filter``; pure projection — requires
-      ``html_col`` to be present).
+      ``html_col`` to be present),
+    * ``robots`` — a per-host robots.txt dim table (``host`` +
+      ``robots_txt`` columns): pages the host's robots.txt disallows
+      for ``robots_agent`` are dropped — the RFC 9309 file-level gate
+      (``operators.crawl.robots_txt_filter``; the dim is parsed once
+      and BROADCAST, the corpus side never shuffles).
 
-    Both crawl-policy gates run FIRST: they are the cheapest drops and,
-    being pure projections, they fuse into the same codegen'd scan stage
-    as the quality gates — the stage count does not change.
+    The crawl-policy gates run FIRST: they are the cheapest drops and
+    the projection gates fuse into the same codegen'd scan stage as the
+    quality gates — only the broadcast robots join adds an operator (on
+    the dim side), never a corpus shuffle.
 
     ``gopher=True`` additionally applies the Gopher-rule document filter
     (``functions.text.passes_gopher`` — Rae et al. 2021 defaults;
@@ -121,6 +129,12 @@ def clean_corpus(
         from .operators.crawl import robots_filter
 
         pages = robots_filter(pages, html_col=html_col)
+    if robots is not None:
+        from .operators.crawl import robots_txt_filter
+
+        pages = robots_txt_filter(
+            pages, robots, url_col=url_col, agent=robots_agent
+        )
     from .functions.text import (
         quality_score,
         repetition_ratio,

@@ -115,6 +115,8 @@ def streaming_clean_corpus(
     redact: bool = False,
     blocklist=None,
     respect_noindex: bool = False,
+    robots: DataFrame | None = None,
+    robots_agent: str = "*",
     gopher: bool = False,
     gopher_thresholds: dict | None = None,
     c4: bool = False,
@@ -150,7 +152,10 @@ def streaming_clean_corpus(
     ``respect_noindex=True`` (robots meta parse of ``html_col`` — pure
     projection).  A blocklist too large to inline must be applied
     upstream in batch; the streaming twin deliberately has no
-    stream-side join path.
+    stream-side join path.  ``robots`` (a STATIC per-host robots.txt
+    dim) applies the RFC 9309 file-level gate as a stream-static
+    broadcast join — stateless and append-safe; the dim is parsed once
+    at composition time, the stream side never shuffles.
     """
     if blocklist is not None:
         from .operators.crawl import blocked_expr
@@ -164,6 +169,12 @@ def streaming_clean_corpus(
         from .operators.crawl import robots_filter
 
         pages = robots_filter(pages, html_col=html_col)
+    if robots is not None:
+        from .operators.crawl import robots_txt_filter
+
+        pages = robots_txt_filter(
+            pages, robots, url_col=url_col, agent=robots_agent
+        )
     from .functions.text import (
         fingerprint,
         quality_score,
