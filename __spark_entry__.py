@@ -1920,6 +1920,99 @@ def _q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword encoding (functions/bpe) under the code-constant
+    EXAMPLE_BPE model: text → subword tokens as ONE zero-shuffle
+    codegen projection (a serial chain of literal ``replace`` calls —
+    the charlm/DSIR literal-fold discipline).  The DuckDB twin replays
+    the identical chain, token-for-token bit-identical."""
+    from verde_spark.functions.bpe import EXAMPLE_BPE
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            # array → one string: the compare harness sorts rows by every
+            # column and raw arrays are unsortable/unhashable there
+            F.concat_ws(" ", EXAMPLE_BPE.encode_expr("text")).alias("toks_s"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity tertiles per language
+    (operators/mixing.perplexity_buckets, mode="rank"): the char-LM
+    score is the bit-identical literal fold, the bucket an exact
+    ``ntile`` over (score DESC NULLS LAST, doc_id) — integer-exact in
+    any engine.  Production uses mode="threshold" (sketch + broadcast,
+    no sort); the rank mode attested here pins the same semantics."""
+    from verde_spark.operators.mixing import perplexity_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        perplexity_buckets(docs, lang_col="lang", id_col="doc_id", mode="rank")
+        .select("doc_id", "lang", "lm_score", "bucket", "bucket_name")
+        .orderBy("doc_id")
+    )
+
+
+def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness frontier scheduling (operators/crawl.crawl_schedule):
+    per-host fetch_seq + Crawl-delay eta over a synthesized frontier —
+    ONE window on host, broadcast delay dim, engine-portable arithmetic
+    rank (mixing.mix_hash_expr)."""
+    from verde_spark.operators.crawl import crawl_schedule
+    from verde_spark.operators.mixing import mix_hash_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://site"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".com/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("double").alias("priority"),
+        "doc_id",
+    )
+    delays = spark.createDataFrame(
+        [("site0.com", 2.0), ("site1.com", 0.5), ("site2.com", 10.0)],
+        "host string, crawl_delay double",
+    )
+    return (
+        crawl_schedule(
+            frontier,
+            delays,
+            priority_col="priority",
+            default_delay=1.0,
+            hash_expr=mix_hash_expr(F.col("doc_id")),
+        )
+        .select("url", "host", "fetch_seq", "eta_sec")
+        .orderBy("url")
+    )
+
+
+def _q_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup vs a prior snapshot (operators/dedup.novel_docs):
+    docs whose text was already in the doc_id<250 half are dropped via
+    ONE anti-join on the 64-bit content hash; the DuckDB twin replays
+    NOT EXISTS on the raw text (the minhash contract)."""
+    from verde_spark.operators.dedup import novel_docs, seen_hashes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    seen = seen_hashes(docs.filter(F.col("doc_id") < 250))
+    return (
+        novel_docs(docs.filter(F.col("doc_id") >= 250), seen,
+                   broadcast_threshold=1_000_000)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 #: Queries outside the 50-entry driver registry (the driver artifact caps
 #: at 50): retirees are variants of a still-registered query exercising
 #: the same operator code path (rationale per retiree in COVERAGE.md
@@ -1955,6 +2048,10 @@ _RETIRED = (
     "repeat_epochs",         # over-cap: r4 fractional-epoch upsampling, full DuckDB twin
     "vocab_topk",            # over-cap: r4 frequency vocabulary, integer-exact DuckDB twin
     "encode_tokens",         # over-cap: r4 token-id encoding, join-semantics DuckDB twin
+    "bpe_encode",            # over-cap: r4 BPE subword tokenizer, bit-identical replace-chain twin
+    "perplexity_buckets",    # over-cap: r4 CCNet head/middle/tail tertiles, ntile + literal-fold twin
+    "crawl_schedule",        # over-cap: r4 politeness frontier scheduler, row_number + delay-join twin
+    "novel_docs",            # over-cap: r4 incremental snapshot dedup, NOT-EXISTS raw-text twin
 )
 _RETIRED_ORACLES: dict = {}
 
@@ -1989,6 +2086,10 @@ def retired_queries():
         "repeat_epochs": _q_repeat_epochs,
         "vocab_topk": _q_vocab_topk,
         "encode_tokens": _q_encode_tokens,
+        "bpe_encode": _q_bpe_encode,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "crawl_schedule": _q_crawl_schedule,
+        "novel_docs": _q_novel_docs,
     }
 
 
@@ -3174,6 +3275,57 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                array_to_string(token_ids, ',') AS ids_csv
         FROM ({_enc}) ORDER BY doc_id
+    """
+
+    from verde_spark.functions.bpe import EXAMPLE_BPE as _BPE
+
+    oracles["bpe_encode"] = f"""
+        SELECT doc_id,
+               array_to_string({_BPE.encode_sql('text')}, ' ') AS toks_s
+        FROM documents WHERE text IS NOT NULL ORDER BY doc_id
+    """
+
+    from verde_spark.operators.mixing import (
+        _hash_sql as _mixh,
+        perplexity_buckets_sql as _ppl_sql,
+    )
+
+    oracles["perplexity_buckets"] = (
+        _ppl_sql(
+            "SELECT doc_id, lang, text FROM documents",
+            lang_col="lang",
+            id_col="doc_id",
+        )
+        + " ORDER BY doc_id"
+    )
+
+    from verde_spark.operators.crawl import crawl_schedule_sql as _sched_sql
+
+    oracles["crawl_schedule"] = (
+        _sched_sql(
+            "SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)"
+            " || '.com/d' || CAST(doc_id AS VARCHAR) AS url,"
+            " CAST(doc_id % 5 AS DOUBLE) AS priority, doc_id"
+            " FROM documents",
+            "SELECT 'site0.com' AS host, CAST('2.0' AS DOUBLE) AS crawl_delay"
+            " UNION ALL SELECT 'site1.com', CAST('0.5' AS DOUBLE)"
+            " UNION ALL SELECT 'site2.com', CAST('10.0' AS DOUBLE)",
+            priority_col="priority",
+            default_delay=1.0,
+            hash_sql=_mixh("doc_id"),
+        )
+        + " ORDER BY url"
+    )
+
+    oracles["novel_docs"] = """
+        SELECT n.doc_id FROM documents n
+        WHERE n.doc_id >= 250 AND n.text IS NOT NULL
+          AND NOT EXISTS (
+            SELECT 1 FROM documents o
+            WHERE o.doc_id < 250 AND o.text IS NOT NULL
+              AND o.text = n.text
+          )
+        ORDER BY n.doc_id
     """
 
     for _k in _RETIRED:

@@ -536,3 +536,87 @@ def test_clean_corpus_robots_txt_stage(spark):
     assert all(not ("site0.com" in u and "/private/" in u) for u in urls)
     assert any("site2.com" in u for u in urls)
     assert any("site0.com" in u and "/public/" in u for u in urls)
+
+
+# -- frontier politeness scheduling ---------------------------------------
+
+def _frontier(spark):
+    rows = []
+    for i in range(18):
+        host = f"h{i % 3}.org"
+        rows.append((f"https://{host}/p{i:02d}", float(i % 5)))
+    return spark.createDataFrame(rows, "url string, priority double")
+
+
+def test_crawl_schedule_matches_duckdb(spark):
+    from verde_spark.operators.crawl import crawl_schedule, crawl_schedule_sql
+
+    frontier = _frontier(spark)
+    delays = spark.createDataFrame(
+        [("h0.org", 2.0), ("h1.org", 0.5)], "host string, crawl_delay double"
+    )
+    out = crawl_schedule(
+        frontier,
+        delays,
+        priority_col="priority",
+        default_delay=1.5,
+        hash_expr=F.length("url"),  # engine-portable rank
+    ).select("url", "host", "fetch_seq", "eta_sec")
+    got = {r["url"]: r for r in out.collect()}
+
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "f",
+        pd.DataFrame(
+            [(r["url"], r["priority"]) for r in frontier.collect()],
+            columns=["url", "priority"],
+        ),
+    )
+    sql = crawl_schedule_sql(
+        "SELECT url, priority FROM f",
+        "SELECT 'h0.org' AS host, 2.0::DOUBLE AS crawl_delay "
+        "UNION ALL SELECT 'h1.org', 0.5::DOUBLE",
+        priority_col="priority",
+        default_delay=1.5,
+        hash_sql="length(url)",
+    )
+    want = con.execute(sql).fetchall()
+    assert len(want) == len(got)
+    for url, host, seq, eta in want:
+        g = got[url]
+        assert (g["host"], g["fetch_seq"], g["eta_sec"]) == (host, seq, eta), url
+
+
+def test_crawl_schedule_semantics(spark):
+    from verde_spark.operators.crawl import crawl_schedule
+
+    frontier = _frontier(spark)
+    delays = spark.createDataFrame(
+        [("h0.org", 2.0)], "host string, crawl_delay double"
+    )
+    rows = crawl_schedule(frontier, delays, default_delay=1.0).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        seqs = sorted(r["fetch_seq"] for r in rs)
+        assert seqs == list(range(1, len(rs) + 1)), host  # contiguous queue
+        delay = 2.0 if host == "h0.org" else 1.0  # dim vs default
+        for r in rs:
+            assert r["eta_sec"] == (r["fetch_seq"] - 1) * delay, r
+
+
+def test_crawl_schedule_cap_plans_window_group_limit(spark):
+    from verde_spark.operators.crawl import crawl_schedule
+
+    out = crawl_schedule(_frontier(spark), max_per_host=2)
+    rows = out.collect()
+    per_host = {}
+    for r in rows:
+        per_host[r["host"]] = per_host.get(r["host"], 0) + 1
+    assert all(n <= 2 for n in per_host.values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # top-k below the exchange

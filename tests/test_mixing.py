@@ -136,3 +136,93 @@ def test_sample_to_mix_plan_one_window_shuffle(spark, docs):
     # quota is a literal CASE: no join in the plan, exactly one exchange
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+# -- CCNet perplexity buckets ---------------------------------------------
+
+def test_perplexity_buckets_rank_matches_duckdb(spark, docs):
+    from verde_spark.operators.mixing import (
+        perplexity_buckets,
+        perplexity_buckets_sql,
+    )
+
+    out = perplexity_buckets(
+        docs, lang_col="lang", id_col="doc_id", mode="rank"
+    ).select("doc_id", "lang", "lm_score", "bucket", "bucket_name")
+    got = {r["doc_id"]: r for r in out.collect()}
+    sql = perplexity_buckets_sql(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'",
+        lang_col="lang",
+        id_col="doc_id",
+    )
+    want = duckdb.connect().execute(sql).fetchall()
+    assert len(want) == len(got)
+    for doc_id, lang, score, bucket, name in want:
+        g = got[doc_id]
+        assert g["lang"] == lang
+        assert g["lm_score"] == score, doc_id  # BIT-identical fold
+        assert g["bucket"] == bucket, doc_id
+        assert g["bucket_name"] == name, doc_id
+
+
+def test_perplexity_buckets_rank_sizes_balanced(spark, docs):
+    from verde_spark.operators.mixing import perplexity_buckets
+
+    out = perplexity_buckets(
+        docs, lang_col="lang", id_col="doc_id", mode="rank"
+    )
+    sizes = {
+        (r["lang"], r["bucket"]): r["n"]
+        for r in out.groupBy("lang", "bucket").agg(F.count("*").alias("n")).collect()
+    }
+    langs = {k[0] for k in sizes}
+    for lang in langs:
+        per = [sizes.get((lang, b), 0) for b in (1, 2, 3)]
+        assert max(per) - min(per) <= 1, (lang, per)  # ntile balance
+
+
+def test_perplexity_buckets_threshold_ordering_and_plan(spark, docs):
+    """Threshold mode: head scores >= tail scores within a language,
+    unscorable docs land in the last bucket, and the plan has NO window
+    sort — one sketch agg + broadcast join (the 100 TB path)."""
+    from verde_spark.operators.mixing import perplexity_buckets
+
+    out = perplexity_buckets(
+        docs, lang_col="lang", id_col="doc_id", mode="threshold"
+    )
+    rows = out.select("lang", "lm_score", "bucket").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        head = [r["lm_score"] for r in rs if r["bucket"] == 1]
+        tail = [r["lm_score"] for r in rs if r["bucket"] == 3 and r["lm_score"] is not None]
+        if head and tail:
+            assert min(head) >= max(tail), lang
+        for r in rs:
+            if r["lm_score"] is None:
+                assert r["bucket"] == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_perplexity_buckets_modes_mostly_agree(spark, docs):
+    """Exact tertiles vs approx thresholds: identical away from the
+    boundaries — agreement must dominate (sanity that both modes
+    implement the same bucketing)."""
+    from verde_spark.operators.mixing import perplexity_buckets
+
+    rank = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(
+            docs, lang_col="lang", id_col="doc_id", mode="rank"
+        ).select("doc_id", "bucket").collect()
+    }
+    thr = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(
+            docs, lang_col="lang", id_col="doc_id", mode="threshold"
+        ).select("doc_id", "bucket").collect()
+    }
+    agree = sum(1 for k, v in rank.items() if thr[k] == v)
+    assert agree / len(rank) > 0.8

@@ -1590,3 +1590,59 @@ def test_main_entrypoint_encode_job(spark, tmp_path, capsys):
     j = toks.join(layout, "doc_id")
     off = j.filter(F.col("end_tok") - F.col("start_tok") != F.col("n_ids")).count()
     assert off == 0
+
+
+# -- incremental dedup vs a prior snapshot --------------------------------
+
+def test_novel_docs_anti_join(spark):
+    from verde_spark.operators.dedup import novel_docs, seen_hashes
+
+    old = spark.createDataFrame(
+        [(i, f"old document number {i}") for i in range(20)],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        # 10 carried over (same text), 10 genuinely new
+        [(100 + i, f"old document number {i}") for i in range(10)]
+        + [(200 + i, f"fresh document number {i}") for i in range(10)],
+        "doc_id int, text string",
+    )
+    seen = seen_hashes(old)
+    got = novel_docs(new, seen)
+    ids = sorted(r["doc_id"] for r in got.collect())
+    assert ids == [200 + i for i in range(10)]
+    assert got.columns == ["doc_id", "text"]  # helper column dropped
+
+    # broadcast path: same rows, and the anti-join broadcasts
+    bc = novel_docs(new, seen, broadcast_threshold=1000)
+    assert sorted(r["doc_id"] for r in bc.collect()) == ids
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_novel_docs_matches_duckdb_not_exists(spark):
+    """Oracle semantics: NOT EXISTS on raw text (the minhash contract —
+    DuckDB dedups raw strings, Spark their 64-bit hashes)."""
+    import duckdb
+    import pandas as pd
+
+    from verde_spark.operators.dedup import novel_docs, seen_hashes
+
+    old_rows = [(i, f"doc {i % 7}") for i in range(14)]
+    new_rows = [(50 + i, f"doc {i}") for i in range(12)]
+    old = spark.createDataFrame(old_rows, "doc_id int, text string")
+    new = spark.createDataFrame(new_rows, "doc_id int, text string")
+    got = sorted(
+        r["doc_id"] for r in novel_docs(new, seen_hashes(old)).collect()
+    )
+    con = duckdb.connect()
+    con.register("old_t", pd.DataFrame(old_rows, columns=["doc_id", "text"]))
+    con.register("new_t", pd.DataFrame(new_rows, columns=["doc_id", "text"]))
+    want = [
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM new_t n WHERE NOT EXISTS "
+            "(SELECT 1 FROM old_t o WHERE o.text = n.text) ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got == want

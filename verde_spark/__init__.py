@@ -60,8 +60,11 @@ from .operators.dedup import drop_duplicate_paragraphs, drop_duplicate_spans
 from .operators.sampling import cap_per_domain
 from .operators.packing import pack_sequences, packing_stats
 from .operators.search import bm25_scores, bm25_topk
-from .operators.mixing import repeat_weighted, sample_to_mix
+from .operators.mixing import perplexity_buckets, repeat_weighted, sample_to_mix
 from .functions.vocab import build_vocab, encode_tokens
+from .functions.bpe import EXAMPLE_BPE, BpeModel, train_bpe
+from .operators.dedup import novel_docs, seen_hashes
+from .operators.crawl import crawl_schedule
 from .operators.clustering import kmeans_fit
 from .functions.charlm import ENGLISH_LM, perplexity_expr, train_char_lm
 from .sources.warc import read_warc, split_warc_records
@@ -159,8 +162,15 @@ __all__ = [
     "bm25_topk",
     "repeat_weighted",
     "sample_to_mix",
+    "perplexity_buckets",
     "build_vocab",
     "encode_tokens",
+    "train_bpe",
+    "BpeModel",
+    "EXAMPLE_BPE",
+    "novel_docs",
+    "seen_hashes",
+    "crawl_schedule",
     "kmeans_fit",
     "ENGLISH_LM",
     "perplexity_expr",

@@ -1002,3 +1002,123 @@ def sitemap_entries_sql(xml: str, tag: str = "url") -> str:
         f"b -> {{'loc': {loc}, 'lastmod': {mod}}})"
     )
     return f"list_filter({entries}, e -> e.loc <> '')"
+
+
+# -- frontier scheduling (politeness) ------------------------------------
+
+def crawl_schedule(
+    frontier: DataFrame,
+    delays: DataFrame | None = None,
+    *,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    default_delay: float = 1.0,
+    max_per_host: int | None = None,
+    hash_expr: Column | None = None,
+) -> DataFrame:
+    """Politeness scheduler: order a fetch frontier per host and assign
+    each url its fetch slot — ``fetch_seq`` (1-based position in the
+    host's queue) and ``eta_sec`` (earliest fetch offset =
+    ``(fetch_seq - 1) × crawl_delay``), honoring per-host ``Crawl-delay``
+    (:func:`robots_crawl_delay` builds *delays*: ``host, crawl_delay``).
+
+    Queue order within a host: *priority_col* DESC first when given
+    (NULLS LAST), then deterministic hash (default ``xxhash64(url)``;
+    pass *hash_expr* for an engine-portable arithmetic rank), then url —
+    a total order, so the schedule is a pure function of the frontier
+    (stable under retries / parallelism, the sampling-operator
+    discipline).
+
+    Scale shape: ONE hash-partition window on host — the frontier is
+    the crawl queue (≪ corpus); the *delays* dim joins BROADCAST; with
+    *max_per_host* the ``row_number <= k`` filter plans as
+    ``WindowGroupLimit`` (per-task top-k below the exchange), bounding
+    any single host's queue before it ships.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.urls import domain_of
+
+    h = hash_expr if hash_expr is not None else F.xxhash64(F.col(url_col))
+    order = [h.asc(), F.col(url_col).asc()]
+    if priority_col:
+        order = [F.col(priority_col).desc_nulls_last()] + order
+    out = frontier.withColumn("host", domain_of(url_col)).withColumn(
+        "fetch_seq",
+        F.row_number().over(Window.partitionBy("host").orderBy(*order)),
+    )
+    if max_per_host is not None:
+        out = out.filter(F.col("fetch_seq") <= int(max_per_host))
+    if delays is not None:
+        dim = delays.select(
+            F.col("host").alias("__dh"), F.col("crawl_delay").alias("__delay")
+        )
+        out = out.join(
+            F.broadcast(dim), out["host"] == dim["__dh"], "left"
+        ).drop("__dh")
+        delay = F.coalesce(F.col("__delay"), F.lit(float(default_delay)))
+        out = out.withColumn(
+            "eta_sec", (F.col("fetch_seq") - 1).cast("double") * delay
+        ).drop("__delay")
+    else:
+        out = out.withColumn(
+            "eta_sec",
+            (F.col("fetch_seq") - 1).cast("double") * F.lit(float(default_delay)),
+        )
+    return out
+
+
+def crawl_schedule_sql(
+    src_sql: str,
+    delays_sql: str | None = None,
+    *,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    default_delay: float = 1.0,
+    max_per_host: int | None = None,
+    hash_sql: str | None = None,
+    select_cols: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`crawl_schedule`.  DuckDB has no ``xxhash64``,
+    so an engine-portable *hash_sql* must mirror the Spark call's
+    *hash_expr* (the established arithmetic-rank pattern)."""
+    host = (
+        f"lower(regexp_replace(regexp_replace("
+        f"regexp_extract(trim({url_col}), '{_URL_RE}', 2), "
+        f"'^.*@', ''), ':[0-9]*$', ''))"
+    )
+    order = f"{hash_sql or url_col} ASC, {url_col} ASC"
+    if priority_col:
+        order = f"{priority_col} DESC NULLS LAST, " + order
+    cap = f"WHERE fetch_seq <= {int(max_per_host)}" if max_per_host else ""
+    cols = select_cols or f"{url_col}, host, fetch_seq"
+    if delays_sql is None:
+        eta = f"CAST(fetch_seq - 1 AS DOUBLE) * {float(default_delay)!r}"
+        return f"""
+            WITH src AS ({src_sql}),
+            ranked AS (
+              SELECT *, {host} AS host,
+                     CAST(row_number() OVER (
+                       PARTITION BY {host} ORDER BY {order}
+                     ) AS INT) AS fetch_seq
+              FROM src
+            )
+            SELECT {cols}, {eta} AS eta_sec FROM ranked {cap}
+        """
+    eta = (
+        f"CAST(fetch_seq - 1 AS DOUBLE)"
+        f" * COALESCE(d.crawl_delay, {float(default_delay)!r})"
+    )
+    return f"""
+        WITH src AS ({src_sql}),
+        dim AS ({delays_sql}),
+        ranked AS (
+          SELECT *, {host} AS host,
+                 CAST(row_number() OVER (
+                   PARTITION BY {host} ORDER BY {order}
+                 ) AS INT) AS fetch_seq
+          FROM src
+        )
+        SELECT {cols}, {eta} AS eta_sec
+        FROM ranked LEFT JOIN dim d USING (host) {cap}
+    """

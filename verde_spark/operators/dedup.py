@@ -1047,3 +1047,40 @@ def dedup_embedding(
     else:
         to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_drop, id_col, "left_anti")
+
+
+# -- incremental dedup against a prior snapshot --------------------------
+
+def seen_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The 64-bit content-hash set of a corpus snapshot — the compact
+    "already ingested" side for :func:`novel_docs`.  Fixed-width key,
+    distinct-aggregated, so the seen-set a 100 TB crawl carries between
+    increments is ~8 bytes/doc, never the text."""
+    return df.select(F.xxhash64(F.col(text_col)).alias("text_hash")).distinct()
+
+
+def novel_docs(
+    df: DataFrame,
+    seen: DataFrame,
+    *,
+    text_col: str = "text",
+    broadcast_threshold: int | None = None,
+) -> DataFrame:
+    """Incremental exact dedup: keep only documents whose text content
+    was NOT in *seen* (a ``text_hash`` table from :func:`seen_hashes`,
+    e.g. the previous crawl snapshot) — the new-data gate of a rolling
+    ingestion pipeline (pair with ``checkpoint.incremental_manifest`` /
+    ``sources.snapshots`` for the storage side).
+
+    ONE left-anti join on the fixed-width hash.  By default it shuffles
+    both sides on the hash (AQE-skew eligible; correct at any scale).
+    When the seen-set is known small, pass *broadcast_threshold*: if
+    ``seen.count() <= threshold`` the anti-join broadcasts and the
+    corpus side never moves (the documented collect-free small-side
+    contract — only a count is evaluated on the driver).
+    """
+    keyed = df.withColumn("__h", F.xxhash64(F.col(text_col)))
+    dim = seen.select(F.col("text_hash").alias("__h"))
+    if broadcast_threshold is not None and dim.count() <= int(broadcast_threshold):
+        dim = F.broadcast(dim)
+    return keyed.join(dim, "__h", "left_anti").drop("__h")

@@ -28,7 +28,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["mix_hash_expr", "sample_to_mix", "repeat_weighted", "repeat_weighted_sql", "sample_to_mix_sql"]
+__all__ = [
+    "mix_hash_expr",
+    "sample_to_mix",
+    "repeat_weighted",
+    "repeat_weighted_sql",
+    "sample_to_mix_sql",
+    "perplexity_buckets",
+    "perplexity_buckets_sql",
+]
 
 _HASH_MULT = 2654435761
 _HASH_MOD = 2**31
@@ -199,4 +207,145 @@ def repeat_weighted_sql(
         n_tbl AS (SELECT *, {n} AS n FROM src)
         SELECT {select_cols}, CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch
         FROM n_tbl WHERE n > 0
+    """
+
+
+def _bucket_names(n_buckets: int):
+    return (
+        ("head", "middle", "tail")
+        if n_buckets == 3
+        else tuple(f"b{i}" for i in range(1, n_buckets + 1))
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    *,
+    lm=None,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    id_col: str = "url",
+    n_buckets: int = 3,
+    mode: str = "threshold",
+    score_col: str = "lm_score",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split a
+    corpus into head/middle/tail quality tertiles per language by the
+    char-LM score (``functions.charlm`` — avg log-probability per bigram;
+    HIGHER = more prose-like = lower perplexity).  CCNet trains on the
+    head, mixes in the middle, drops the tail.
+
+    Two modes:
+
+    * ``mode="threshold"`` (default — the 100 TB path): per-language
+      bucket thresholds from ONE ``percentile_approx`` sketch aggregate
+      (map-side-combinable, tiny result) broadcast back as a join — the
+      corpus is never globally sorted; scoring + bucketing stay one
+      projection.
+    * ``mode="rank"`` — exact equal-population ``ntile`` per language
+      (one window sort per language partition).  Integer-exact and
+      engine-portable (the driver-oracle mode; at production scale
+      prefer ``threshold``).
+
+    Documents the LM cannot score (fewer than 2 alphabet chars) sort
+    after every scored document (``DESC NULLS LAST`` — both modes place
+    them in the last bucket when quotas allow).  Output adds
+    ``score_col`` (bit-identical across engines: literal-fold logprob /
+    integer gram count), ``bucket`` (1 = head) and ``bucket_name``.
+    """
+    from ..functions.charlm import ENGLISH_LM, gram_ids_expr, logprob_expr
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets!r}")
+    model = lm if lm is not None else ENGLISH_LM
+    n_grams = F.size(gram_ids_expr(text_col))
+    score = logprob_expr(model, text_col) / n_grams.cast("double")
+    scored = df.withColumn(score_col, score)
+    names = _bucket_names(n_buckets)
+    name_expr = None
+    for i, nm in enumerate(names, start=1):
+        cond = F.col("bucket") == F.lit(i)
+        name_expr = (
+            F.when(cond, F.lit(nm))
+            if name_expr is None
+            else name_expr.when(cond, F.lit(nm))
+        )
+
+    if mode == "rank":
+        order = [F.col(score_col).desc_nulls_last(), F.col(id_col).asc()]
+        w = (
+            Window.partitionBy(lang_col).orderBy(*order)
+            if lang_col
+            else Window.partitionBy().orderBy(*order)
+        )
+        return scored.withColumn(
+            "bucket", F.ntile(n_buckets).over(w)
+        ).withColumn("bucket_name", name_expr)
+    if mode != "threshold":
+        raise ValueError(f"unknown mode: {mode!r}")
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]  # ascending
+    if lang_col:
+        qdf = scored.groupBy(lang_col).agg(
+            F.percentile_approx(score_col, probs).alias("__qs")
+        )
+        joined = scored.join(F.broadcast(qdf), lang_col, "left")
+    else:
+        qdf = scored.agg(F.percentile_approx(score_col, probs).alias("__qs"))
+        joined = scored.crossJoin(F.broadcast(qdf))  # 1-row broadcast
+    # ascending quantiles q_1..q_{n-1}; bucket 1 (head) = top share:
+    # score >= q_{n-1} -> 1, >= q_{n-2} -> 2, ...; null/below-all -> n
+    bucket = None
+    for i in range(1, n_buckets):
+        cond = F.col(score_col) >= F.element_at(F.col("__qs"), n_buckets - i)
+        bucket = F.when(cond, F.lit(i)) if bucket is None else bucket.when(cond, F.lit(i))
+    bucket = bucket.otherwise(F.lit(n_buckets))
+    return (
+        joined.withColumn("bucket", bucket)
+        .withColumn("bucket_name", name_expr)
+        .drop("__qs")
+    )
+
+
+def perplexity_buckets_sql(
+    src_sql: str,
+    *,
+    lm=None,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    id_col: str = "url",
+    n_buckets: int = 3,
+    select_cols: str | None = None,
+    score_col: str = "lm_score",
+) -> str:
+    """DuckDB twin of :func:`perplexity_buckets` ``mode="rank"`` — the
+    same bit-identical literal-fold score (``charlm_logprob_sql``), the
+    same ``DESC NULLS LAST`` order and ``ntile`` semantics."""
+    from ..functions.charlm import ENGLISH_LM, charlm_logprob_sql, charlm_norm_sql
+
+    model = lm if lm is not None else ENGLISH_LM
+    part = f"PARTITION BY {lang_col} " if lang_col else ""
+    cols = select_cols or (f"{id_col}, {lang_col}" if lang_col else id_col)
+    names = _bucket_names(n_buckets)
+    when = " ".join(f"WHEN {i} THEN '{nm}'" for i, nm in enumerate(names, 1))
+    return f"""
+        WITH src AS ({src_sql}),
+        norm AS (
+          SELECT *, {charlm_norm_sql(text_col)} AS __t FROM src
+        ),
+        scored AS (
+          SELECT *, CASE WHEN length(__t) >= 2 THEN
+                   ({charlm_logprob_sql(model, "__t")})
+                     / CAST(length(__t) - 1 AS DOUBLE)
+                 ELSE NULL END AS {score_col}
+          FROM norm
+        )
+        SELECT {cols}, {score_col},
+               ntile({n_buckets}) OVER (
+                 {part}ORDER BY {score_col} DESC NULLS LAST, {id_col} ASC
+               ) AS bucket,
+               CASE ntile({n_buckets}) OVER (
+                 {part}ORDER BY {score_col} DESC NULLS LAST, {id_col} ASC
+               ) {when} END AS bucket_name
+        FROM scored
     """
