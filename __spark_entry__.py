@@ -1994,6 +1994,87 @@ def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discriminative quality-classifier scores (operators/quality,
+    GPT-3 §A shape) under the code-constant EXAMPLE_QUALITY model:
+    every document's logit = bias + Σ weight[bucket] as ONE serial
+    literal fold — bit-identical in DuckDB (the dsir_weights pattern;
+    training itself is pinned Spark-vs-Python in pytest)."""
+    from verde_spark.operators.dsir import dsir_bucket_ids
+    from verde_spark.operators.quality import EXAMPLE_QUALITY
+
+    m = EXAMPLE_QUALITY
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(dsir_bucket_ids("text", m.num_buckets)).alias("n_grams"),
+            m.score_expr("text").alias("lr_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC (operators/quality.roc_auc_components)
+    of the EXAMPLE_QUALITY logit against a deterministic length label —
+    integer numerator/counts plus ONE IEEE division, bit-identical in
+    DuckDB (which replays the same distinct-score cumsum)."""
+    from verde_spark.operators.quality import EXAMPLE_QUALITY, roc_auc_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        EXAMPLE_QUALITY.score_expr("text").alias("score"),
+        (F.length("text") > 200).cast("int").alias("label"),
+    )
+    comp = roc_auc_components(scored, "score", "label")
+    return comp.select(
+        "num2",
+        "n_pos",
+        "n_neg",
+        (
+            F.col("num2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            )
+        ).alias("auc"),
+    )
+
+
+def _q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup within-cluster near-dup pairs (operators/dedup.
+    semantic_dup_pairs, Abbas et al. 2023): centroids are the first 4
+    embedding rows (collected — the documented small literal side, so
+    the oracle can recompute them from SQL alone), planted identical
+    copies (vec_id+1M) land in their original's cluster with cosine
+    rounding to 1.0 — deterministic despite no trained model."""
+    from verde_spark.operators.dedup import semantic_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cent_rows = emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    copies = emb.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    both = emb.unionByName(copies)
+    pairs = semantic_dup_pairs(
+        both, centroids, threshold=0.99, id_col="vec_id", vec_col="embedding"
+    )
+    return (
+        pairs.filter(F.col("id_b") == F.col("id_a") + F.lit(1_000_000))
+        .select(
+            "id_a", "id_b", "cluster",
+            (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"),
+        )
+        .orderBy("id_a")
+    )
+
+
 def _q_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup vs a prior snapshot (operators/dedup.novel_docs):
     docs whose text was already in the doc_id<250 half are dropped via
@@ -2052,6 +2133,9 @@ _RETIRED = (
     "perplexity_buckets",    # over-cap: r4 CCNet head/middle/tail tertiles, ntile + literal-fold twin
     "crawl_schedule",        # over-cap: r4 politeness frontier scheduler, row_number + delay-join twin
     "novel_docs",            # over-cap: r4 incremental snapshot dedup, NOT-EXISTS raw-text twin
+    "quality_lr",            # over-cap: r4 discriminative quality classifier, bit-identical literal-fold twin
+    "semdedup_pairs",        # over-cap: r4 SemDeDup cluster-partitioned near-dup pairs, full DuckDB argmin+cosine twin
+    "quality_auc",           # over-cap: r4 exact tie-corrected ROC AUC, integer-exact DuckDB twin
 )
 _RETIRED_ORACLES: dict = {}
 
@@ -2090,6 +2174,9 @@ def retired_queries():
         "perplexity_buckets": _q_perplexity_buckets,
         "crawl_schedule": _q_crawl_schedule,
         "novel_docs": _q_novel_docs,
+        "quality_lr": _q_quality_lr,
+        "semdedup_pairs": _q_semdedup_pairs,
+        "quality_auc": _q_quality_auc,
     }
 
 
@@ -3316,6 +3403,87 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ORDER BY url"
     )
+
+    from verde_spark.operators.dsir import dsir_bucket_ids_sql as _ids_sql
+    from verde_spark.operators.quality import EXAMPLE_QUALITY as _QLR
+
+    _q_ids = _ids_sql("text", _QLR.num_buckets)
+    oracles["quality_lr"] = f"""
+        SELECT doc_id,
+               len({_q_ids})::INT AS n_grams,
+               {_QLR.score_sql("text")} AS lr_score
+        FROM documents WHERE text IS NOT NULL ORDER BY doc_id
+    """
+
+    oracles["quality_auc"] = f"""
+        WITH scored AS (
+          SELECT {_QLR.score_sql("text")} AS s,
+                 CASE WHEN length(text) > 200 THEN 1 ELSE 0 END AS y
+          FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+          SELECT s, sum(y)::BIGINT AS pos,
+                 (count(*) - sum(y))::BIGINT AS neg
+          FROM scored GROUP BY s
+        ),
+        p AS (
+          SELECT pos, neg,
+                 coalesce(sum(neg) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS below
+          FROM g
+        )
+        SELECT sum(pos * (2 * below + neg))::BIGINT AS num2,
+               sum(pos)::BIGINT AS n_pos,
+               sum(neg)::BIGINT AS n_neg,
+               sum(pos * (2 * below + neg))::DOUBLE
+                 / (2.0 * sum(pos)::DOUBLE * sum(neg)::DOUBLE) AS auc
+        FROM p
+    """
+
+    _sd_dot = (
+        "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
+        "j -> a.e[j] * b.e[j])), (x, y) -> x + y)"
+    )
+    _sd_nrm = (
+        "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+        "range(1, 65), j -> {s}.e[j] * {s}.e[j])), (x, y) -> x + y))"
+    )
+    _sd_cos = f"{_sd_dot} / ({_sd_nrm.format(s='a')} * {_sd_nrm.format(s='b')})"
+    oracles["semdedup_pairs"] = f"""
+        WITH cent AS (
+          SELECT list(list_transform(embedding, x -> x::DOUBLE)
+                      ORDER BY vec_id) AS cs
+          FROM embeddings WHERE vec_id < 4
+        ),
+        allv AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, list_transform(embedding, x -> x::DOUBLE)
+          FROM embeddings WHERE vec_id < 10
+        ),
+        assigned AS (
+          SELECT vec_id, e,
+                 (list_position(dists, list_aggregate(dists, 'min')) - 1)::INT
+                   AS cluster
+          FROM (
+            SELECT vec_id, e,
+                   list_transform((SELECT cs FROM cent), cv ->
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(range(1, 65),
+                         j -> (e[j] - cv[j]) * (e[j] - cv[j]))),
+                       (p, q) -> p + q)) AS dists
+            FROM allv
+          )
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+               round({_sd_cos}, 6) + 0.0 AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {_sd_cos} >= 0.99 AND b.vec_id = a.vec_id + 1000000
+        ORDER BY id_a
+    """
 
     oracles["novel_docs"] = """
         SELECT n.doc_id FROM documents n

@@ -297,6 +297,8 @@ def bench_queries(spark):
         "ivf_topk",  # round 2: IVF ANN probe path
         "winnow_pairs",  # round 3: rolling-hash fingerprint near-dup
         "bm25_topk",  # round 4: Okapi BM25 batch relevance ranking
+        "quality_lr",  # round 4: discriminative classifier literal-fold scoring
+        "semdedup_pairs",  # round 4: cluster-partitioned semantic dedup
     ]
     times = {}
     # Rep 0 is a DISCARDED warm-up (per-query first calls pay Python-worker

@@ -1,0 +1,246 @@
+"""Discriminative quality classifier (operators/quality.py): training
+parity vs the Python twin, parallelism invariance of the fixed-point
+trajectory, three-engine scoring bit-parity, plan shape."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from verde_spark.operators.quality import (
+    EXAMPLE_QUALITY,
+    fit_quality_classifier,
+    fit_quality_python,
+    reference_quality_score,
+)
+
+_POS = [
+    "the survey measured elevation across the river basin and the grid "
+    "matched the field observations closely",
+    "researchers compared the residuals against held out stations and "
+    "reported the scores in the appendix",
+    "the archive preserves letters journals and maps that describe the "
+    "coastline before the harbor",
+    "careful editing keeps each paragraph focused and the argument easy "
+    "to follow from evidence to conclusion",
+    "the committee reviewed the proposal and suggested a longer control "
+    "period before publication",
+]
+_NEG = [
+    "click here buy now free free free winner winner claim your prize",
+    "casino bonus casino bonus spins spins deposit today today",
+    "cheap pills fast shipping no prescription limited offer act now",
+    "follow like subscribe smash that bell button giveaway giveaway",
+    "hot singles near you click click click join now now now",
+]
+
+_FUZZ = [
+    "the survey measured elevation and the archive preserves maps",
+    "click here buy now free winner prize casino",
+    "", None, "x",
+    "Ünïcode wörds pass through the tokenizer 123",
+    "mixed prose with one click here inside an otherwise calm paragraph",
+]
+
+
+def _pair(spark):
+    pos = spark.createDataFrame([(t,) for t in _POS], "text string")
+    neg = spark.createDataFrame([(t,) for t in _NEG], "text string")
+    return pos, neg
+
+
+def test_fit_matches_python_twin(spark):
+    pos, neg = _pair(spark)
+    got = fit_quality_classifier(
+        pos, neg, num_buckets=64, iterations=8, lr=0.5
+    )
+    want = fit_quality_python(
+        _POS, _NEG, num_buckets=64, iterations=8, lr=0.5
+    )
+    assert got.bias == pytest.approx(want.bias, rel=1e-9, abs=1e-12)
+    for a, b in zip(got.weights, want.weights):
+        assert a == pytest.approx(b, rel=1e-9, abs=1e-12)
+
+
+def test_fit_parallelism_invariant(spark):
+    """The int64 fixed-point gradient sums make the trajectory a pure
+    function of the data — 1 partition and 8 partitions agree BIT for
+    bit."""
+    pos, neg = _pair(spark)
+    m1 = fit_quality_classifier(
+        pos.repartition(1), neg.repartition(1), num_buckets=64, iterations=5
+    )
+    m8 = fit_quality_classifier(
+        pos.repartition(8), neg.repartition(8), num_buckets=64, iterations=5
+    )
+    assert m1.weights == m8.weights
+    assert m1.bias == m8.bias
+
+
+def test_score_three_engine_bit_parity(spark):
+    model = EXAMPLE_QUALITY
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_FUZZ)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", model.score_expr("text").alias("s")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(
+        {"doc_id": range(len(_FUZZ)), "text": pd.Series(_FUZZ, dtype="object")}
+    ))
+    duck = dict(con.execute(
+        f"SELECT doc_id, {model.score_sql('text')} FROM t"
+    ).fetchall())
+    for i, text in enumerate(_FUZZ):
+        want = reference_quality_score(model, text)
+        assert got[i] == want, (i, text)   # BIT
+        assert duck[i] == want, (i, text)  # BIT
+
+
+def test_classifier_separates_corpora(spark):
+    """Held-in sanity: positives score above negatives, and prob_expr
+    maps the logit monotonically into (0, 1)."""
+    model = EXAMPLE_QUALITY
+    df = spark.createDataFrame(
+        [(t, 1) for t in _POS] + [(t, 0) for t in _NEG], "text string, y int"
+    )
+    rows = df.select(
+        "y",
+        model.score_expr("text").alias("s"),
+        model.prob_expr("text").alias("p"),
+    ).collect()
+    pos_s = [r["s"] for r in rows if r["y"] == 1]
+    neg_s = [r["s"] for r in rows if r["y"] == 0]
+    assert min(pos_s) > max(neg_s)
+    for r in rows:
+        assert 0.0 < r["p"] < 1.0
+        assert (r["p"] > 0.5) == (r["s"] > 0.0)
+
+
+def test_clean_corpus_classifier_gate(spark, tmp_path):
+    """clean_corpus(classifier=, min_classifier_score=) drops pages the
+    model scores below the logit threshold and keeps unscorable (empty
+    after the token gate is relaxed) ones; the streaming twin agrees."""
+    from verde_spark.pipelines import clean_corpus
+    from verde_spark.streaming import streaming_clean_corpus
+
+    model = EXAMPLE_QUALITY
+    rows = [
+        (f"https://q.com/pos{i}", f"2024-01-01 00:00:{i:02d}", t)
+        for i, t in enumerate(_POS)
+    ] + [
+        (f"https://q.com/neg{i}", f"2024-01-01 00:01:{i:02d}", t)
+        for i, t in enumerate(_NEG)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    path = str(tmp_path / "pages")
+    df.write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    out = clean_corpus(
+        stored, min_tokens=3, classifier=model, min_classifier_score=0.0
+    )
+    urls = {r["url"] for r in out.collect()}
+    assert urls == {f"https://q.com/pos{i}" for i in range(len(_POS))}
+
+    from verde_spark.streaming import run_to_memory
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string"
+    ).parquet(path)
+    sout = streaming_clean_corpus(
+        stream, watermark="1 hour", min_tokens=3,
+        classifier=model, min_classifier_score=0.0,
+    )
+    run_to_memory(sout, "clf_stream", mode="append")
+    got = {r["url"] for r in spark.sql("select url from clf_stream").collect()}
+    assert got == urls
+
+
+def test_score_plan_is_pure_projection(spark):
+    df = spark.createDataFrame([(t,) for t in _POS], "text string")
+    plan = df.select(
+        EXAMPLE_QUALITY.score_expr("text").alias("s")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_roc_auc_matches_reference(spark):
+    """Exact AUC (tie-corrected) vs the O(n²) Python twin, on scores
+    with ties, nulls and both labels at the same score."""
+    from verde_spark.operators.quality import reference_roc_auc, roc_auc
+
+    scores = [0.1, 0.4, 0.4, 0.8, 0.8, 0.8, 0.2, None, 0.5, 0.5]
+    labels = [0, 1, 0, 1, 1, 0, 0, 1, None, 1]
+    df = spark.createDataFrame(
+        list(zip(scores, labels)), "score double, label int"
+    )
+    got = roc_auc(df)
+    want = reference_roc_auc(scores, labels)
+    assert got == want  # one IEEE division of exact integer sums
+
+
+def test_roc_auc_extremes(spark):
+    from verde_spark.operators.quality import roc_auc
+
+    sep = spark.createDataFrame(
+        [(float(i), 1 if i >= 5 else 0) for i in range(10)],
+        "score double, label int",
+    )
+    assert roc_auc(sep) == 1.0
+    rev = sep.withColumn("score", -F.col("score"))
+    assert roc_auc(rev) == 0.0
+    const = sep.withColumn("score", F.lit(1.0))
+    assert roc_auc(const) == 0.5
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        roc_auc(sep.filter("label = 1"))
+
+
+def test_roc_auc_duckdb_twin(spark):
+    """The driver-query shape: classifier scores + a deterministic
+    label, AUC replayed in DuckDB bit-for-bit."""
+    import duckdb
+    import pandas as pd
+
+    from verde_spark.operators.quality import roc_auc
+
+    model = EXAMPLE_QUALITY
+    texts = _POS + _NEG + ["the short one", "tiny"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    scored = df.select(
+        model.score_expr("text").alias("score"),
+        (F.length("text") > 60).cast("int").alias("label"),
+    )
+    got = roc_auc(scored)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"text": texts}))
+    want = con.execute(f"""
+        WITH scored AS (
+          SELECT {model.score_sql('text')} AS s,
+                 CASE WHEN length(text) > 60 THEN 1 ELSE 0 END AS y
+          FROM t
+        ),
+        g AS (
+          SELECT s, sum(y)::BIGINT AS pos,
+                 (count(*) - sum(y))::BIGINT AS neg
+          FROM scored GROUP BY s
+        ),
+        p AS (
+          SELECT pos, neg,
+                 coalesce(sum(neg) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS below
+          FROM g
+        )
+        SELECT sum(pos * (2 * below + neg))::DOUBLE
+                 / (2.0 * sum(pos)::DOUBLE * sum(neg)::DOUBLE) AS auc
+        FROM p
+    """).fetchone()[0]
+    assert got == want

@@ -462,3 +462,50 @@ def test_streaming_clean_corpus_robots_stage(spark, tmp_path):
         for r in spark.sql("select url from robots_stream").collect()
     }
     assert got == batch_urls
+
+
+def test_streaming_clean_corpus_novel_gate(spark, tmp_path):
+    """novel_against= in the streaming twin: a stream-static LEFT-ANTI
+    join on the content hash — survivors equal the batch recipe's."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.operators.dedup import seen_hashes
+    from verde_spark.pipelines import clean_corpus
+    from verde_spark.streaming import streaming_clean_corpus
+
+    good = "the cat sat on the mat and it is a fine day for walking"
+    old = spark.createDataFrame(
+        [(i, f"{good} old {i}") for i in range(6)], "doc_id int, text string"
+    )
+    rows = (
+        [(f"https://s.com/re{i}", f"2024-01-01 00:00:{i:02d}", f"{good} old {i}")
+         for i in range(4)]
+        + [(f"https://s.com/new{i}", f"2024-01-01 00:01:{i:02d}", f"{good} new {i}")
+           for i in range(5)]
+    )
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    path = str(tmp_path / "pages")
+    df.write.mode("append").parquet(path)
+    seen = seen_hashes(old)
+
+    stored = spark.read.parquet(path)
+    batch_urls = {
+        r["url"]
+        for r in clean_corpus(stored, min_tokens=5, novel_against=seen).collect()
+    }
+    assert batch_urls == {f"https://s.com/new{i}" for i in range(5)}
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string"
+    ).parquet(path)
+    out = streaming_clean_corpus(
+        stream, watermark="1 hour", min_tokens=5, novel_against=seen
+    )
+    run_to_memory(out, "novel_stream", mode="append")
+    got = {
+        r["url"]
+        for r in spark.sql("select url from novel_stream").collect()
+    }
+    assert got == batch_urls

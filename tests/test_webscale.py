@@ -1646,3 +1646,31 @@ def test_novel_docs_matches_duckdb_not_exists(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_clean_corpus_novel_against_stage(spark):
+    """novel_against= as a clean_corpus stage: texts already in the
+    prior snapshot's hash set are dropped; genuinely new pages pass."""
+    from verde_spark.operators.dedup import seen_hashes
+    from verde_spark.pipelines import clean_corpus
+
+    good = "the cat sat on the mat and it is a fine day for walking"
+    old = spark.createDataFrame(
+        [(f"https://a.com/old{i}", f"2024-01-01 00:00:{i:02d}", f"{good} old {i}")
+         for i in range(5)],
+        "url string, warc_ts string, text string",
+    )
+    new_rows = (
+        [(f"https://a.com/re{i}", f"2024-01-02 00:00:{i:02d}", f"{good} old {i}")
+         for i in range(3)]  # recrawls of old content, new urls
+        + [(f"https://a.com/new{i}", f"2024-01-02 00:01:{i:02d}", f"{good} new {i}")
+           for i in range(4)]
+    )
+    new = spark.createDataFrame(
+        new_rows, "url string, warc_ts string, text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = clean_corpus(
+        new, min_tokens=3, novel_against=seen_hashes(old)
+    ).collect()
+    urls = sorted(r["url"] for r in out)
+    assert urls == [f"https://a.com/new{i}" for i in range(4)]

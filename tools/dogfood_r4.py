@@ -381,6 +381,137 @@ def main() -> int:
     assert all(len(r["ids"]) > 0 for r in enc_map.limit(5).collect())
     print("PASS build_vocab/encode_tokens (both engines) on custom columns")
 
+    # --- BPE: train on the custom body column, encode, compress ---------
+    from verde_spark.functions.bpe import reference_encode, train_bpe
+
+    bpe = train_bpe(pages, num_merges=20, text_col="body")
+    assert len(bpe.merges) > 0
+    toks = pages.select(
+        "page_url", bpe.encode_expr("body").alias("sub")
+    ).limit(5).collect()
+    for r in toks:
+        body = [x["body"] for x in pages.filter(
+            F.col("page_url") == r["page_url"]).collect()][0]
+        assert list(r["sub"]) == reference_encode(bpe, body)
+    print("PASS train_bpe/encode_expr on custom body column, reference parity")
+
+    # --- CCNet buckets with custom text/lang/id columns ------------------
+    from verde_spark.operators.mixing import perplexity_buckets
+
+    tagged = pages.withColumn("tongue", F.lit("en"))
+    for mode in ("rank", "threshold"):
+        b = perplexity_buckets(
+            tagged, text_col="body", lang_col="tongue",
+            id_col="page_url", mode=mode, score_col="lp",
+        )
+        got = b.groupBy("bucket").count().collect()
+        assert {r["bucket"] for r in got} <= {1, 2, 3}
+        assert b.filter(F.col("bucket_name").isNull()).count() == 0
+    print("PASS perplexity_buckets both modes with body/tongue/page_url columns")
+
+    # --- frontier scheduling with priorities + robots delays -------------
+    from verde_spark.operators.crawl import crawl_schedule
+
+    frontier = pages.select(
+        F.col("page_url").alias("url"),
+        (F.length("body") % 4).cast("double").alias("rank_hint"),
+    )
+    delays = spark.createDataFrame(
+        [("a.example", 2.5)], "host string, crawl_delay double"
+    )
+    sched = crawl_schedule(
+        frontier, delays, priority_col="rank_hint",
+        default_delay=0.5, max_per_host=7,
+    )
+    rows_s = sched.collect()
+    assert all(r["fetch_seq"] <= 7 for r in rows_s)
+    assert all(r["eta_sec"] >= 0.0 for r in rows_s)
+    print("PASS crawl_schedule with priority column, delay dim and cap")
+
+    # --- incremental ingestion: snapshot -> novel_docs -> clean_corpus ---
+    from verde_spark.operators.dedup import novel_docs, seen_hashes
+
+    first_half = pages.filter(F.xxhash64("page_url") % 2 == 0)
+    seen = seen_hashes(first_half, text_col="body")
+    novel = novel_docs(pages, seen, text_col="body")
+    assert novel.count() == pages.count() - first_half.count()
+    inc = clean_corpus(
+        pages, url_col="page_url", ts_col="fetched_at", text_col="body",
+        min_tokens=3, novel_against=seen,
+    )
+    assert 0 < inc.count() <= novel.count()
+    print("PASS seen_hashes/novel_docs + clean_corpus(novel_against=) "
+          "with custom columns")
+
+    # --- quality classifier trained + gating on the custom body column --
+    from verde_spark.operators.quality import (
+        fit_quality_classifier,
+        reference_quality_score,
+    )
+
+    # length % 2 splits this corpus 49/11 (1-digit vs 2-digit page ids
+    # shift the body length by 3); % 3 would put ALL pages in one class
+    curated = pages.filter(F.length("body") % 2 != 0)
+    crawlish = pages.filter(F.length("body") % 2 == 0)
+    clf = fit_quality_classifier(
+        curated, crawlish, text_col="body", num_buckets=64, iterations=5
+    )
+    scored = pages.select(
+        "page_url", clf.score_expr("body").alias("s")
+    ).limit(5).collect()
+    for r in scored:
+        body = [x["body"] for x in pages.filter(
+            F.col("page_url") == r["page_url"]).collect()][0]
+        assert r["s"] == reference_quality_score(clf, body)
+    gated = clean_corpus(
+        pages, url_col="page_url", ts_col="fetched_at", text_col="body",
+        min_tokens=3, classifier=clf, min_classifier_score=-1e9,
+    )
+    assert gated.count() > 0
+    print("PASS fit_quality_classifier/score_expr + clean_corpus(classifier=) "
+          "on custom body column")
+
+    # --- SemDeDup on a custom vector/id column pair ----------------------
+    from verde_spark.operators.dedup import semantic_dedup, semantic_dup_pairs
+
+    vecs = pages.select(
+        F.col("page_url").alias("item"),
+        F.array(
+            (F.length("body") % 7).cast("double"),
+            (F.length("body") % 11).cast("double"),
+            (F.xxhash64("page_url") % 5).cast("double"),
+        ).alias("feat"),
+    ).filter(F.aggregate("feat", F.lit(0.0), lambda a, v: a + v * v) > 0)
+    cents = [[float(i), float(i), 0.0] for i in range(1, 4)]
+    sd_pairs = semantic_dup_pairs(
+        vecs, cents, threshold=0.98, id_col="item", vec_col="feat"
+    )
+    assert sd_pairs.count() >= 0  # pairs accept string ids (no components)
+    nvecs = vecs.withColumn("iid", F.xxhash64("item")).drop("item")
+    sd = semantic_dedup(
+        nvecs, cents, threshold=0.9999, id_col="iid", vec_col="feat",
+        keep="edge",
+    )
+    assert 0 < sd.count() <= nvecs.count()
+    assert set(sd.columns) == {"iid", "feat"}
+    print("PASS semantic_dup_pairs (string ids) / semantic_dedup "
+          "with iid/feat columns")
+
+    # --- exact AUC of the trained classifier on held-in labels ----------
+    from verde_spark.operators.quality import reference_roc_auc, roc_auc
+
+    labeled = pages.select(
+        clf.score_expr("body").alias("lr"),
+        (F.length("body") % 2 != 0).cast("int").alias("is_curated"),
+    )
+    auc = roc_auc(labeled, score_col="lr", label_col="is_curated")
+    local = labeled.collect()
+    want = reference_roc_auc(
+        [r["lr"] for r in local], [r["is_curated"] for r in local]
+    )
+    assert auc == want and 0.0 <= auc <= 1.0
+    print("PASS roc_auc on lr/is_curated columns, exact vs O(n^2) reference")
+
     spark.stop()
     print("DOGFOOD r4: ALL PASS")
     return 0

@@ -63,7 +63,17 @@ from .operators.search import bm25_scores, bm25_topk
 from .operators.mixing import perplexity_buckets, repeat_weighted, sample_to_mix
 from .functions.vocab import build_vocab, encode_tokens
 from .functions.bpe import EXAMPLE_BPE, BpeModel, train_bpe
-from .operators.dedup import novel_docs, seen_hashes
+from .operators.quality import (
+    EXAMPLE_QUALITY,
+    QualityClassifier,
+    fit_quality_classifier,
+)
+from .operators.dedup import (
+    novel_docs,
+    seen_hashes,
+    semantic_dedup,
+    semantic_dup_pairs,
+)
 from .operators.crawl import crawl_schedule
 from .operators.clustering import kmeans_fit
 from .functions.charlm import ENGLISH_LM, perplexity_expr, train_char_lm
@@ -168,8 +178,13 @@ __all__ = [
     "train_bpe",
     "BpeModel",
     "EXAMPLE_BPE",
+    "QualityClassifier",
+    "fit_quality_classifier",
+    "EXAMPLE_QUALITY",
     "novel_docs",
     "seen_hashes",
+    "semantic_dedup",
+    "semantic_dup_pairs",
     "crawl_schedule",
     "kmeans_fit",
     "ENGLISH_LM",

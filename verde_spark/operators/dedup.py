@@ -1084,3 +1084,145 @@ def novel_docs(
     if broadcast_threshold is not None and dim.count() <= int(broadcast_threshold):
         dim = F.broadcast(dim)
     return keyed.join(dim, "__h", "left_anti").drop("__h")
+
+
+# -- SemDeDup: cluster-partitioned semantic dedup -------------------------
+
+def _sqdist_expr(vec: Column, centroid: Column) -> Column:
+    """Serial-fold squared L2 distance between two double arrays — the
+    engine-portable formula (products, then a left fold of additions;
+    DuckDB replays it bit-for-bit via list_reduce/list_prepend)."""
+    return F.aggregate(
+        F.zip_with(vec, centroid, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def semantic_cluster_expr(vec_col: Column | str, centroids: list) -> Column:
+    """Argmin-distance cluster id over LITERAL centroids as a pure
+    codegen projection (array of (dist, id) structs → lexicographic
+    ``array_min``; ties → lowest id).  Centroids enter the plan as
+    double-array literals, so assignment is zero-shuffle and rides the
+    scan — the SemDeDup partitioning step never moves the corpus."""
+    qv = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    qv = qv.cast("array<double>")
+    pairs = F.array(
+        *[
+            F.struct(
+                _sqdist_expr(qv, F.lit([float(x) for x in c])).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(pairs)["c"].cast("int")
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    centroids: list,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup candidate generation (Abbas et al. 2023, arXiv
+    2303.03540): partition the corpus by nearest centroid, then compare
+    embeddings ONLY within a cluster — pairwise work drops from O(n²) to
+    Σ|cluster|², the paper's core trick.  Returns
+    ``(id_a, id_b, cluster, cosine)`` with cosine ≥ *threshold*.
+
+    Scale shape: assignment is a zero-shuffle literal projection
+    (:func:`semantic_cluster_expr`); candidates come from ONE
+    equi-self-join on the cluster id (AQE-skew eligible) — there is no
+    cartesian and no LSH randomness, so unlike
+    :func:`embedding_near_duplicate_pairs` recall within a cluster is
+    exact.  Choose ``len(centroids)`` so expected cluster size keeps
+    |cluster|² bounded (the paper uses k ≈ n/100); centroids typically
+    come from :func:`verde_spark.operators.clustering.kmeans_fit` (pass
+    ``model.centroids_unit_scale()``) and are small by contract — they
+    enter the plan as literals, never as a shuffled side.
+    """
+    from .similarity import cosine_expr
+
+    sig = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        semantic_cluster_expr(vec_col, centroids).alias("cluster"),
+    )
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "cluster"
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "cluster"
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("__va", "__vb"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cluster", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list | None = None,
+    threshold: float = 0.95,
+    *,
+    k: int = 8,
+    iterations: int = 5,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    keep: str = "edge",
+) -> DataFrame:
+    """Drop semantic near-duplicates, SemDeDup-style: k-means-partition
+    the embedding space, find within-cluster cosine-≥-threshold pairs,
+    connect them into components, keep ONE member per component.
+
+    ``keep="edge"`` (the paper's policy): keep the member FARTHEST from
+    its cluster centroid — low-centroid-similarity examples carry the
+    most marginal information (SemDeDup §3).  ``keep="min_id"``: keep
+    the lowest id (the :func:`dedup_minhash` default policy).  Both tie-
+    break deterministically to min id.
+
+    ``centroids=None`` trains them here with
+    :func:`~verde_spark.operators.clustering.kmeans_fit` (*k*,
+    *iterations*) — pass precomputed centroids to skip the training
+    scans and make the whole operator deterministic code-constants.
+
+    ``id_col`` must be numeric (the :func:`connected_components`
+    contract, same as :func:`dedup_minhash`) — hash string ids first
+    (``xxhash64``).  :func:`semantic_dup_pairs` alone accepts any
+    orderable id type.
+    """
+    if keep not in ("edge", "min_id"):
+        raise ValueError(f"unknown keep policy: {keep!r}")
+    if centroids is None:
+        from .clustering import kmeans_fit
+
+        _, model = kmeans_fit(
+            df, k, iterations, vec_col=vec_col, id_col=id_col
+        )
+        centroids = [[float(x) for x in c] for c in model.centroids_unit_scale()]
+    dups = semantic_dup_pairs(df, centroids, threshold, id_col, vec_col)
+    comp = connected_components(dups.select("id_a", "id_b"))
+    if keep == "min_id":
+        to_drop = _component_drops(df, comp, id_col, None)
+    else:
+        # per-row distance to the OWN cluster's centroid, as one literal
+        # projection; _component_drops keeps the member MAXIMIZING the
+        # keep column, i.e. the farthest-from-centroid "edge" example
+        qv = F.col(vec_col).cast("array<double>")
+        dist_table = F.array(
+            *[
+                _sqdist_expr(qv, F.lit([float(x) for x in c]))
+                for c in centroids
+            ]
+        )
+        own = F.element_at(
+            dist_table, semantic_cluster_expr(vec_col, centroids) + F.lit(1)
+        )
+        aug = df.withColumn("__edge_dist", own)
+        to_drop = _component_drops(aug, comp, id_col, "__edge_dist")
+    return df.join(to_drop, id_col, "left_anti")

@@ -1,0 +1,357 @@
+"""Discriminative quality classifier — the GPT-3/PaLM-style corpus
+filter: a logistic regression trained to tell a small HIGH-QUALITY
+corpus from the raw crawl, then used to score (and gate) every crawl
+page (Brown et al. 2020 §A; the fastText-classifier shape of the LLaMA
+data pipeline).
+
+Reference context: fatiando/verde has no text layer; this module exists
+for the webtext payload (BASELINE.json north rule).  It composes with
+the absolute-rule gates (Gopher/C4/char-LM) and DSIR: the classifier is
+TRAINED to separate corpora, DSIR reweights by distribution closeness,
+the rules are fixed heuristics.
+
+Spark-first shape
+-----------------
+* **Features**: the DSIR hashed word-n-gram buckets
+  (``operators.dsir.dsir_bucket_ids`` — exact mod-prime polynomial,
+  engine-portable) — one ``array<int>`` projection per document.
+* **Training** (:func:`fit_quality_classifier`): full-batch logistic
+  regression.  The labeled corpus is materialized ONCE as
+  ``(bucket_ids, y)`` (eager ``localCheckpoint`` — the hashing never
+  re-runs); each iteration is two bounded aggregations: per-document
+  logits are a serial literal fold (current weights enter the plan as
+  literals), the per-bucket gradient is ``explode → groupBy(bucket)``
+  over ≤ ``num_buckets`` keys, and the bias gradient one global sum.
+  **Bit-reproducible at any parallelism**: gradient contributions are
+  quantized to int64 fixed-point (scale 2⁻²⁰) before the sum — integer
+  addition is associative, so partitioning cannot change the trajectory
+  (the ``operators/clustering`` k-means discipline).  The weight update
+  runs driver-side in Python float64 on the exact integer sums.
+* **Scoring** (:meth:`QualityClassifier.score_expr`): the logit is a
+  pure Catalyst projection — a serial left-fold adding weight LITERALS
+  (Python-computed float64) in document gram order, initialized at the
+  bias — bit-identical under a twin replaying the same fold
+  (:meth:`score_sql`; the charlm/DSIR literal discipline).
+  :meth:`prob_expr` wraps it in a sigmoid for human-readable gating
+  (``exp`` evaluates engine-side — use the logit for value oracles).
+
+Capacity note (documented bound, not a hidden cap): int64 fixed-point
+at scale 2²⁰ accommodates ~2⁴³ ≈ 8·10¹² gram occurrences per gradient
+term per iteration; shard the training set (or raise ``num_buckets``)
+beyond that — the TRAINING set is the small curated side by
+construction (the crawl is only scored, never iterated over).
+
+Python reference parity: :func:`fit_quality_python` replays the same
+trajectory in NumPy; JVM vs libm ``exp`` may differ in the last ulp, so
+training parity is rtol 1e-9 (scoring stays bit-exact — weights are
+literals either way).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dsir import (
+    _DEFAULT_BUCKETS,
+    dsir_bucket_ids,
+    dsir_bucket_ids_sql,
+    reference_bucket_ids,
+)
+
+__all__ = [
+    "QualityClassifier",
+    "EXAMPLE_QUALITY",
+    "fit_quality_classifier",
+    "fit_quality_python",
+    "reference_quality_score",
+    "roc_auc",
+    "roc_auc_components",
+    "reference_roc_auc",
+]
+
+#: fixed-point scale for gradient quantization (2^20): integer sums are
+#: associative → bit-identical at any parallelism
+_SCALE = 1 << 20
+
+
+@dataclass(frozen=True)
+class QualityClassifier:
+    """Trained weights (Python float64 code constants — twin engines
+    embed the identical literals and never re-derive them)."""
+
+    weights: tuple = field(repr=False)
+    bias: float = 0.0
+    num_buckets: int = _DEFAULT_BUCKETS
+    bigrams: bool = True
+
+    def score_expr(self, text: Column | str = "text") -> Column:
+        """Logit score of a document (higher = more like the positive
+        corpus): serial left-fold over gram bucket ids adding weight
+        literals, init = bias.  Pure projection; NULL text → NULL;
+        bit-identical across engines replaying the same fold."""
+        table = F.lit(list(self.weights))
+        ids = dsir_bucket_ids(text, self.num_buckets, self.bigrams)
+        return F.aggregate(
+            ids,
+            F.lit(float(self.bias)),
+            lambda acc, b: acc + F.element_at(table, b + 1),
+        )
+
+    def prob_expr(self, text: Column | str = "text") -> Column:
+        """``sigmoid(logit)`` — the keep-probability form (Brown et al.
+        gate on it).  ``exp`` runs engine-side: fine for gating, use
+        :meth:`score_expr` for cross-engine value oracles."""
+        s = self.score_expr(text)
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
+
+    def score_sql(self, col: str) -> str:
+        """DuckDB twin of :meth:`score_expr` — identical literals,
+        identical fold order (floats quoted per the DECIMAL gotcha)."""
+        lits = ", ".join(f"'{float(x)!r}'::DOUBLE" for x in self.weights)
+        ids = dsir_bucket_ids_sql(col, self.num_buckets, self.bigrams)
+        folded = (
+            f"list_reduce(list_prepend('{float(self.bias)!r}'::DOUBLE, "
+            f"list_transform({ids}, i -> ([{lits}])[i + 1])), "
+            "(acc, x) -> acc + x)"
+        )
+        return f"CASE WHEN {col} IS NULL THEN NULL ELSE {folded} END"
+
+
+def _prepare(
+    pos: DataFrame, neg: DataFrame, text_col: str, num_buckets: int, bigrams: bool
+) -> DataFrame:
+    ids = dsir_bucket_ids(text_col, num_buckets, bigrams)
+    lab = pos.select(ids.alias("__ids"), F.lit(1.0).alias("__y")).unionAll(
+        neg.select(ids.alias("__ids"), F.lit(0.0).alias("__y"))
+    )
+    # drop unscorable docs (null/empty text → null/empty grams)
+    lab = lab.filter(F.coalesce(F.size("__ids"), F.lit(0)) > 0)
+    return lab.localCheckpoint(eager=True)  # hash features exactly once
+
+
+def fit_quality_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    *,
+    text_col: str = "text",
+    num_buckets: int = _DEFAULT_BUCKETS,
+    bigrams: bool = True,
+    iterations: int = 30,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+) -> QualityClassifier:
+    """Fit the classifier on a positive (curated) vs negative (raw
+    crawl sample) corpus pair — full-batch gradient descent, feature
+    hashing, L2 regularization.
+
+    Per iteration: ONE bounded-key shuffle (≤ *num_buckets* gradient
+    rows after map-side partial sums) + one global bias sum; per-doc
+    logits/residuals never leave the executors — only the 2 quantized
+    int64 sums do.  The trajectory is a pure function of the data
+    (int64 fixed-point sums), independent of partitioning.
+    """
+    lab = _prepare(pos, neg, text_col, num_buckets, bigrams)
+    n = lab.count()
+    if n == 0:
+        raise ValueError("no scorable training documents")
+    w = [0.0] * num_buckets
+    b = 0.0
+    for _ in range(int(iterations)):
+        table = F.lit(list(w))
+        logit = F.aggregate(
+            F.col("__ids"),
+            F.lit(float(b)),
+            lambda acc, i: acc + F.element_at(table, i + 1),
+        )
+        resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)) - F.col("__y")
+        q = F.round(resid * F.lit(float(_SCALE))).cast("long")
+        scored = lab.select(F.col("__ids"), q.alias("__q"))
+        grad_rows = (
+            scored.select(F.explode("__ids").alias("bucket"), "__q")
+            .groupBy("bucket")
+            .agg(F.sum("__q").alias("g"))
+            .collect()
+        )
+        bias_sum = scored.agg(F.sum("__q").alias("g")).collect()[0]["g"]
+        g = {r["bucket"]: r["g"] for r in grad_rows}
+        w = [
+            wi - lr * ((g.get(i, 0) / _SCALE) / n + l2 * wi)
+            for i, wi in enumerate(w)
+        ]
+        b = b - lr * (bias_sum / _SCALE) / n
+    lab.unpersist()
+    return QualityClassifier(tuple(w), b, num_buckets, bigrams)
+
+
+# -- pure-Python twin (parity + the import-time EXAMPLE model) -----------
+
+def fit_quality_python(
+    pos_texts,
+    neg_texts,
+    *,
+    num_buckets: int = _DEFAULT_BUCKETS,
+    bigrams: bool = True,
+    iterations: int = 30,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+) -> QualityClassifier:
+    """NumPy-free Python twin of :func:`fit_quality_classifier` — the
+    same quantized-gradient trajectory (libm vs JVM ``exp`` can differ
+    in the last ulp, hence rtol parity in tests, not bit)."""
+    docs = []
+    for texts, y in ((pos_texts, 1.0), (neg_texts, 0.0)):
+        for t in texts:
+            ids = reference_bucket_ids(t, num_buckets, bigrams)
+            if ids:
+                docs.append((ids, y))
+    if not docs:
+        raise ValueError("no scorable training documents")
+    n = len(docs)
+    w = [0.0] * num_buckets
+    b = 0.0
+    for _ in range(int(iterations)):
+        g = {}
+        bias_sum = 0
+        for ids, y in docs:
+            logit = b
+            for i in ids:
+                logit += w[i]
+            r = 1.0 / (1.0 + math.exp(-logit)) - y
+            # Spark F.round = HALF_UP; Python round() is banker's
+            q = math.floor(abs(r) * _SCALE + 0.5)
+            q = q if r >= 0 else -q
+            bias_sum += q
+            for i in ids:
+                g[i] = g.get(i, 0) + q
+        w = [
+            wi - lr * ((g.get(i, 0) / _SCALE) / n + l2 * wi)
+            for i, wi in enumerate(w)
+        ]
+        b = b - lr * (bias_sum / _SCALE) / n
+    return QualityClassifier(tuple(w), b, num_buckets, bigrams)
+
+
+def reference_quality_score(model: QualityClassifier, text) -> float | None:
+    """Single-value Python twin of :meth:`QualityClassifier.score_expr`
+    (same serial fold → bit-identical)."""
+    if text is None:
+        return None
+    ids = reference_bucket_ids(text, model.num_buckets, model.bigrams)
+    acc = float(model.bias)
+    for i in ids:
+        acc += model.weights[i]
+    return acc
+
+
+# -- evaluation: exact ROC AUC -------------------------------------------
+
+def roc_auc_components(
+    df: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """One-row ``(num, n_pos, n_neg)`` with
+    ``AUC = num / (n_pos · n_neg)`` — the Mann-Whitney formulation with
+    the exact tie correction: ``AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻)``.
+
+    Scale shape: rows collapse to DISTINCT SCORES first (one map-side-
+    combinable groupBy), then ONE ordered window cumsum runs over that
+    far smaller table — the corpus itself is never globally sorted.
+    ``num`` is computed in exact integer arithmetic (doubled to absorb
+    the ½-tie term), so the final AUC is one IEEE division of exact
+    counts — engine-portable bit-for-bit.  Null scores/labels are
+    excluded (unscorable docs can't be ranked).
+    """
+    from pyspark.sql import Window
+
+    g = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(F.col(score_col).alias("__s"))
+        .agg(
+            F.sum(F.col(label_col).cast("long")).alias("__pos"),
+            (
+                F.count(F.lit(1)) - F.sum(F.col(label_col).cast("long"))
+            ).alias("__neg"),
+        )
+    )
+    w = (
+        Window.orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per = g.select(
+        "__pos",
+        "__neg",
+        F.coalesce(F.sum("__neg").over(w), F.lit(0)).alias("__below"),
+    )
+    # doubled numerator keeps the ½-tie term integral:
+    #   2·num = Σ pos_s · (2·neg_below + neg_s)
+    return per.agg(
+        F.sum(
+            F.col("__pos") * (F.lit(2) * F.col("__below") + F.col("__neg"))
+        ).alias("num2"),
+        F.sum("__pos").alias("n_pos"),
+        F.sum("__neg").alias("n_neg"),
+    )
+
+
+def roc_auc(
+    df: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> float:
+    """Exact ROC AUC of *score_col* against binary *label_col* (higher
+    score ⇒ more positive) — see :func:`roc_auc_components` for the
+    distributed shape.  The labeled EVAL set is the input by contract;
+    the returned scalar is one row collected."""
+    row = roc_auc_components(df, score_col, label_col).first()
+    if not row or not row["n_pos"] or not row["n_neg"]:
+        raise ValueError("roc_auc needs at least one positive and one negative")
+    return float(row["num2"]) / (2.0 * row["n_pos"] * row["n_neg"])
+
+
+def reference_roc_auc(scores, labels) -> float:
+    """O(n²) Python twin of :func:`roc_auc` (same tie semantics)."""
+    pairs = [
+        (s, y) for s, y in zip(scores, labels) if s is not None and y is not None
+    ]
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    if not pos or not neg:
+        raise ValueError("roc_auc needs at least one positive and one negative")
+    num2 = 0
+    for p in pos:
+        for q in neg:
+            if p > q:
+                num2 += 2
+            elif p == q:
+                num2 += 1
+    return num2 / (2.0 * len(pos) * len(neg))
+
+
+_POS_SEED = [
+    # original curated-prose seeds written for this repo (the charlm/
+    # DSIR EXAMPLE_* pattern: code constants so oracles embed literals)
+    "the survey measured elevation across the river basin and the "
+    "interpolated grid matched the field observations closely",
+    "researchers compared the spline residuals against held out "
+    "stations and reported the cross validation scores in the appendix",
+    "the archive preserves letters journals and maps that describe "
+    "the coastline before the harbor was built",
+    "careful editing keeps each paragraph focused and the argument "
+    "easy to follow from evidence to conclusion",
+]
+_NEG_SEED = [
+    "click here buy now free free free winner winner claim your prize",
+    "casino bonus casino bonus spins spins spins deposit today today",
+    "cheap pills fast shipping no prescription limited offer act now",
+    "follow like subscribe smash that bell button giveaway giveaway",
+]
+
+#: fixed example classifier (trained at import on the embedded seeds —
+#: deterministic pure Python) for driver queries and docs; real
+#: pipelines call fit_quality_classifier on their own corpora.
+EXAMPLE_QUALITY = fit_quality_python(
+    _POS_SEED, _NEG_SEED, num_buckets=256, iterations=25
+)

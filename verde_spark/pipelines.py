@@ -58,6 +58,9 @@ def clean_corpus(
     c4_thresholds: dict | None = None,
     c4_badwords=None,
     max_perplexity: float | None = None,
+    novel_against: DataFrame | None = None,
+    classifier=None,
+    min_classifier_score: float = 0.0,
     lm=None,
 ) -> DataFrame:
     """Standard crawl-cleaning recipe; see module docstring.
@@ -120,6 +123,12 @@ def clean_corpus(
     punctuation + ≥3-words + no-javascript lines re-joined) — the stored
     text column is never rewritten (byte-identity invariant); dedup
     stages keep keying on the stored text.
+
+    ``novel_against`` makes the recipe INCREMENTAL: pass the prior
+    snapshot's content-hash set (``operators.dedup.seen_hashes``) and
+    documents already ingested are dropped by one anti-join on the
+    64-bit hash before the within-batch dedup stages (the rolling-crawl
+    pattern; pair with ``sources.snapshots`` for the storage side).
     """
     if blocklist is not None:
         from .operators.crawl import filter_blocklist
@@ -173,6 +182,16 @@ def clean_corpus(
         # are kept (no signal ≠ bad signal).
         ppl = perplexity_expr(lm or ENGLISH_LM, text_col)
         out = out.filter(ppl.isNull() | (ppl <= F.lit(float(max_perplexity))))
+    if classifier is not None:
+        # discriminative quality gate (operators/quality): keep docs the
+        # trained classifier scores at/above the LOGIT threshold (logit
+        # is monotone in probability and needs no engine-side exp).
+        # Pure literal-fold projection — same codegen'd gate stage;
+        # unscorable (NULL) texts are kept, the LM-gate convention.
+        s = classifier.score_expr(text_col)
+        out = out.filter(
+            s.isNull() | (s >= F.lit(float(min_classifier_score)))
+        )
     if gopher:
         from .functions.text import passes_gopher
 
@@ -198,6 +217,13 @@ def clean_corpus(
             out, benchmark, id_col=url_col, text_col=text_col, n=decontam_ngram
         )
 
+    if novel_against is not None:
+        from .operators.dedup import novel_docs
+
+        # incremental gate: drop docs whose content was in the prior
+        # snapshot (seen_hashes table) — ONE anti-join on the 64-bit
+        # hash before the within-batch dedup stages
+        out = novel_docs(out, novel_against, text_col=text_col)
     if near_dup and id_col is None:
         id_col = "__docid"
         out = out.withColumn(id_col, F.xxhash64(url_col, ts_col))

@@ -124,6 +124,9 @@ def streaming_clean_corpus(
     c4_badwords=None,
     max_perplexity: float | None = None,
     lm=None,
+    novel_against: DataFrame | None = None,
+    classifier=None,
+    min_classifier_score: float = 0.0,
 ) -> DataFrame:
     """The crawl-cleaning recipe as a continuous query — the streaming
     twin of :func:`verde_spark.pipelines.clean_corpus` for WARC batches
@@ -205,6 +208,13 @@ def streaming_clean_corpus(
         gated = gated.filter(
             ppl.isNull() | (ppl <= F.lit(float(max_perplexity)))
         )
+    if classifier is not None:
+        # stateless literal-fold projection, same as the batch recipe's
+        # discriminative gate (logit threshold; NULL scores kept)
+        s = classifier.score_expr(text_col)
+        gated = gated.filter(
+            s.isNull() | (s >= F.lit(float(min_classifier_score)))
+        )
     if gopher:
         from .functions.text import passes_gopher
 
@@ -228,6 +238,14 @@ def streaming_clean_corpus(
         from .operators.decontam import contamination_filter
 
         gated = gated.filter(~contamination_filter(benchmark, text_col=text_col))
+    if novel_against is not None:
+        from .operators.dedup import novel_docs
+
+        # incremental gate vs a STATIC prior-snapshot hash set
+        # (dedup.seen_hashes): a stream-static LEFT-ANTI join on the
+        # 64-bit content hash — stateless and append-safe; pages already
+        # ingested by earlier runs never re-enter the sink
+        gated = novel_docs(gated, novel_against, text_col=text_col)
     out = (
         gated.withColumn("curl", canonical_url(url_col))
         .withWatermark(ts_col, watermark)
