@@ -1873,6 +1873,20 @@ def _q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature / α-sampling rebalance (operators/mixing.
+    temperature_mix, Lample & Conneau 2019 §3.1): shares
+    ``(n_g/N)^α`` normalized, quotas clamped to population, smallest-
+    arithmetic-hash selection.  The DuckDB twin re-derives the quotas IN
+    SQL (ordered left-fold normalizer bit-matching Python's sorted
+    ``sum``) — nothing is passed as a precomputed literal."""
+    from verde_spark.operators.mixing import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = temperature_mix(docs, "lang", total=120, alpha=0.3, id_col="doc_id")
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def _q_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fractional-epoch upsampling (operators/mixing.repeat_weighted):
     the LLaMA-recipe shape — floor(e) copies plus a hash-thresholded
@@ -2136,6 +2150,7 @@ _RETIRED = (
     "quality_lr",            # over-cap: r4 discriminative quality classifier, bit-identical literal-fold twin
     "semdedup_pairs",        # over-cap: r4 SemDeDup cluster-partitioned near-dup pairs, full DuckDB argmin+cosine twin
     "quality_auc",           # over-cap: r4 exact tie-corrected ROC AUC, integer-exact DuckDB twin
+    "temperature_mix",       # over-cap: r4 alpha-sampling rebalance, quota derivation replayed in SQL
 )
 _RETIRED_ORACLES: dict = {}
 
@@ -2177,6 +2192,7 @@ def retired_queries():
         "quality_lr": _q_quality_lr,
         "semdedup_pairs": _q_semdedup_pairs,
         "quality_auc": _q_quality_auc,
+        "temperature_mix": _q_temperature_mix,
     }
 
 
@@ -3339,6 +3355,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM documents", "lang",
             {"en": 0.5, "de": 0.2, "fr": 0.1}, 200,
             id_col="doc_id", select_cols="doc_id, lang",
+        )
+        + " ORDER BY doc_id"
+    )
+    from verde_spark.operators.mixing import (
+        temperature_mix_sql as _temp_sql,
+    )
+
+    oracles["temperature_mix"] = (
+        _temp_sql(
+            "SELECT * FROM documents", "lang", 120,
+            alpha=0.3, id_col="doc_id", select_cols="doc_id, lang",
         )
         + " ORDER BY doc_id"
     )

@@ -52,6 +52,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 ONLY_SCALING = os.environ.get("SPARK_GRAFT_ONLY_SCALING", "0") == "1"
+#: Path to a prior SPARK_GRAFT_ONLY_SCALING=1 output: reuse that campaign's
+#: scaling section instead of re-running ~25 min of interleaved levels (the
+#: campaign already landed in SCALING_HISTORY.json when it ran — reusing it
+#: does NOT append again, so the history stays one-entry-per-campaign).
+SCALING_FROM = os.environ.get("SPARK_GRAFT_SCALING_FROM", "")
 # 5 rounds (was 3): the median-of-paired-ratios estimator rejects 2 bad
 # windows in 5 instead of 1 in 3 — on this co-tenant-noisy VM the extra
 # ~4 min buys the difference between a campaign tracking the engine and
@@ -695,7 +700,14 @@ def main():
     result["flagship_grid_nodes"] = n_nodes
 
     if RUN_SCALING:
-        result["scaling"] = run_scaling()
+        if SCALING_FROM:
+            with open(SCALING_FROM) as f:
+                result["scaling"] = json.load(f)["scaling"]
+            # the pooled stats may predate campaigns recorded since the
+            # reused run finished — recompute from the current history
+            result["scaling"]["pooled"] = _pooled_efficiency()
+        else:
+            result["scaling"] = run_scaling()
         _write_bench_md(result)
 
     print(json.dumps(result))

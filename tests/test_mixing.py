@@ -137,6 +137,70 @@ def test_sample_to_mix_plan_one_window_shuffle(spark, docs):
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
 
+# -- temperature (alpha) sampling -----------------------------------------
+
+def test_temperature_targets_math():
+    from verde_spark.operators.mixing import temperature_targets
+
+    counts = {"en": 800, "de": 150, "fr": 50}
+    nat = temperature_targets(counts, alpha=1.0)
+    assert abs(nat["en"] - 0.8) < 1e-12 and abs(nat["fr"] - 0.05) < 1e-12
+    uni = temperature_targets(counts, alpha=0.0)
+    assert all(abs(v - 1 / 3) < 1e-12 for v in uni.values())
+    t = temperature_targets(counts, alpha=0.3)
+    assert abs(sum(t.values()) - 1.0) < 1e-12
+    # low-resource boost: fr share rises vs natural, en share falls
+    assert t["fr"] > nat["fr"] and t["en"] < nat["en"]
+    # boosted mix preserves the size ordering
+    assert t["en"] > t["de"] > t["fr"]
+    with pytest.raises(ValueError):
+        temperature_targets(counts, alpha=-0.1)
+    with pytest.raises(ValueError):
+        temperature_targets({}, alpha=0.3)
+
+
+def test_temperature_mix_quotas_match_python_replay(spark, docs):
+    from verde_spark.operators.mixing import temperature_mix, temperature_targets
+
+    out = temperature_mix(docs, "lang", total=100, alpha=0.3, id_col="doc_id")
+    got = {}
+    for r in out.select("doc_id", "lang").collect():
+        got.setdefault(r["lang"], []).append(r["doc_id"])
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        if r["lang"] is not None
+    }
+    targets = temperature_targets(counts, 0.3)
+    for g, frac in targets.items():
+        quota = min(int(frac * 100), counts[g])
+        ids = [
+            r["doc_id"]
+            for r in docs.filter(F.col("lang") == g).select("doc_id").collect()
+        ]
+        want = sorted(ids, key=lambda i: (_h(i), i))[:quota]
+        assert sorted(got.get(g, [])) == sorted(want), g
+
+
+def test_temperature_mix_matches_duckdb(spark, docs):
+    from verde_spark.operators.mixing import temperature_mix, temperature_mix_sql
+
+    got = sorted(
+        (r["doc_id"], r["lang"])
+        for r in temperature_mix(
+            docs, "lang", total=120, alpha=0.3, id_col="doc_id"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    sql = temperature_mix_sql(
+        "SELECT * FROM documents", "lang", 120,
+        alpha=0.3, id_col="doc_id", select_cols="doc_id, lang",
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
 # -- CCNet perplexity buckets ---------------------------------------------
 
 def test_perplexity_buckets_rank_matches_duckdb(spark, docs):

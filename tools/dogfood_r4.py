@@ -368,6 +368,17 @@ def main() -> int:
     assert "epoch" in rep.columns
     print("PASS sample_to_mix/repeat_weighted with custom group/id columns")
 
+    from verde_spark.operators.mixing import temperature_mix, temperature_targets
+
+    tmixed = temperature_mix(tagged, "src", total=40, alpha=0.3, id_col="pid")
+    tshares = temperature_targets(
+        {r["src"]: r["n"] for r in tagged.groupBy("src").count().withColumnRenamed("count", "n").collect()},
+        alpha=0.3,
+    )
+    assert abs(sum(tshares.values()) - 1.0) < 1e-12
+    assert tmixed.count() <= 40 and tmixed.count() > 0
+    print("PASS temperature_mix/temperature_targets with custom group/id columns")
+
     # --- vocab + encoding with custom text/id columns -------------------
     from verde_spark.functions.vocab import build_vocab, encode_tokens
 

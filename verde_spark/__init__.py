@@ -60,7 +60,13 @@ from .operators.dedup import drop_duplicate_paragraphs, drop_duplicate_spans
 from .operators.sampling import cap_per_domain
 from .operators.packing import pack_sequences, packing_stats
 from .operators.search import bm25_scores, bm25_topk
-from .operators.mixing import perplexity_buckets, repeat_weighted, sample_to_mix
+from .operators.mixing import (
+    perplexity_buckets,
+    repeat_weighted,
+    sample_to_mix,
+    temperature_mix,
+    temperature_targets,
+)
 from .functions.vocab import build_vocab, encode_tokens
 from .functions.bpe import EXAMPLE_BPE, BpeModel, train_bpe
 from .operators.quality import (
@@ -173,6 +179,8 @@ __all__ = [
     "repeat_weighted",
     "sample_to_mix",
     "perplexity_buckets",
+    "temperature_mix",
+    "temperature_targets",
     "build_vocab",
     "encode_tokens",
     "train_bpe",

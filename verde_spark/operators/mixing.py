@@ -36,6 +36,9 @@ __all__ = [
     "sample_to_mix_sql",
     "perplexity_buckets",
     "perplexity_buckets_sql",
+    "temperature_targets",
+    "temperature_mix",
+    "temperature_mix_sql",
 ]
 
 _HASH_MULT = 2654435761
@@ -67,6 +70,7 @@ def sample_to_mix(
     total: int,
     *,
     id_col: str,
+    counts: dict | None = None,
 ) -> DataFrame:
     """Downsample to a target mix: keep ``floor(targets[g] · total)``
     rows of group *g* (clamped to the group's population; groups not in
@@ -75,19 +79,21 @@ def sample_to_mix(
 
     One tiny count aggregate (collected — one row per group) sizes the
     quotas; one window ranks within groups.  Raises if *targets* don't
-    sum to ≤ 1 + 1e-9.
+    sum to ≤ 1 + 1e-9.  Pass *counts* (a ``{group: n}`` dict) to reuse
+    group counts already collected upstream and skip the count job.
     """
     if not targets:
         raise ValueError("targets must be non-empty")
     s = sum(targets.values())
     if s > 1.0 + 1e-9:
         raise ValueError(f"targets sum to {s} > 1")
-    counts = {
-        r["g"]: r["n"]
-        for r in df.groupBy(F.col(group_col).alias("g"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    if counts is None:
+        counts = {
+            r["g"]: r["n"]
+            for r in df.groupBy(F.col(group_col).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     quotas = {
         g: min(int(frac * total), counts.get(g, 0))
         for g, frac in targets.items()
@@ -141,6 +147,111 @@ def sample_to_mix_sql(
         )
         SELECT {select_cols} FROM ranked
         WHERE rk <= (CASE {group_col} {when} ELSE 0 END)
+    """
+
+
+def temperature_targets(counts: dict, alpha: float = 0.3) -> dict[str, float]:
+    """Temperature / α-sampling target shares (Lample & Conneau 2019
+    §3.1, the multilingual-LM rebalancing rule): group *g* gets share
+    ``(n_g/N)^α / Σ_h (n_h/N)^α``.  α=1 preserves the natural mix, α=0
+    makes it uniform; the standard low-resource boost is α≈0.3.  Pure
+    driver float64 arithmetic on the (tiny) group-count dict, evaluated
+    in SORTED group order so the normalizer's float left-fold is
+    bit-reproducible — :func:`temperature_mix_sql` replays the identical
+    arithmetic (libm ``pow``, ordered ``list_reduce`` fold) in DuckDB."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    n = sum(counts.values())
+    if n <= 0:
+        raise ValueError("counts must contain at least one positive group")
+    p = {g: (counts[g] / n) ** alpha for g in sorted(counts) if counts[g] > 0}
+    z = sum(p.values())
+    return {g: v / z for g, v in p.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    total: int,
+    *,
+    alpha: float = 0.3,
+    id_col: str,
+) -> DataFrame:
+    """Rebalance to the α-sampling mix: one count aggregate sizes the
+    (tiny) group-count dict, :func:`temperature_targets` turns it into
+    shares, :func:`sample_to_mix` applies them — same two-job shape as
+    a manual-targets mix (count agg + ONE hash-partition window), same
+    determinism (arithmetic id hash, reproducible at any parallelism).
+
+    Quotas clamp to each group's population (a low-resource group whose
+    boosted share exceeds its size keeps every row); pair with
+    :func:`repeat_weighted` when the recipe calls for genuine
+    upsampling instead of a capped draw.  NULL-group rows are excluded
+    from both the counts and the output (both engines agree: a NULL key
+    never equi-joins / never matches a CASE arm).
+    """
+    counts = {
+        r["g"]: r["n"]
+        for r in df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    targets = temperature_targets(counts, alpha)
+    return sample_to_mix(
+        df, group_col, targets, total, id_col=id_col, counts=counts
+    )
+
+
+def temperature_mix_sql(
+    src_sql: str,
+    group_col: str,
+    total: int,
+    *,
+    alpha: float = 0.3,
+    id_col: str,
+    select_cols: str,
+) -> str:
+    """DuckDB twin of :func:`temperature_mix` — the quota derivation is
+    replayed IN SQL (not passed as literals): counts → ``pow(n_g/N, α)``
+    → normalizer as an ordered ``list_reduce`` left-fold (bit-matching
+    Python's ``sum`` over sorted groups) → ``floor(share·total)`` clamped
+    to the population — then the same smallest-hash window selection as
+    :func:`sample_to_mix_sql`."""
+    return f"""
+        WITH src AS ({src_sql}),
+        cnt AS (
+          SELECT {group_col} AS g, CAST(count(*) AS BIGINT) AS grp_n
+          FROM src WHERE {group_col} IS NOT NULL GROUP BY 1
+        ),
+        p AS (
+          SELECT g, grp_n,
+                 pow(CAST(grp_n AS DOUBLE)
+                     / CAST((SELECT sum(grp_n) FROM cnt) AS DOUBLE),
+                     {alpha!r}) AS pg
+          FROM cnt
+        ),
+        z AS (
+          SELECT list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE), list(pg ORDER BY g)),
+                   (x, y) -> x + y) AS z
+          FROM p
+        ),
+        quota AS (
+          SELECT g,
+                 least(CAST(floor(pg / (SELECT z FROM z) * {total})
+                            AS BIGINT), grp_n) AS q
+          FROM p
+        ),
+        ranked AS (
+          SELECT src.*, quota.q,
+                 row_number() OVER (
+                   PARTITION BY src.{group_col}
+                   ORDER BY {_hash_sql(f"src.{id_col}")}, src.{id_col}
+                 ) AS rk
+          FROM src JOIN quota ON quota.g = src.{group_col}
+        )
+        SELECT {select_cols} FROM ranked WHERE rk <= q
     """
 
 
