@@ -1887,6 +1887,28 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def _q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter frontier gate (operators/bloom): a 4096-bit / 5-hash
+    filter built from the even-doc_id half's text (Kirsch–Mitzenmacher
+    positions from two mod-prime codepoint folds, 32-bit word packing
+    via one bounded bit_or agg), then every document flagged
+    maybe-seen / definitely-new through k broadcast joins — the probe
+    side never shuffles.  The DuckDB twin rebuilds the filter AND the
+    flags bit-for-bit, false positives included."""
+    from verde_spark.operators.bloom import bloom_might_contain, build_bloom
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bloom = build_bloom(
+        docs.filter(F.col("doc_id") % 2 == 0).select("text"),
+        "text", num_bits=4096, num_hashes=5,
+    )
+    out = bloom_might_contain(
+        docs.select("doc_id", "text"), bloom, "text",
+        num_bits=4096, num_hashes=5, engine="join",
+    )
+    return out.select("doc_id", "maybe_seen").orderBy("doc_id")
+
+
 def _q_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fractional-epoch upsampling (operators/mixing.repeat_weighted):
     the LLaMA-recipe shape — floor(e) copies plus a hash-thresholded
@@ -2151,6 +2173,7 @@ _RETIRED = (
     "semdedup_pairs",        # over-cap: r4 SemDeDup cluster-partitioned near-dup pairs, full DuckDB argmin+cosine twin
     "quality_auc",           # over-cap: r4 exact tie-corrected ROC AUC, integer-exact DuckDB twin
     "temperature_mix",       # over-cap: r4 alpha-sampling rebalance, quota derivation replayed in SQL
+    "bloom_gate",            # over-cap: r4 distributed Bloom filter, build+flags replayed bit-exactly in SQL
 )
 _RETIRED_ORACLES: dict = {}
 
@@ -2193,6 +2216,7 @@ def retired_queries():
         "semdedup_pairs": _q_semdedup_pairs,
         "quality_auc": _q_quality_auc,
         "temperature_mix": _q_temperature_mix,
+        "bloom_gate": _q_bloom_gate,
     }
 
 
@@ -3366,6 +3390,22 @@ def oracle_sql() -> dict[str, str]:
         _temp_sql(
             "SELECT * FROM documents", "lang", 120,
             alpha=0.3, id_col="doc_id", select_cols="doc_id, lang",
+        )
+        + " ORDER BY doc_id"
+    )
+    from verde_spark.operators.bloom import (
+        bloom_contains_sql as _bloom_c_sql,
+        build_bloom_sql as _bloom_b_sql,
+    )
+
+    oracles["bloom_gate"] = (
+        _bloom_c_sql(
+            "SELECT doc_id, text FROM documents",
+            _bloom_b_sql(
+                "SELECT text FROM documents WHERE doc_id % 2 = 0",
+                "text", num_bits=4096, num_hashes=5,
+            ),
+            "text", num_bits=4096, num_hashes=5, select_cols="doc_id",
         )
         + " ORDER BY doc_id"
     )

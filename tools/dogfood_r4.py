@@ -379,6 +379,26 @@ def main() -> int:
     assert tmixed.count() <= 40 and tmixed.count() > 0
     print("PASS temperature_mix/temperature_targets with custom group/id columns")
 
+    from verde_spark.operators.bloom import (
+        bloom_might_contain, bloom_parameters, build_bloom,
+    )
+    from verde_spark.operators.dedup import novel_docs, seen_hashes
+
+    m, k = bloom_parameters(tagged.count(), 0.01)
+    blm = build_bloom(tagged.select("body"), "body", num_bits=m, num_hashes=k)
+    flags = bloom_might_contain(
+        tagged.select("pid", "body"), blm, "body",
+        num_bits=m, num_hashes=k, result_col="hit",
+    )
+    assert flags.filter(~F.col("hit")).count() == 0  # no false negatives
+    seen_b = seen_hashes(tagged.filter(F.col("pid") % 2 == 0), text_col="body")
+    plain_n = novel_docs(tagged, seen_b, text_col="body").count()
+    bloom_n = novel_docs(
+        tagged, seen_b, text_col="body", bloom_num_bits=8192
+    ).count()
+    assert plain_n == bloom_n
+    print("PASS build_bloom/bloom_might_contain + novel_docs bloom prefilter on custom columns")
+
     # --- vocab + encoding with custom text/id columns -------------------
     from verde_spark.functions.vocab import build_vocab, encode_tokens
 

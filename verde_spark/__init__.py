@@ -67,6 +67,11 @@ from .operators.mixing import (
     temperature_mix,
     temperature_targets,
 )
+from .operators.bloom import (
+    bloom_might_contain,
+    bloom_parameters,
+    build_bloom,
+)
 from .functions.vocab import build_vocab, encode_tokens
 from .functions.bpe import EXAMPLE_BPE, BpeModel, train_bpe
 from .operators.quality import (
@@ -181,6 +186,9 @@ __all__ = [
     "perplexity_buckets",
     "temperature_mix",
     "temperature_targets",
+    "bloom_parameters",
+    "build_bloom",
+    "bloom_might_contain",
     "build_vocab",
     "encode_tokens",
     "train_bpe",

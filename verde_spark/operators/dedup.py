@@ -1065,6 +1065,8 @@ def novel_docs(
     *,
     text_col: str = "text",
     broadcast_threshold: int | None = None,
+    bloom_num_bits: int | None = None,
+    bloom_num_hashes: int = 5,
 ) -> DataFrame:
     """Incremental exact dedup: keep only documents whose text content
     was NOT in *seen* (a ``text_hash`` table from :func:`seen_hashes`,
@@ -1078,9 +1080,42 @@ def novel_docs(
     ``seen.count() <= threshold`` the anti-join broadcasts and the
     corpus side never moves (the documented collect-free small-side
     contract — only a count is evaluated on the driver).
+
+    When the seen-set is too big to broadcast exactly but its BLOOM
+    FILTER isn't (the 10^12-page frontier case), pass *bloom_num_bits*:
+    a Bloom filter of the seen hashes (``operators/bloom.build_bloom``)
+    prefilters the corpus with broadcast joins — rows the filter calls
+    DEFINITELY-new (no false negatives, the tested law) bypass the
+    anti-join entirely and never shuffle; only the maybe-seen sliver
+    (true dups + the ~fpp false positives) pays the exact join.  The
+    result set is IDENTICAL to the plain path (law-tested) — the bloom
+    changes the plan, never the answer.
     """
     keyed = df.withColumn("__h", F.xxhash64(F.col(text_col)))
     dim = seen.select(F.col("text_hash").alias("__h"))
+    if bloom_num_bits is not None:
+        from .bloom import bloom_might_contain, build_bloom
+
+        bloom = build_bloom(
+            seen.select(F.col("text_hash").alias("__h")),
+            "__h",
+            num_bits=bloom_num_bits,
+            num_hashes=bloom_num_hashes,
+        )
+        flagged = bloom_might_contain(
+            keyed, bloom, "__h",
+            num_bits=bloom_num_bits, num_hashes=bloom_num_hashes,
+            result_col="__maybe", engine="join",
+        )
+        fresh = flagged.filter(~F.col("__maybe")).drop("__maybe")
+        sliver = flagged.filter(F.col("__maybe")).drop("__maybe")
+        if broadcast_threshold is not None and dim.count() <= int(
+            broadcast_threshold
+        ):
+            dim = F.broadcast(dim)
+        return fresh.unionByName(
+            sliver.join(dim, "__h", "left_anti")
+        ).drop("__h")
     if broadcast_threshold is not None and dim.count() <= int(broadcast_threshold):
         dim = F.broadcast(dim)
     return keyed.join(dim, "__h", "left_anti").drop("__h")
