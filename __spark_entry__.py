@@ -1909,6 +1909,28 @@ def _q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "maybe_seen").orderBy("doc_id")
 
 
+def _q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style normalized exact dedup (functions/normalize +
+    operators/dedup.dedup_exact(key=)): documents collapse on the
+    normalized form (lowercase, accents stripped, digits zeroed,
+    punctuation unified — ONE translate + one space-collapse, a single
+    codegen projection), min-doc_id survivor per normalized key, one
+    window shuffle.  The DuckDB twin replays the normalization
+    bit-for-bit and windows on the normalized string itself."""
+    from verde_spark.functions.normalize import (
+        normalize_text, normalized_fingerprint,
+    )
+    from verde_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup_exact(
+        docs.select("doc_id", "text"), key=normalized_fingerprint("text")
+    )
+    return out.select(
+        "doc_id", normalize_text("text").alias("norm_text")
+    ).orderBy("doc_id")
+
+
 def _q_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fractional-epoch upsampling (operators/mixing.repeat_weighted):
     the LLaMA-recipe shape — floor(e) copies plus a hash-thresholded
@@ -2174,6 +2196,7 @@ _RETIRED = (
     "quality_auc",           # over-cap: r4 exact tie-corrected ROC AUC, integer-exact DuckDB twin
     "temperature_mix",       # over-cap: r4 alpha-sampling rebalance, quota derivation replayed in SQL
     "bloom_gate",            # over-cap: r4 distributed Bloom filter, build+flags replayed bit-exactly in SQL
+    "normalized_dedup",      # over-cap: r4 CCNet-normalized exact dedup, normalization replayed bit-exactly in SQL
 )
 _RETIRED_ORACLES: dict = {}
 
@@ -2217,6 +2240,7 @@ def retired_queries():
         "quality_auc": _q_quality_auc,
         "temperature_mix": _q_temperature_mix,
         "bloom_gate": _q_bloom_gate,
+        "normalized_dedup": _q_normalized_dedup,
     }
 
 
@@ -3408,6 +3432,16 @@ def oracle_sql() -> dict[str, str]:
             "text", num_bits=4096, num_hashes=5, select_cols="doc_id",
         )
         + " ORDER BY doc_id"
+    )
+    from verde_spark.functions.normalize import normalize_sql as _norm_sql
+
+    _nexpr = _norm_sql("text")
+    oracles["normalized_dedup"] = (
+        f"SELECT doc_id, {_nexpr} AS norm_text FROM ("
+        f"  SELECT doc_id, text, row_number() OVER ("
+        f"    PARTITION BY {_nexpr} ORDER BY doc_id) AS rn"
+        f"  FROM documents"
+        f") WHERE rn = 1 ORDER BY doc_id"
     )
     oracles["repeat_epochs"] = (
         _repeat_sql(

@@ -399,6 +399,31 @@ def main() -> int:
     assert plain_n == bloom_n
     print("PASS build_bloom/bloom_might_contain + novel_docs bloom prefilter on custom columns")
 
+    from verde_spark.functions.normalize import (
+        normalize_text, normalized_fingerprint, reference_normalize,
+    )
+    from verde_spark.operators.dedup import dedup_exact
+
+    nd = spark.createDataFrame(
+        [(10, "Visit Café 42"), (20, "VISIT  cafe 99"), (30, "other page")],
+        "pid long, body string",
+    )
+    got = {
+        r["pid"]: r["n"]
+        for r in nd.select("pid", normalize_text("body").alias("n")).collect()
+    }
+    assert got[10] == reference_normalize("Visit Café 42") == "visit cafe 00"
+    assert got[10] == got[20]
+    kept = dedup_exact(nd, id_col="pid", text_col="body",
+                       key=normalized_fingerprint("body"))
+    assert sorted(r["pid"] for r in kept.collect()) == [10, 30]
+    cc_norm = clean_corpus(
+        pages.limit(200), url_col="page_url", ts_col="fetched_at",
+        text_col="body", min_tokens=2, normalize_dedup=True,
+    )
+    assert cc_norm.count() > 0 and "body" in cc_norm.columns
+    print("PASS normalize_text/normalized_fingerprint + clean_corpus(normalize_dedup) on custom columns")
+
     # --- vocab + encoding with custom text/id columns -------------------
     from verde_spark.functions.vocab import build_vocab, encode_tokens
 

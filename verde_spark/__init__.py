@@ -72,6 +72,10 @@ from .operators.bloom import (
     bloom_parameters,
     build_bloom,
 )
+from .functions.normalize import (
+    normalize_text,
+    normalized_fingerprint,
+)
 from .functions.vocab import build_vocab, encode_tokens
 from .functions.bpe import EXAMPLE_BPE, BpeModel, train_bpe
 from .operators.quality import (
@@ -189,6 +193,8 @@ __all__ = [
     "bloom_parameters",
     "build_bloom",
     "bloom_might_contain",
+    "normalize_text",
+    "normalized_fingerprint",
     "build_vocab",
     "encode_tokens",
     "train_bpe",

@@ -45,14 +45,27 @@ def exact_duplicates(
     )
 
 
-def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def dedup_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: Column | None = None,
+) -> DataFrame:
     """Keep the min-id representative of each distinct text.
 
     ``row_number`` over the hash (single shuffle) rather than a self-join;
     AQE handles hash skew (a viral duplicated page = one hot key) and the
     window sorts only within each hash group.
+
+    ``key`` overrides the dedup key expression (default: xxhash64 of the
+    raw text) — e.g. ``normalized_fingerprint(text_col)`` collapses
+    case/punctuation/digit variants of the same page
+    (``functions.normalize``, the CCNet rule).  A key expression keeps
+    the whole thing one window shuffle: the key computes map-side.
     """
-    win = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
+    win = Window.partitionBy(
+        key if key is not None else fingerprint(text_col)
+    ).orderBy(F.col(id_col).asc())
     return df.withColumn("__rn", F.row_number().over(win)).filter(F.col("__rn") == 1).drop("__rn")
 
 

@@ -43,6 +43,7 @@ def clean_corpus(
     max_repetition: float = 0.5,
     min_quality: float = 0.0,
     near_dup: bool = False,
+    normalize_dedup: bool = False,
     id_col: str | None = None,
     benchmark: DataFrame | None = None,
     decontam_ngram: int = 13,
@@ -78,6 +79,11 @@ def clean_corpus(
       column: documents sharing a ``decontam_ngram``-word gram with it
       are dropped (``operators.decontam.decontaminate``, the C4-style
       13-gram rule; broadcast join, zero extra corpus shuffles),
+    * ``normalize_dedup=True`` — the exact-dedup stage keys on the
+      CCNet-normalized form (``functions.normalize``: lowercase,
+      accents stripped, digits zeroed, punctuation unified) instead of
+      the raw bytes, so trivial variants of a page collapse to one
+      representative; still one window shuffle, key computed map-side,
     * ``redact=True`` — PII scrub (emails/IPv4/phones → tokens) into a
       NEW ``<text_col>_clean`` column (``functions.pii.redact_pii``; the
       text column is never rewritten — byte-identity invariant),
@@ -227,7 +233,18 @@ def clean_corpus(
     if near_dup and id_col is None:
         id_col = "__docid"
         out = out.withColumn(id_col, F.xxhash64(url_col, ts_col))
-    out = dedup_exact(out, id_col=id_col or url_col, text_col=text_col)
+    dedup_key = None
+    if normalize_dedup:
+        from .functions.normalize import normalized_fingerprint
+
+        # CCNet rule: dedup on the normalized form (lowercase, accents
+        # stripped, digits zeroed, punctuation unified) so trivial
+        # variants of a page collapse — still ONE window shuffle, the
+        # key computes map-side; the stored text is never rewritten
+        dedup_key = normalized_fingerprint(text_col)
+    out = dedup_exact(
+        out, id_col=id_col or url_col, text_col=text_col, key=dedup_key
+    )
     if near_dup:
         out = dedup_minhash(out, id_col=id_col, text_col=text_col)
         if id_col == "__docid":
