@@ -240,6 +240,50 @@ def test_streaming_clean_corpus(spark, tmp_path):
     assert n == batch_n == 10
 
 
+def test_streaming_clean_corpus_normalize_dedup(spark, tmp_path):
+    """normalize_dedup=True keys the content-dedup state on the
+    CCNet-normalized fingerprint: case/digit variants of one page
+    collapse in the stream exactly as in the batch recipe."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.pipelines import clean_corpus
+    from verde_spark.streaming import streaming_clean_corpus
+
+    base = "the cat sat on the mat and it is a fine day for walking"
+    rows = [
+        ("http://a.com/1", "2024-01-01 00:00:01", base + " 111"),
+        ("http://b.com/2", "2024-01-01 00:00:02", base.upper() + " 999"),
+        ("http://c.com/3", "2024-01-01 00:00:03",
+         "an entirely different page about the cat and the mat today"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    path = str(tmp_path / "pages_norm")
+    df.write.mode("append").parquet(path)
+
+    stored = spark.read.parquet(path)
+    batch_n = clean_corpus(
+        stored, min_tokens=5, min_stopword_ratio=0.2, normalize_dedup=True
+    ).count()
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string"
+    ).parquet(path)
+    out = streaming_clean_corpus(
+        stream, watermark="1 hour", min_tokens=5,
+        min_stopword_ratio=0.2, normalize_dedup=True,
+    )
+    run_to_memory(out, "clean_stream_norm", mode="append")
+    n = spark.sql("select count(*) c from clean_stream_norm").first()["c"]
+    assert n == batch_n == 2
+    # and without the flag the variants both survive
+    plain_n = clean_corpus(
+        stored, min_tokens=5, min_stopword_ratio=0.2
+    ).count()
+    assert plain_n == 3
+
+
 def test_streaming_clean_corpus_decontam_and_redact(spark, tmp_path):
     """Round-4 stages in the streaming twin: benchmark decontamination as
     a stateless projection filter + PII redaction column — survivor set

@@ -127,10 +127,16 @@ def streaming_clean_corpus(
     novel_against: DataFrame | None = None,
     classifier=None,
     min_classifier_score: float = 0.0,
+    normalize_dedup: bool = False,
 ) -> DataFrame:
     """The crawl-cleaning recipe as a continuous query — the streaming
     twin of :func:`verde_spark.pipelines.clean_corpus` for WARC batches
     arriving over time.
+
+    ``normalize_dedup=True`` mirrors the batch recipe: the exact-dedup
+    state keys on the CCNet-normalized fingerprint
+    (``functions.normalize``) instead of the raw-text hash — still one
+    stateful operator, the key computes statelessly per row.
 
     The quality gates are stateless projections (stream-safe as-is);
     dedup becomes two chained ``dropDuplicatesWithinWatermark`` stages
@@ -246,11 +252,17 @@ def streaming_clean_corpus(
         # 64-bit content hash — stateless and append-safe; pages already
         # ingested by earlier runs never re-enter the sink
         gated = novel_docs(gated, novel_against, text_col=text_col)
+    if normalize_dedup:
+        from .functions.normalize import normalized_fingerprint
+
+        key = normalized_fingerprint(text_col)
+    else:
+        key = fingerprint(text_col)
     out = (
         gated.withColumn("curl", canonical_url(url_col))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["curl"])
-        .withColumn("text_hash", fingerprint(text_col))
+        .withColumn("text_hash", key)
         .dropDuplicatesWithinWatermark(["text_hash"])
     )
     if redact:
