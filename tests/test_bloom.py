@@ -238,3 +238,27 @@ def test_validation(spark, docs, bloom):
             docs.select(F.lit(1.5).alias("d")), "d",
             num_bits=1024, num_hashes=3,
         )
+
+
+def test_probe_reserved_column_clash_raises(spark):
+    """ADVICE r4: a probe already carrying a working-column name must
+    raise instead of silently losing the column."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from verde_spark.operators.bloom import bloom_might_contain, build_bloom
+
+    keys = spark.createDataFrame([(i,) for i in range(16)], "k long")
+    bloom = build_bloom(keys, "k", num_bits=1 << 12)
+    for col in ("__bpos", "__bw0", "__bv2"):
+        probe = keys.withColumn(col, F.lit(1))
+        with pytest.raises(ValueError, match=col):
+            bloom_might_contain(
+                probe, bloom, "k", num_bits=1 << 12, engine="join"
+            )
+    # literal engine only reserves __bpos — __bw/__bv names are fine there
+    probe = keys.withColumn("__bw0", F.lit(1))
+    out = bloom_might_contain(
+        probe, bloom, "k", num_bits=1 << 12, engine="literal"
+    )
+    assert "__bw0" in out.columns

@@ -244,3 +244,79 @@ def test_roc_auc_duckdb_twin(spark):
         FROM p
     """).fetchone()[0]
     assert got == want
+
+
+def test_roc_auc_chunk_and_partition_invariance(spark):
+    """The chunked two-level cumsum (VERDICT r4 #1) is exact: integer
+    components are identical for any chunk count and any input
+    partitioning, including heavy score ties."""
+    import random
+
+    from verde_spark.operators.quality import roc_auc_components
+
+    rng = random.Random(13)
+    rows = [(round(rng.gauss(y, 1.0), 1), y) for y in (0, 1) * 1500]
+    df = spark.createDataFrame(rows, "score double, label int")
+    base = roc_auc_components(df, chunks=1).first()
+    for chunks, parts in ((2, 1), (32, 7), (64, 13), (997, 3)):
+        got = roc_auc_components(df.repartition(parts), chunks=chunks).first()
+        assert (got["num2"], got["n_pos"], got["n_neg"]) == (
+            base["num2"], base["n_pos"], base["n_neg"]
+        ), (chunks, parts)
+
+
+def test_roc_auc_window_is_partitioned(spark):
+    """Plan shape: the distinct-score cumsum window must carry a
+    partition spec (__ck) — the only SinglePartition window is the
+    ≤-chunks-row offsets table (VERDICT r4 #1)."""
+    from verde_spark.operators.quality import roc_auc_components
+
+    df = spark.createDataFrame(
+        [(float(i % 97) / 7.0, i % 2) for i in range(500)],
+        "score double, label int",
+    )
+    plan = (
+        roc_auc_components(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the big window is hash-partitioned on the chunk id
+    assert "hashpartitioning(__ck" in plan, plan
+    # every Window that orders by the score column must be partitioned by
+    # __ck (the only unpartitioned window is the ≤-chunks-row offsets
+    # cumsum, which never touches __s)
+    for line in plan.splitlines():
+        if "Window [" in line and "__s#" in line:
+            assert "windowspecdefinition(__ck#" in line, line
+
+
+def test_score_udf_matches_fold(spark):
+    """Arrow fast path (VERDICT r4 next-round #7): the shared
+    hashed-bucket kernel with init=bias matches the Catalyst literal
+    fold to float64 summation-order tolerance, incl. null/empty."""
+    import pytest as _pytest
+
+    from verde_spark.operators.quality import EXAMPLE_QUALITY
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "click here buy now free offer winner casino jackpot",
+        "",
+        None,
+        "word",
+        "ünïcödé text with açcents and the usual prose rhythm",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    rows = df.select(
+        "i",
+        EXAMPLE_QUALITY.score_expr("text").alias("fold"),
+        EXAMPLE_QUALITY.score_udf("text").alias("arrow"),
+    ).collect()
+    for r in rows:
+        if r["fold"] is None:
+            assert r["arrow"] is None
+        else:
+            assert r["arrow"] == _pytest.approx(r["fold"], rel=1e-12, abs=1e-12)

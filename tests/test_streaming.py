@@ -553,3 +553,60 @@ def test_streaming_clean_corpus_novel_gate(spark, tmp_path):
         for r in spark.sql("select url from novel_stream").collect()
     }
     assert got == batch_urls
+
+
+def test_streaming_normalize_dedup_keeps_raw_text_hash(spark, tmp_path):
+    """ADVICE r4: with normalize_dedup=True the sink's text_hash must
+    STAY the raw-content hash (interchangeable with dedup.seen_hashes /
+    novel_docs), and the normalized key lives in a separate norm_hash
+    column that only the dedup state uses."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.functions.normalize import normalized_fingerprint
+    from verde_spark.operators.dedup import seen_hashes
+    from verde_spark.streaming import run_to_memory, streaming_clean_corpus
+
+    base = "the cat sat on the mat and it is a fine day for walking"
+    rows = [
+        ("http://a.com/1", "2024-01-01 00:00:01", base + " 111"),
+        ("http://b.com/2", "2024-01-01 00:00:02", base.upper() + " 999"),
+        ("http://c.com/3", "2024-01-01 00:00:03",
+         "an entirely different page about the cat and the mat today"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    path = str(tmp_path / "pages_rawhash")
+    df.write.mode("append").parquet(path)
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string"
+    ).parquet(path)
+    out = streaming_clean_corpus(
+        stream, watermark="1 hour", min_tokens=5,
+        min_stopword_ratio=0.2, normalize_dedup=True,
+    )
+    run_to_memory(out, "rawhash_sink", mode="append")
+    sink = spark.sql("select * from rawhash_sink")
+    assert {"text_hash", "norm_hash"} <= set(sink.columns)
+    got = sink.select("text", "text_hash", "norm_hash").collect()
+    raw = {r["text_hash"] for r in seen_hashes(df).collect()}
+    for r in got:
+        # text_hash == xxhash64(raw text): feeds novel_against directly
+        assert r["text_hash"] in raw
+    # norm_hash is the CCNet-normalized fingerprint of the kept text
+    want_norm = {
+        r["text"]: r["nh"]
+        for r in df.select(
+            "text", normalized_fingerprint("text").alias("nh")
+        ).collect()
+    }
+    for r in got:
+        assert r["norm_hash"] == want_norm[r["text"]]
+    # and without the flag there is no norm_hash column
+    stream2 = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string"
+    ).parquet(path)
+    out2 = streaming_clean_corpus(
+        stream2, watermark="1 hour", min_tokens=5, min_stopword_ratio=0.2
+    )
+    assert "norm_hash" not in out2.columns

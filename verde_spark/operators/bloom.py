@@ -212,6 +212,19 @@ def bloom_might_contain(
         engine = "literal" if num_bits <= (1 << 17) else "join"
     if engine not in ("join", "literal"):
         raise ValueError(f"unknown engine {engine!r}")
+    # the probe must not already carry a working-column name — withColumn
+    # would silently overwrite it and the final drop would remove it from
+    # the output (ADVICE r4)
+    reserved = {"__bpos"}
+    if engine == "join":
+        reserved |= {f"__bw{i}" for i in range(num_hashes)}
+        reserved |= {f"__bv{i}" for i in range(num_hashes)}
+    clash = reserved & set(probe.columns)
+    if clash:
+        raise ValueError(
+            f"probe already has reserved working column(s) {sorted(clash)}; "
+            "rename them before calling bloom_might_contain"
+        )
     key = F.col(col)
     pos = _positions(key, _is_string(probe, col), num_bits, num_hashes)
     out = probe.withColumn("__bpos", pos)

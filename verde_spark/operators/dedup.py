@@ -1120,8 +1120,13 @@ def novel_docs(
             num_bits=bloom_num_bits, num_hashes=bloom_num_hashes,
             result_col="__maybe", engine="join",
         )
-        fresh = flagged.filter(~F.col("__maybe")).drop("__maybe")
-        sliver = flagged.filter(F.col("__maybe")).drop("__maybe")
+        # NULL flag (NULL key → bloom_might_contain returns NULL) routes
+        # to the exact-join sliver, not out of existence — __h is never
+        # NULL today (xxhash64), but the split must not silently drop
+        # rows if the key expression ever changes (ADVICE r4)
+        maybe = F.coalesce(F.col("__maybe"), F.lit(True))
+        fresh = flagged.filter(~maybe).drop("__maybe")
+        sliver = flagged.filter(maybe).drop("__maybe")
         if broadcast_threshold is not None and dim.count() <= int(
             broadcast_threshold
         ):

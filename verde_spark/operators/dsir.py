@@ -66,6 +66,7 @@ __all__ = [
     "dsir_bucket_ids_sql",
     "dsir_resample",
     "dsir_weight_udf",
+    "hashed_bucket_fold_udf",
     "fit_dsir",
     "reference_bucket_ids",
     "reference_weight",
@@ -313,6 +314,22 @@ def dsir_weight_udf(model: DsirModel):
     ulp-level diffs from summation order only — the charlm_logprob_udf
     discipline).  Usage: ``df.select(dsir_weight_udf(m)("text"))``.
 
+    See :func:`hashed_bucket_fold_udf` for the vectorization shape; the
+    quality classifier's Arrow path reuses the same kernel."""
+    return hashed_bucket_fold_udf(
+        model.log_ratio, model.num_buckets, model.bigrams, init=0.0
+    )
+
+
+def hashed_bucket_fold_udf(
+    table, num_buckets: int, bigrams: bool, init: float = 0.0
+):
+    """Shared Arrow kernel: per document, ``init + Σ table[bucket_id]``
+    over the DSIR hashed word-n-gram buckets — the vectorized twin of
+    any serial literal fold over ``dsir_bucket_ids`` (DSIR weights:
+    ``init=0``; quality logit: ``init=bias`` — both ulp-level vs their
+    Catalyst folds, from summation order only).
+
     Vectorization shape (per Arrow batch, no per-gram Python):
     the batch's lowered texts join into ONE string (ws separator), one
     utf-32 encode gives the codepoint array, word spans come from the
@@ -328,16 +345,16 @@ def dsir_weight_udf(model: DsirModel):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    lr = np.asarray(model.log_ratio, dtype=np.float64)
-    nb = model.num_buckets
-    bigrams = model.bigrams
+    lr = np.asarray(table, dtype=np.float64)
+    nb = int(num_buckets)
+    init = float(init)
     ws_codes = np.array([0x20, 0x09, 0x0A, 0x0B, 0x0C, 0x0D], dtype=np.uint32)
 
     @pandas_udf("double")
     def _weights(s):  # (pd.Series) -> pd.Series; hints stringified by
         # `from __future__ import annotations` confuse the udf inspector
         notnull = s.notna().to_numpy()
-        out = np.zeros(len(s), dtype=np.float64)
+        out = np.full(len(s), init, dtype=np.float64)
         texts = [t.lower() for t in s[notnull]]
         if texts:
             lens = np.fromiter((len(t) for t in texts), dtype=np.int64)
@@ -390,7 +407,7 @@ def dsir_weight_udf(model: DsirModel):
                 acc += np.bincount(
                     doc_of[1:][same], weights=lr[hb % nb], minlength=n_docs
                 )
-            out[notnull] = acc
+            out[notnull] = acc + init
         res = pd.Series(out, dtype="Float64")
         res[~notnull] = pd.NA
         return res

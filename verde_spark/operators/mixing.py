@@ -339,6 +339,7 @@ def perplexity_buckets(
     n_buckets: int = 3,
     mode: str = "threshold",
     score_col: str = "lm_score",
+    scorer: str = "char",
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): split a
     corpus into head/middle/tail quality tertiles per language by the
@@ -363,14 +364,34 @@ def perplexity_buckets(
     them in the last bucket when quotas allow).  Output adds
     ``score_col`` (bit-identical across engines: literal-fold logprob /
     integer gram count), ``bucket`` (1 = head) and ``bucket_name``.
-    """
-    from ..functions.charlm import ENGLISH_LM, gram_ids_expr, logprob_expr
 
+    ``scorer`` picks the LM family: ``"char"`` (default — the
+    dependency-free char-bigram model) or ``"word"`` (word-bigram with
+    stupid backoff, :mod:`verde_spark.functions.wordlm` — the closer
+    match to CCNet's word-level KenLM).  Both score as a zero-shuffle
+    literal-fold projection; *lm* then takes a :class:`CharLM` /
+    :class:`WordLM` respectively (defaults: the embedded English models).
+    """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets!r}")
-    model = lm if lm is not None else ENGLISH_LM
-    n_grams = F.size(gram_ids_expr(text_col))
-    score = logprob_expr(model, text_col) / n_grams.cast("double")
+    if scorer == "char":
+        from ..functions.charlm import ENGLISH_LM, gram_ids_expr, logprob_expr
+
+        model = lm if lm is not None else ENGLISH_LM
+        n_grams = F.size(gram_ids_expr(text_col))
+        score = logprob_expr(model, text_col) / n_grams.cast("double")
+    elif scorer == "word":
+        from ..functions.wordlm import (
+            ENGLISH_WORD_LM,
+            word_gram_keys_expr,
+            word_logprob_expr,
+        )
+
+        model = lm if lm is not None else ENGLISH_WORD_LM
+        n_grams = F.size(word_gram_keys_expr(model, text_col))
+        score = word_logprob_expr(model, text_col) / n_grams.cast("double")
+    else:
+        raise ValueError(f"unknown scorer: {scorer!r}")
     scored = df.withColumn(score_col, score)
     names = _bucket_names(n_buckets)
     name_expr = None
@@ -428,17 +449,50 @@ def perplexity_buckets_sql(
     n_buckets: int = 3,
     select_cols: str | None = None,
     score_col: str = "lm_score",
+    scorer: str = "char",
 ) -> str:
     """DuckDB twin of :func:`perplexity_buckets` ``mode="rank"`` — the
-    same bit-identical literal-fold score (``charlm_logprob_sql``), the
-    same ``DESC NULLS LAST`` order and ``ntile`` semantics."""
+    same bit-identical literal-fold score (``charlm_logprob_sql`` /
+    ``wordlm.word_logprob_sql``), the same ``DESC NULLS LAST`` order and
+    ``ntile`` semantics."""
     from ..functions.charlm import ENGLISH_LM, charlm_logprob_sql, charlm_norm_sql
 
-    model = lm if lm is not None else ENGLISH_LM
     part = f"PARTITION BY {lang_col} " if lang_col else ""
     cols = select_cols or (f"{id_col}, {lang_col}" if lang_col else id_col)
     names = _bucket_names(n_buckets)
     when = " ".join(f"WHEN {i} THEN '{nm}'" for i, nm in enumerate(names, 1))
+    if scorer == "word":
+        from ..functions.wordlm import (
+            ENGLISH_WORD_LM,
+            _words_sql,
+            word_logprob_sql,
+            word_norm_sql,
+        )
+
+        model = lm if lm is not None else ENGLISH_WORD_LM
+        n_pairs = f"length({_words_sql(word_norm_sql(text_col))}) - 1"
+        scored_cte = f"""
+        scored AS (
+          SELECT *, CASE WHEN {n_pairs} >= 1 THEN
+                   ({word_logprob_sql(model, text_col)})
+                     / CAST({n_pairs} AS DOUBLE)
+                 ELSE NULL END AS {score_col}
+          FROM src
+        )"""
+        return f"""
+        WITH src AS ({src_sql}),{scored_cte}
+        SELECT {cols}, {score_col},
+               ntile({n_buckets}) OVER (
+                 {part}ORDER BY {score_col} DESC NULLS LAST, {id_col} ASC
+               ) AS bucket,
+               CASE ntile({n_buckets}) OVER (
+                 {part}ORDER BY {score_col} DESC NULLS LAST, {id_col} ASC
+               ) {when} END AS bucket_name
+        FROM scored
+    """
+    if scorer != "char":
+        raise ValueError(f"unknown scorer: {scorer!r}")
+    model = lm if lm is not None else ENGLISH_LM
     return f"""
         WITH src AS ({src_sql}),
         norm AS (

@@ -101,6 +101,20 @@ class QualityClassifier:
             lambda acc, b: acc + F.element_at(table, b + 1),
         )
 
+    def score_udf(self, text: Column | str = "text") -> Column:
+        """Arrow fast path for :meth:`score_expr`: the shared vectorized
+        hashed-bucket kernel (``operators.dsir.hashed_bucket_fold_udf``)
+        with this model's weight table and ``init=bias`` — same grams,
+        same buckets; ulp-level diffs from summation order only (the
+        charlm_logprob_udf discipline).  Use for hot pipelines; keep
+        :meth:`score_expr` for cross-engine value oracles."""
+        from .dsir import hashed_bucket_fold_udf
+
+        fn = hashed_bucket_fold_udf(
+            self.weights, self.num_buckets, self.bigrams, init=self.bias
+        )
+        return fn(F.col(text) if isinstance(text, str) else text)
+
     def prob_expr(self, text: Column | str = "text") -> Column:
         """``sigmoid(logit)`` — the keep-probability form (Brown et al.
         gate on it).  ``exp`` runs engine-side: fine for gating, use
@@ -250,19 +264,28 @@ def reference_quality_score(model: QualityClassifier, text) -> float | None:
 # -- evaluation: exact ROC AUC -------------------------------------------
 
 def roc_auc_components(
-    df: DataFrame, score_col: str = "score", label_col: str = "label"
+    df: DataFrame, score_col: str = "score", label_col: str = "label",
+    chunks: int = 32,
 ) -> DataFrame:
     """One-row ``(num, n_pos, n_neg)`` with
     ``AUC = num / (n_pos · n_neg)`` — the Mann-Whitney formulation with
     the exact tie correction: ``AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻)``.
 
     Scale shape: rows collapse to DISTINCT SCORES first (one map-side-
-    combinable groupBy), then ONE ordered window cumsum runs over that
-    far smaller table — the corpus itself is never globally sorted.
-    ``num`` is computed in exact integer arithmetic (doubled to absorb
-    the ½-tie term), so the final AUC is one IEEE division of exact
-    counts — engine-portable bit-for-bit.  Null scores/labels are
-    excluded (unscorable docs can't be ranked).
+    combinable groupBy).  The below-count cumsum then runs as a
+    TWO-LEVEL window (VERDICT r4 #1 — continuous classifier scores make
+    distinct ≈ rows, so a single global-order window would serialize a
+    large eval set on one reducer): distinct scores are range-chunked by
+    a ``percentile_approx`` sketch (ONE extra tiny agg, broadcast back —
+    no collect, no second scan of *df*), the per-chunk cumsum runs
+    partitioned by chunk, and the cross-chunk offsets come from a
+    ≤ *chunks*-row aggregate (the only unpartitioned window — bounded by
+    construction).  Exactness never depends on the sketch: boundaries
+    only balance the chunks.  ``num`` is computed in exact integer
+    arithmetic (doubled to absorb the ½-tie term), so the final AUC is
+    one IEEE division of exact counts — engine-portable bit-for-bit and
+    invariant to chunking/parallelism.  Null scores/labels are excluded
+    (unscorable docs can't be ranked).
     """
     from pyspark.sql import Window
 
@@ -278,14 +301,42 @@ def roc_auc_components(
             ).alias("__neg"),
         )
     )
-    w = (
-        Window.orderBy("__s")
+    if chunks > 1:
+        probs = [i / chunks for i in range(1, chunks)]
+        qdf = g.agg(F.percentile_approx("__s", probs).alias("__qs"))
+        chunk = F.aggregate(
+            F.col("__qs"),
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col("__s") >= b, 1).otherwise(0),
+        )
+        g = g.crossJoin(F.broadcast(qdf)).withColumn("__ck", chunk).drop("__qs")
+    else:
+        g = g.withColumn("__ck", F.lit(0))
+    w_in = (
+        Window.partitionBy("__ck")
+        .orderBy("__s")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    per = g.select(
-        "__pos",
-        "__neg",
-        F.coalesce(F.sum("__neg").over(w), F.lit(0)).alias("__below"),
+    # cross-chunk offsets: ≤ `chunks` rows — the bounded window side
+    w_ck = Window.orderBy("__ck").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        g.groupBy("__ck")
+        .agg(F.sum("__neg").alias("__cn"))
+        .select(
+            "__ck",
+            F.coalesce(F.sum("__cn").over(w_ck), F.lit(0)).alias("__nb"),
+        )
+    )
+    per = (
+        g.withColumn(
+            "__below_in", F.coalesce(F.sum("__neg").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "__ck")
+        .select(
+            "__pos",
+            "__neg",
+            (F.col("__below_in") + F.col("__nb")).alias("__below"),
+        )
     )
     # doubled numerator keeps the ½-tie term integral:
     #   2·num = Σ pos_s · (2·neg_below + neg_s)

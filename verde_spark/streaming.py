@@ -252,19 +252,26 @@ def streaming_clean_corpus(
         # 64-bit content hash — stateless and append-safe; pages already
         # ingested by earlier runs never re-enter the sink
         gated = novel_docs(gated, novel_against, text_col=text_col)
-    if normalize_dedup:
-        from .functions.normalize import normalized_fingerprint
-
-        key = normalized_fingerprint(text_col)
-    else:
-        key = fingerprint(text_col)
+    # ``text_hash`` is ALWAYS xxhash64 of the raw text — interchangeable
+    # with ``dedup.seen_hashes`` output, so a later run can feed this
+    # sink back as ``novel_against``.  With ``normalize_dedup`` the
+    # CCNet-normalized fingerprint is a SEPARATE ``norm_hash`` column and
+    # only the dedup state keys on it (ADVICE r4: a prior sink's
+    # text_hash must keep matching novel_docs' raw-hash probe).
     out = (
         gated.withColumn("curl", canonical_url(url_col))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["curl"])
-        .withColumn("text_hash", key)
-        .dropDuplicatesWithinWatermark(["text_hash"])
+        .withColumn("text_hash", fingerprint(text_col))
     )
+    if normalize_dedup:
+        from .functions.normalize import normalized_fingerprint
+
+        out = out.withColumn(
+            "norm_hash", normalized_fingerprint(text_col)
+        ).dropDuplicatesWithinWatermark(["norm_hash"])
+    else:
+        out = out.dropDuplicatesWithinWatermark(["text_hash"])
     if redact:
         from .functions.pii import redact_pii
 
