@@ -1710,52 +1710,39 @@ def _q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness artifact records at most 50 queries
     # (CORRECTNESS_r03.json attested exactly the first 50 of 53
-    # registered), so the registry is held at EXACTLY 50 entries.  Six
-    # redundant variants moved to retired_queries() in round 4 — still
-    # implemented, tested in pytest, and replayable via
-    # `python tools/check_correctness.py --retired`; the rationale per
-    # retiree is in COVERAGE.md.
+    # registered), so the registry is held at EXACTLY 50 entries and
+    # ROTATED each round (COVERAGE.md §rotation): round 5 swapped 19
+    # long-stable §2 rows (green since round 1-2, each still attested by
+    # pytest + the reference-parity suite + the `--retired` replay set)
+    # out for the 17 round-4 training-data flagships that previously had
+    # only self-replayed evidence, plus 2 new round-5 operators
+    # (word_lm_logprob, lang_id_ngram).  Everything retired stays
+    # implemented, tested and replayable via
+    # `python tools/check_correctness.py --retired`.
     return {
+        # -- reference §2 core (kept registered) --
         "block_mean": _q_block_mean,
         "block_stats": _q_block_stats,
         "block_mean_uncertainty": _q_block_mean_uncertainty,
-        "inside_filter": _q_inside,
-        "get_region": _q_get_region,
-        "grid_nodes": _q_grid_nodes,
-        "checkerboard": _q_checkerboard,
         "knn_join": _q_knn,
-        "rolling_window": _q_rolling_window,
-        "expanding_window": _q_expanding_window,
         "distance_mask": _q_distance_mask,
-        "mask_runs": _q_mask_runs,
-        "polygon_properties": _q_polygon_properties,
-        "salted_mean": _q_salted_mean,
         "convexhull_mask": _q_convexhull,
-        "cell_counts": _q_cell_counts,
-        "geotag_roundtrip": _q_geotag_roundtrip,
-        "trend_coefficients": _q_trend,
-        "r2_score": _q_r2,
-        "dedup_exact": _q_dedup_exact,
-        "token_counts": _q_token_counts,
-        "lang_id": _q_lang_id,
-        "quality_scores": _q_quality_scores,
-        "cosine_topk": _q_cosine_topk,
-        "ivf_topk": _q_ivf_topk,
-        "simhash_exact_pairs": _q_simhash_pairs,
-        "minhash_pairs": _q_minhash_pairs,
-        "winnow_pairs": _q_winnow_pairs,
-        "embedding_dup_pairs": _q_embedding_dup_pairs,
-        "dedup_components": _q_dedup_components,
-        "stratified_sample": _q_stratified_sample,
-        "corpus_report": _q_corpus_report,
-        "project_points": _q_project_points,
-        "longitude_continuity": _q_longitude_continuity,
         "spline_grid": _q_spline_grid,
         "linear_grid": _q_linear_grid,
         "cubic_grid": _q_cubic_grid,
         "point_in_polygon": _q_point_in_polygon,
         "zonal_stats": _q_zonal_stats,
         "rasterize_grid": _q_rasterize,
+        # -- web/text layer (kept registered) --
+        "dedup_exact": _q_dedup_exact,
+        "lang_id": _q_lang_id,
+        "cosine_topk": _q_cosine_topk,
+        "ivf_topk": _q_ivf_topk,
+        "minhash_pairs": _q_minhash_pairs,
+        "winnow_pairs": _q_winnow_pairs,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "dedup_components": _q_dedup_components,
+        "corpus_report": _q_corpus_report,
         "extract_text": _q_extract_text,
         "canonical_urls": _q_canonical_urls,
         "repetition_scores": _q_repetition_scores,
@@ -1766,6 +1753,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "pii_redaction": _q_pii_redaction,
         "cap_per_domain": _q_cap_per_domain,
+        # -- round-4 flagships promoted for driver attestation (r5) --
+        "warc_roundtrip": _q_warc_roundtrip,
+        "robots_txt_gate": _q_robots_txt_gate,
+        "crawl_schedule": _q_crawl_schedule,
+        "bloom_gate": _q_bloom_gate,
+        "novel_docs": _q_novel_docs,
+        "span_dedup": _q_span_dedup,
+        "charlm_logprob": _q_charlm_logprob,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "dsir_weights": _q_dsir_weights,
+        "tfidf_scores": _q_tfidf_scores,
+        "quality_lr": _q_quality_lr,
+        "quality_auc": _q_quality_auc,
+        "kmeans_assign": _q_kmeans_assign,
+        "semdedup_pairs": _q_semdedup_pairs,
+        "sample_mix": _q_sample_mix,
+        "bpe_encode": _q_bpe_encode,
+        "bm25_topk": _q_bm25_topk,
+        # -- new round-5 operators --
+        "word_lm_logprob": _q_word_lm_logprob,
+        "lang_id_ngram": _q_lang_id_ngram,
     }
 
 
@@ -1843,6 +1851,45 @@ def _q_charlm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id", logprob_expr(ENGLISH_LM, "text").alias("logprob")
+    ).orderBy("doc_id")
+
+
+def _q_word_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram stupid-backoff LM scoring (functions/wordlm — the
+    CCNet word-level-LM fidelity upgrade of charlm_logprob, Wenzek 2020
+    / Brants 2007): literal word→id map, serial left-fold of observed-
+    bigram / backoff float64 literals — BIT-identical across
+    Catalyst/Python/DuckDB; zero-shuffle projection."""
+    from verde_spark.functions.wordlm import ENGLISH_WORD_LM, word_logprob_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        word_logprob_expr(ENGLISH_WORD_LM, "text").alias("wlm_logprob"),
+    ).orderBy("doc_id")
+
+
+def _q_word_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed word-bigram-id counts under the embedded vocabulary
+    (functions/wordlm.word_bigram_counts): ONE explode + map-side-
+    combined groupBy — integer-exact, exchange bounded by distinct
+    observed pairs at any corpus size."""
+    from verde_spark.functions.wordlm import ENGLISH_WORD_LM, word_bigram_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return word_bigram_counts(docs, ENGLISH_WORD_LM).orderBy("gram")
+
+
+def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-n-gram language ID (functions/langid, Cavnar-Trenkle 1994):
+    accent fold → per-language bigram-profile literal folds → argmax.
+    Pure projection (zero shuffle); every fold is bit-identical across
+    engines, so the argmax — the prediction — matches exactly."""
+    from verde_spark.functions.langid import lang_id_ngram_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", lang_id_ngram_expr("text").alias("lang_pred")
     ).orderBy("doc_id")
 
 
@@ -2160,6 +2207,7 @@ def _q_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: replayable:
 #:   python tools/check_correctness.py --retired
 _RETIRED = (
+    # round-4 retirees (redundant variants of registered rows)
     "block_mean_weighted",   # BlockMean weighted mode — block_mean_uncertainty covers the weighted path + variance
     "block_median",          # BlockReduce median — block_stats covers multi-agg BlockReduce
     "duplicate_groups",      # group listing — dedup_exact attests the same hash-window
@@ -2167,36 +2215,44 @@ _RETIRED = (
     "winnow_fingerprints",   # winnow_pairs consumes these fingerprints end-to-end
     "stopword_scores",       # stopword_ratio also runs inside quality_scores + clean_corpus
     "deterministic_sample",  # TakeOrderedAndProject top-n — stratified_sample (per-group twin) + cap_per_domain attest the same arithmetic-rank selection
-    "pack_sequences",        # over-cap: new r4 operator, registry full — full DuckDB window-cumsum oracle, replayable via --retired
+    # round-4 over-cap entries still awaiting a future rotation slot
+    "pack_sequences",        # over-cap: r4 operator — full DuckDB window-cumsum oracle, replayable via --retired
     "robots_gate",           # over-cap: r4 crawl-policy gate (meta robots), full DuckDB regex twin
-    "robots_txt_gate",       # over-cap: r4 RFC 9309 robots.txt parse + longest-match gate, full DuckDB fold twin
     "sitemap_discovery",     # over-cap: r4 sitemap/crawl-delay discovery chain, full DuckDB fold+unnest twin
-    "dsir_weights",          # over-cap: r4 DSIR importance weights, bit-identical literal-fold twin
-    "tfidf_scores",          # over-cap: r4 hashed TF-IDF vectors + cosine, bit-identical twin
     "blocklist_filter",      # over-cap: r4 domain-suffix blocklist, full DuckDB twin
     "anchor_topk",           # over-cap: r4 per-host top-k anchor texts, full DuckDB twin
     "gopher_signals",        # over-cap: r4 Gopher-rule quality signals, full DuckDB twin
     "c4_signals",            # over-cap: r4 C4 page-cleaning signals, full DuckDB twin
-    "span_dedup",            # over-cap: r4 C4 3-sentence span dedup, raw-string DuckDB twin
-    "warc_roundtrip",        # over-cap: r4 WARC reader, oracle states the parse contract from documents
-    "bm25_topk",             # over-cap: r4 Okapi BM25 search, full DuckDB twin
     "charlm_counts",         # over-cap: r4 char-LM training counts, integer-exact DuckDB twin
-    "charlm_logprob",        # over-cap: r4 CCNet-style LM scoring, bit-identical literal-fold twin
-    "kmeans_assign",         # over-cap: r4 bit-deterministic k-means, unrolled-iteration DuckDB twin
-    "sample_mix",            # over-cap: r4 corpus rebalancing, full DuckDB twin
     "repeat_epochs",         # over-cap: r4 fractional-epoch upsampling, full DuckDB twin
     "vocab_topk",            # over-cap: r4 frequency vocabulary, integer-exact DuckDB twin
     "encode_tokens",         # over-cap: r4 token-id encoding, join-semantics DuckDB twin
-    "bpe_encode",            # over-cap: r4 BPE subword tokenizer, bit-identical replace-chain twin
-    "perplexity_buckets",    # over-cap: r4 CCNet head/middle/tail tertiles, ntile + literal-fold twin
-    "crawl_schedule",        # over-cap: r4 politeness frontier scheduler, row_number + delay-join twin
-    "novel_docs",            # over-cap: r4 incremental snapshot dedup, NOT-EXISTS raw-text twin
-    "quality_lr",            # over-cap: r4 discriminative quality classifier, bit-identical literal-fold twin
-    "semdedup_pairs",        # over-cap: r4 SemDeDup cluster-partitioned near-dup pairs, full DuckDB argmin+cosine twin
-    "quality_auc",           # over-cap: r4 exact tie-corrected ROC AUC, integer-exact DuckDB twin
     "temperature_mix",       # over-cap: r4 alpha-sampling rebalance, quota derivation replayed in SQL
-    "bloom_gate",            # over-cap: r4 distributed Bloom filter, build+flags replayed bit-exactly in SQL
     "normalized_dedup",      # over-cap: r4 CCNet-normalized exact dedup, normalization replayed bit-exactly in SQL
+    "word_lm_counts",        # over-cap: NEW r5 word-bigram training counts, integer-exact DuckDB twin (word_lm_logprob is registered)
+    # round-5 rotation: long-stable §2 rows swapped out so the round-4
+    # flagships earn driver-attested rows (VERDICT r4 #1).  Each is green
+    # since round 1-2 (CORRECTNESS_r01-r04), still pytest- and
+    # parity-covered, and replays here.
+    "inside_filter",         # r5 rotation: driver-attested r1-r4; plan-shape pushdown test pins it
+    "get_region",            # r5 rotation: driver-attested r1-r4; parity suite covers get_region
+    "grid_nodes",            # r5 rotation: driver-attested r1-r4; grid_coordinates parity + pytest
+    "checkerboard",          # r5 rotation: driver-attested r1-r4; synthetic parity vs reference
+    "rolling_window",        # r5 rotation: driver-attested r2-r4; windows pytest + parity
+    "expanding_window",      # r5 rotation: driver-attested r2-r4; windows pytest + parity
+    "mask_runs",             # r5 rotation: driver-attested r2-r4; grid_io RLE pytest
+    "polygon_properties",    # r5 rotation: driver-attested r3-r4; point_in_polygon + zonal_stats stay registered
+    "salted_mean",           # r5 rotation: driver-attested r2-r4; salting law pytest (plain == salted)
+    "cell_counts",           # r5 rotation: driver-attested r2-r4; block_split label pytest + property test
+    "geotag_roundtrip",      # r5 rotation: driver-attested r2-r4; pages-source pytest roundtrip
+    "trend_coefficients",    # r5 rotation: driver-attested r1-r4; Trend parity vs reference
+    "r2_score",              # r5 rotation: driver-attested r1-r4; model_selection parity (scores match reference)
+    "token_counts",          # r5 rotation: driver-attested r2-r4; text pytest
+    "project_points",        # r5 rotation: driver-attested r2-r4; projection roundtrip pytest
+    "longitude_continuity",  # r5 rotation: driver-attested r2-r4; coordinates parity
+    "quality_scores",        # r5 rotation: driver-attested r2-r4; quality_lr (registered) is the stronger signal
+    "simhash_exact_pairs",   # r5 rotation: driver-attested r2-r4; minhash/winnow/embedding pairs stay registered
+    "stratified_sample",     # r5 rotation: driver-attested r2-r4; sample_mix (registered) attests the same arithmetic-rank selection
 )
 _RETIRED_ORACLES: dict = {}
 
@@ -2213,34 +2269,38 @@ def retired_queries():
         "deterministic_sample": _q_deterministic_sample,
         "pack_sequences": _q_pack_sequences,
         "robots_gate": _q_robots_gate,
-        "robots_txt_gate": _q_robots_txt_gate,
         "sitemap_discovery": _q_sitemap_discovery,
-        "dsir_weights": _q_dsir_weights,
-        "tfidf_scores": _q_tfidf_scores,
         "blocklist_filter": _q_blocklist_filter,
         "anchor_topk": _q_anchor_topk,
         "gopher_signals": _q_gopher_signals,
         "c4_signals": _q_c4_signals,
-        "span_dedup": _q_span_dedup,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "bm25_topk": _q_bm25_topk,
         "charlm_counts": _q_charlm_counts,
-        "charlm_logprob": _q_charlm_logprob,
-        "kmeans_assign": _q_kmeans_assign,
-        "sample_mix": _q_sample_mix,
         "repeat_epochs": _q_repeat_epochs,
         "vocab_topk": _q_vocab_topk,
         "encode_tokens": _q_encode_tokens,
-        "bpe_encode": _q_bpe_encode,
-        "perplexity_buckets": _q_perplexity_buckets,
-        "crawl_schedule": _q_crawl_schedule,
-        "novel_docs": _q_novel_docs,
-        "quality_lr": _q_quality_lr,
-        "semdedup_pairs": _q_semdedup_pairs,
-        "quality_auc": _q_quality_auc,
         "temperature_mix": _q_temperature_mix,
-        "bloom_gate": _q_bloom_gate,
         "normalized_dedup": _q_normalized_dedup,
+        "word_lm_counts": _q_word_lm_counts,
+        # round-5 rotation retirees
+        "inside_filter": _q_inside,
+        "get_region": _q_get_region,
+        "grid_nodes": _q_grid_nodes,
+        "checkerboard": _q_checkerboard,
+        "rolling_window": _q_rolling_window,
+        "expanding_window": _q_expanding_window,
+        "mask_runs": _q_mask_runs,
+        "polygon_properties": _q_polygon_properties,
+        "salted_mean": _q_salted_mean,
+        "cell_counts": _q_cell_counts,
+        "geotag_roundtrip": _q_geotag_roundtrip,
+        "trend_coefficients": _q_trend,
+        "r2_score": _q_r2,
+        "token_counts": _q_token_counts,
+        "project_points": _q_project_points,
+        "longitude_continuity": _q_longitude_continuity,
+        "quality_scores": _q_quality_scores,
+        "simhash_exact_pairs": _q_simhash_pairs,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -3388,6 +3448,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, {_lp_sql(_LM)} AS logprob
         FROM s ORDER BY doc_id
     """
+
+    from verde_spark.functions.wordlm import (
+        ENGLISH_WORD_LM as _WLM,
+        word_bigram_counts_sql as _wbc_sql,
+        word_logprob_sql as _wlp_sql,
+    )
+
+    oracles["word_lm_logprob"] = f"""
+        SELECT doc_id, {_wlp_sql(_WLM, "text")} AS wlm_logprob
+        FROM documents ORDER BY doc_id
+    """
+    oracles["word_lm_counts"] = _wbc_sql(_WLM) + " ORDER BY gram"
+
+    from verde_spark.functions.langid import lang_id_ngram_sql as _lid_sql
+
+    oracles["lang_id_ngram"] = (
+        _lid_sql("SELECT doc_id, text FROM documents", "text")
+        + " ORDER BY doc_id"
+    )
 
     from verde_spark.operators.clustering import kmeans_sql as _kmeans_sql
 

@@ -43,7 +43,7 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint", default=None, help="per-tile checkpoint dir (resumable)")
     ap.add_argument(
         "--job", default="grid",
-        choices=("grid", "dedup", "ivf-index", "clean", "encode"),
+        choices=("grid", "dedup", "ivf-index", "clean", "encode", "frontier"),
         help="grid: flagship gridding pipeline (default); "
              "dedup: exact + transitive-MinHash dedup of the page table; "
              "ivf-index: build a cluster-partitioned ANN index from an "
@@ -83,6 +83,12 @@ def main(argv=None) -> int:
     ap.add_argument("--seq-len", type=int, default=2048, help="encode job: packed sequence length")
     ap.add_argument("--n-shards", type=int, default=64, help="encode job: independent packing streams")
     ap.add_argument("--max-perplexity", type=float, default=None, help="clean/encode jobs: drop docs above this char-LM perplexity (CCNet-style gate)")
+    ap.add_argument("--robots", default=None, help="frontier job: parquet dir of a per-host robots dim (host, robots_txt)")
+    ap.add_argument("--blocklist-file", default=None, help="frontier job: text file of blocked domains, one per line")
+    ap.add_argument("--seen", default=None, help="frontier job: parquet dir of previously fetched pages; their urls are dropped via a Bloom-prefiltered anti-join")
+    ap.add_argument("--max-per-host", type=int, default=None, help="frontier job: cap queued urls per host (politeness bound)")
+    ap.add_argument("--agent", default="*", help="frontier job: user-agent token for robots.txt groups")
+    ap.add_argument("--default-delay", type=float, default=1.0, help="frontier job: crawl delay (sec) for hosts without a Crawl-delay rule")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -208,6 +214,62 @@ def main(argv=None) -> int:
             "rows_kept": enc_stored.count(),
             "vocab_size": vocab.count(), "seq_len": args.seq_len,
             "sequences": n_seqs, "shards": len(stats),
+            "sec": round(time.time() - t0, 3),
+        }))
+        return 0
+
+    if args.job == "frontier":
+        # the composed crawl front door: policy gates → incremental
+        # novelty → politeness schedule.  Every stage keeps the
+        # corpus-side-never-shuffles discipline of its operator
+        # (COVERAGE.md r4 crawl rows); the only exchange is the one
+        # per-host window in crawl_schedule.
+        from verde_spark.operators.crawl import (
+            crawl_schedule,
+            filter_blocklist,
+            robots_crawl_delay,
+            robots_txt_filter,
+        )
+        from verde_spark.operators.dedup import novel_docs, seen_hashes
+
+        frontier = pages
+        before = frontier.count()
+        delays = None
+        if args.robots:
+            robots = spark.read.parquet(args.robots)
+            frontier = robots_txt_filter(
+                frontier, robots, url_col="url", agent=args.agent
+            )
+            delays = robots.select(
+                "host", robots_crawl_delay("robots_txt", args.agent).alias(
+                    "crawl_delay"
+                ),
+            ).filter(F.col("crawl_delay").isNotNull())
+        if args.blocklist_file:
+            with open(args.blocklist_file) as fh:
+                doms = [ln.strip() for ln in fh if ln.strip()]
+            if doms:
+                frontier = filter_blocklist(frontier, doms, url_col="url")
+        if args.seen:
+            seen = seen_hashes(
+                spark.read.parquet(args.seen), text_col="url"
+            )
+            frontier = novel_docs(
+                frontier, seen, text_col="url",
+                bloom_num_bits=1 << 20,
+            )
+        sched = crawl_schedule(
+            frontier.select("url"), delays,
+            default_delay=args.default_delay,
+            max_per_host=args.max_per_host,
+        )
+        sched.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        after = out.count()
+        n_hosts = out.select("host").distinct().count()
+        print(json.dumps({
+            "job": "frontier", "urls_in": before, "urls_scheduled": after,
+            "dropped": before - after, "hosts": n_hosts,
             "sec": round(time.time() - t0, 3),
         }))
         return 0
