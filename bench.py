@@ -256,6 +256,57 @@ def tfidf_pipeline(spark, n_pages: int) -> int:
     return int(row["n"])
 
 
+def wordlm_pipeline(spark, n_pages: int) -> int:
+    """Word-bigram stupid-backoff LM gate at page scale (round 5 — the
+    CCNet word-level fidelity upgrade of charlm_pipeline): logprob under
+    the fixed English word LM as a PURE Catalyst literal-fold projection
+    (word→id literal map + observed-bigram map + backoff array), zero
+    Python, zero shuffle — then a threshold filter.  Returns surviving
+    page count."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.functions.wordlm import ENGLISH_WORD_LM, word_logprob_expr
+
+    pages = spark.read.parquet(pages_parquet(spark, n_pages))
+    lp = word_logprob_expr(ENGLISH_WORD_LM, "text")
+    return pages.select(lp.alias("lp")).filter(F.col("lp") > -400.0).count()
+
+
+def dsir_arrow_pipeline(spark, n_pages: int) -> int:
+    """The PRODUCTION engine for dsir_pipeline's projection (round 5,
+    VERDICT r4 #7): the shared vectorized hashed-bucket Arrow kernel
+    (operators/dsir.hashed_bucket_fold_udf) — same grams, same buckets,
+    pinned to the Catalyst fold at 1e-12 in pytest; the fold stays the
+    cross-engine oracle."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.operators.dsir import EXAMPLE_DSIR, dsir_weight_udf
+
+    pages = spark.read.parquet(pages_parquet(spark, n_pages))
+    w = dsir_weight_udf(EXAMPLE_DSIR)("text")
+    row = pages.select(w.alias("w")).agg(
+        F.count("w").alias("n"), F.sum("w").alias("s")
+    ).collect()[0]
+    return int(row["n"])
+
+
+def _q_quality_arrow(spark, sf_dir: str):
+    """quality_lr's projection on the PRODUCTION Arrow engine
+    (QualityClassifier.score_udf — the shared hashed-bucket kernel with
+    init=bias): the round-4 verdict's named lever for the slowest bench
+    query.  The literal fold stays the registry/oracle engine; parity is
+    pinned in tests/test_quality.py::test_score_udf_matches_fold."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.operators.quality import EXAMPLE_QUALITY
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", EXAMPLE_QUALITY.score_udf("text").alias("lr_score"))
+    )
+
+
 def kmeans_bench(spark) -> int:
     """Bit-deterministic distributed k-means (round 4): 200k synthetic
     16-dim vectors, k=8, 3 Lloyd iterations.  Per iteration one scan +
@@ -304,7 +355,11 @@ def bench_queries(spark):
         "bm25_topk",  # round 4: Okapi BM25 batch relevance ranking
         "quality_lr",  # round 4: discriminative classifier literal-fold scoring
         "semdedup_pairs",  # round 4: cluster-partitioned semantic dedup
+        "word_lm_logprob",  # round 5: word-bigram stupid-backoff LM scoring
+        "lang_id_ngram",  # round 5: char-n-gram language ID (Cavnar-Trenkle)
+        "quality_arrow",  # round 5: quality_lr on the production Arrow kernel
     ]
+    qs["quality_arrow"] = _q_quality_arrow
     times = {}
     # Rep 0 is a DISCARDED warm-up (per-query first calls pay Python-worker
     # spin-up / Arrow init / JIT: r2 published those cold numbers and falsely
@@ -670,6 +725,20 @@ def main():
         dsir_pipeline(spark, N_PAGES)
         t_ds = min(t_ds, time.time() - t0)
     qtimes["dsir_score"] = round(t_ds, 3)
+    dsir_arrow_pipeline(spark, max(N_PAGES // 20, 10_000))  # warm
+    t_da = float("inf")
+    for _rep in range(3):
+        t0 = time.time()
+        dsir_arrow_pipeline(spark, N_PAGES)
+        t_da = min(t_da, time.time() - t0)
+    qtimes["dsir_arrow"] = round(t_da, 3)
+    wordlm_pipeline(spark, max(N_PAGES // 20, 10_000))  # warm
+    t_wl = float("inf")
+    for _rep in range(3):
+        t0 = time.time()
+        wordlm_pipeline(spark, N_PAGES)
+        t_wl = min(t_wl, time.time() - t0)
+    qtimes["wordlm_score"] = round(t_wl, 3)
     tfidf_pipeline(spark, max(N_PAGES // 20, 10_000))  # warm
     t_tf = float("inf")
     for _rep in range(3):
@@ -695,6 +764,8 @@ def main():
     result["warc_records_per_sec"] = round(n_warc / qtimes["warc_ingest"], 1)
     result["lm_scored_pages_per_sec"] = round(n_pts / qtimes["charlm_score"], 1)
     result["dsir_scored_pages_per_sec"] = round(n_pts / qtimes["dsir_score"], 1)
+    result["dsir_arrow_pages_per_sec"] = round(n_pts / qtimes["dsir_arrow"], 1)
+    result["wordlm_scored_pages_per_sec"] = round(n_pts / qtimes["wordlm_score"], 1)
     result["tfidf_scored_pages_per_sec"] = round(n_pts / qtimes["tfidf_score"], 1)
     result["flagship_input_points"] = n_pts
     result["flagship_grid_nodes"] = n_nodes
@@ -770,6 +841,14 @@ def _write_bench_md(result):
         f"median {eff}** — {verdict} the north-rule target ≥ 0.8 "
         f"(per-round {sc.get('per_round_1_to_4', [])}, best-of-all-minima "
         f"{sc.get('efficiency_1_to_4_bestofall', 'n/a')}).",
+        "",
+        "Provenance note: when this file is (re)generated by a full "
+        "`bench.py` run, the campaign above executed in the same process "
+        "IMMEDIATELY after the multi-query benchmark suite; DEDICATED "
+        "quiet-window campaigns (run first-thing in a session with nothing "
+        "concurrent — the round-start discipline) are recorded in "
+        "SCALING_HISTORY.json and appear with timestamps in the "
+        "chronological per-campaign list below.",
         "",
         "Fixed-cost ceiling (Amdahl): the job carries a parallelism-"
         "independent driver cost c (planning, session job submission, the "
