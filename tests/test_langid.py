@@ -113,6 +113,39 @@ def test_plan_is_pure_projection(spark):
     assert "Exchange" not in plan and "EvalPython" not in plan
 
 
+def test_arrow_udf_prediction_agreement(spark):
+    # the production Arrow path (counts @ logp matrix product) must
+    # predict identically to the Catalyst serial-fold expression on the
+    # fixture corpus AND on real document text — scores differ only in
+    # float64 summation order, so disagreement means a real bug, not a
+    # near-tie
+    from verde_spark.functions.langid import lang_id_ngram_udf
+
+    rows = [(i, s) for i, (s, _) in enumerate(HELD_OUT + ADVERSARIAL)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id") + 1000, "text"
+    )
+    both = df.union(docs)
+    out = both.select(
+        lang_id_ngram_expr("text").alias("fold"),
+        lang_id_ngram_udf()("text").alias("arrow"),
+    ).collect()
+    assert out and all(r["fold"] == r["arrow"] for r in out)
+    # trained-profile + min_grams passthrough agrees too
+    profs = train_lang_profiles(
+        spark.createDataFrame(
+            [(lang, seed) for lang, seed in LANG_SEEDS.items()],
+            "lang string, text string",
+        )
+    )
+    out2 = both.select(
+        lang_id_ngram_expr("text", profiles=profs, min_grams=4).alias("fold"),
+        lang_id_ngram_udf(profiles=profs, min_grams=4)("text").alias("arrow"),
+    ).collect()
+    assert out2 and all(r["fold"] == r["arrow"] for r in out2)
+
+
 def test_accented_text_keeps_signal(spark):
     # accents fold to base letters, not to spaces: the French sentence
     # with accents must classify the same as its accent-stripped form

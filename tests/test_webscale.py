@@ -1592,6 +1592,72 @@ def test_main_entrypoint_encode_job(spark, tmp_path, capsys):
     assert off == 0
 
 
+def test_main_entrypoint_pretrain_job(spark, tmp_path, capsys):
+    """--job pretrain: clean → Arrow char-n-gram language routing →
+    α-temperature rebalance → vocab → token ids → packed layout.  The
+    composed one-command recipe; routing keeps only --langs, the mix
+    rebalances to --mix-total, and the four parquet tables stay
+    mutually consistent."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from verde_spark.__main__ import main
+    from verde_spark.functions.langid import LANG_SEEDS
+
+    rows = []
+    for lang, n in (("en", 40), ("fr", 20), ("de", 10), ("es", 5)):
+        rows += [
+            (f"http://{lang}.example.com/{i}", LANG_SEEDS[lang] + f" doc {i}")
+            for i in range(n)
+        ]
+    rows += [(f"http://und.example.com/{i}", "zz zz zz zz") for i in range(3)]
+    src = str(tmp_path / "pages_multi")
+    spark.createDataFrame(rows, "url string, text string").withColumn(
+        "warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    ).write.parquet(src)
+
+    out = str(tmp_path / "pre")
+    rc = main([
+        "--input", src, "--job", "pretrain", "--output", out,
+        "--langs", "en,fr", "--vocab-size", "150", "--seq-len", "64",
+        "--n-shards", "2", "--min-tokens", "3",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # routing: de/es/und dropped, en/fr kept in full
+    assert stats["per_lang"] == {"en": 40, "fr": 20}
+    assert stats["rows_routed"] == 60 and stats["vocab_size"] == 150
+    assert stats["sequences"] > 0 and stats["shards"] == 2
+
+    toks = spark.read.parquet(f"{out}/tokens")
+    layout = spark.read.parquet(f"{out}/layout")
+    assert toks.count() == layout.count() == 60
+    assert set(
+        r["lang"] for r in toks.select("lang").distinct().collect()
+    ) == {"en", "fr"}
+    # layout spans are consistent: end - start == n_ids per doc
+    j = toks.join(layout, "doc_id")
+    assert j.filter(
+        F.col("end_tok") - F.col("start_tok") != F.col("n_ids")
+    ).count() == 0
+
+    # α=0 (uniform) rebalance to 30 docs: quotas clamp to populations,
+    # so each kept language lands at 15 (both have >= 15 docs)
+    out2 = str(tmp_path / "pre_mix")
+    rc = main([
+        "--input", src, "--job", "pretrain", "--output", out2,
+        "--langs", "en,fr", "--mix-total", "30", "--mix-alpha", "0.0",
+        "--vocab-size", "150", "--seq-len", "64", "--n-shards", "2",
+        "--min-tokens", "3",
+    ])
+    assert rc == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["rows_routed"] == 30
+    assert set(stats2["per_lang"]) == {"en", "fr"}
+    assert all(5 <= n <= 25 for n in stats2["per_lang"].values())
+
+
 # -- incremental dedup vs a prior snapshot --------------------------------
 
 def test_novel_docs_anti_join(spark):

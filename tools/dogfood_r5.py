@@ -222,6 +222,47 @@ def main() -> int:
     print("PASS streaming normalize_dedup sink keeps raw text_hash + "
           "separate norm_hash (seen-set interchangeable)")
 
+    # --- pretrain CLI end-to-end -------------------------------------------
+    # clean → Arrow language routing → α-rebalance → vocab → ids → layout,
+    # through the real argv surface with a 3-language keep-list
+    from verde_spark.functions.langid import LANG_SEEDS
+
+    prows = []
+    for lang, n in (("en", 30), ("fr", 18), ("es", 12), ("de", 8)):
+        prows += [
+            (f"http://{lang}.site/{i}", "2024-01-01 00:00:00",
+             LANG_SEEDS[lang] + f" doc {i}")
+            for i in range(n)
+        ]
+    spark.createDataFrame(
+        prows, "url string, warc_ts string, text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/pre_pages")
+    rc = cli_main([
+        "--job", "pretrain", "--input", f"{tmp}/pre_pages",
+        "--output", f"{tmp}/pre", "--langs", "en,fr,es",
+        "--mix-total", "30", "--mix-alpha", "0.5",
+        "--vocab-size", "200", "--seq-len", "32", "--n-shards", "2",
+        "--min-tokens", "3",
+    ])
+    assert rc == 0
+    routed = spark.read.parquet(f"{tmp}/pre/routed")
+    toks = spark.read.parquet(f"{tmp}/pre/tokens")
+    layout = spark.read.parquet(f"{tmp}/pre/layout")
+    langs_out = {r["lang"] for r in routed.select("lang").distinct().collect()}
+    assert langs_out <= {"en", "fr", "es"}, langs_out  # de routed OUT
+    n_routed = routed.count()
+    # per-language quotas floor, so the total lands within L of the target
+    assert 27 <= n_routed <= 30, n_routed
+    assert toks.count() == layout.count() == n_routed
+    bad_span = toks.join(layout, toks["doc_id"] == layout["doc_id"]).filter(
+        F.col("end_tok") - F.col("start_tok") != F.col("n_ids")
+    ).count()
+    assert bad_span == 0
+    print("PASS --job pretrain CLI: clean + Arrow lang routing + "
+          "temperature mix + vocab/ids/layout consistent end-to-end")
+
     # --- bloom reserved-column guard ---------------------------------------
     from verde_spark.operators.bloom import bloom_might_contain, build_bloom
 

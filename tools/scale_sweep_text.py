@@ -44,7 +44,11 @@ def main() -> int:
         pages = spark.read.parquet(path)
 
         def run() -> int:
-            return clean_corpus(pages, min_tokens=5).count()
+            # min_tokens=3: the synthetic page text is 4 whitespace tokens,
+            # so the default 5 would zero the corpus and the downstream
+            # url/content dedup windows would shuffle nothing — this keeps
+            # the en pages flowing through the FULL path
+            return clean_corpus(pages, min_tokens=3).count()
 
         kept = run()  # warm-up rep: parquet cache, python workers, JIT
         best = float("inf")
@@ -66,7 +70,12 @@ def main() -> int:
         time_ratio = r["sec"] / base["sec"]
         r["time_ratio_vs_smallest"] = round(time_ratio, 2)
         r["size_ratio_vs_smallest"] = round(size_ratio, 2)
-    print(json.dumps({"clean_corpus_sweep": rows}))
+    out = {"clean_corpus_sweep": rows}
+    print(json.dumps(out))
+    # persist for bench.py's BENCH.md template (regenerated every run)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "SWEEP_TEXT.json"), "w") as f:
+        json.dump(out, f, indent=1)
     spark.stop()
     return 0
 

@@ -43,7 +43,10 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint", default=None, help="per-tile checkpoint dir (resumable)")
     ap.add_argument(
         "--job", default="grid",
-        choices=("grid", "dedup", "ivf-index", "clean", "encode", "frontier"),
+        choices=(
+            "grid", "dedup", "ivf-index", "clean", "encode", "frontier",
+            "pretrain",
+        ),
         help="grid: flagship gridding pipeline (default); "
              "dedup: exact + transitive-MinHash dedup of the page table; "
              "ivf-index: build a cluster-partitioned ANN index from an "
@@ -53,7 +56,12 @@ def main(argv=None) -> int:
              "content dedup) written as parquet; "
              "encode: clean → frequency vocab → token-id arrays → packed "
              "fixed-length sequence layout, written as three parquet "
-             "tables under --output (vocab/, tokens/, layout/)",
+             "tables under --output (vocab/, tokens/, layout/); "
+             "pretrain: the full recipe — clean → char-n-gram language "
+             "routing (--langs) → optional α-temperature rebalance "
+             "(--mix-total) → vocab → token ids → packed layout, four "
+             "parquet tables under --output (routed/, vocab/, tokens/, "
+             "layout/)",
     )
     ap.add_argument("--threshold", type=float, default=0.8, help="dedup Jaccard threshold")
     ap.add_argument("--min-tokens", type=int, default=5, help="clean job: minimum token count gate")
@@ -89,6 +97,9 @@ def main(argv=None) -> int:
     ap.add_argument("--max-per-host", type=int, default=None, help="frontier job: cap queued urls per host (politeness bound)")
     ap.add_argument("--agent", default="*", help="frontier job: user-agent token for robots.txt groups")
     ap.add_argument("--default-delay", type=float, default=1.0, help="frontier job: crawl delay (sec) for hosts without a Crawl-delay rule")
+    ap.add_argument("--langs", default="en", help="pretrain job: comma-separated language codes to keep (char-n-gram profile routing; docs predicted outside the list — incl. 'und' — are dropped)")
+    ap.add_argument("--mix-total", type=int, default=None, help="pretrain job: rebalance the routed corpus to this many docs with α-temperature language sampling (default: keep everything)")
+    ap.add_argument("--mix-alpha", type=float, default=0.3, help="pretrain job: temperature α for --mix-total (1 = proportional, 0 = uniform)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -171,6 +182,89 @@ def main(argv=None) -> int:
         print(json.dumps({
             "job": "clean", "rows_in": before, "rows_out": after,
             "dropped": before - after, "sec": round(time.time() - t0, 3),
+        }))
+        return 0
+
+    if args.job == "pretrain":
+        # round-5 capstone: the one-command pretraining-data recipe.
+        # clean (url dedup + token/repetition/perplexity/decontam/PII/
+        # domain-cap gates) → language ROUTING on the production Arrow
+        # char-n-gram kernel (functions/langid.lang_id_ngram_udf; the
+        # Catalyst fold twin stays the driver-attested oracle engine —
+        # prediction agreement pinned in tests/test_langid.py) →
+        # optional α-temperature language rebalance (operators/mixing)
+        # → frequency vocab → token ids → packed fixed-length layout.
+        # Pure composition of oracle-gated operators: no new shuffle
+        # beyond the stages' own (the dedup/cap/mix windows, the
+        # bounded vocab agg, the per-shard packing cumsum).
+        from verde_spark.functions.langid import lang_id_ngram_udf
+        from verde_spark.functions.vocab import build_vocab, encode_tokens
+        from verde_spark.operators.packing import (
+            pack_sequences,
+            packing_stats,
+        )
+        from verde_spark.pipelines import clean_corpus
+
+        before = pages.count()
+        bench = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
+        cleaned = clean_corpus(
+            pages, min_tokens=args.min_tokens,
+            max_repetition=args.max_repetition,
+            benchmark=bench, redact=args.redact_pii,
+            max_per_domain=args.max_per_domain,
+            max_perplexity=args.max_perplexity,
+        )
+        langs = [s.strip() for s in args.langs.split(",") if s.strip()]
+        routed = (
+            cleaned.withColumn("lang", lang_id_ngram_udf()("text"))
+            .filter(F.col("lang").isin(langs))
+            .withColumn("__docid", F.xxhash64("url", "warc_ts"))
+        )
+        if args.mix_total is not None:
+            from verde_spark.operators.mixing import temperature_mix
+
+            routed = temperature_mix(
+                routed, "lang", args.mix_total,
+                alpha=args.mix_alpha, id_col="__docid",
+            )
+        routed.write.mode("overwrite").parquet(f"{args.output}/routed")
+        routed = spark.read.parquet(f"{args.output}/routed")
+        per_lang = {
+            r["lang"]: int(r["n"])
+            for r in routed.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        vocab = build_vocab(routed, size=args.vocab_size)
+        vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
+        vocab = spark.read.parquet(f"{args.output}/vocab")
+        method = "map" if args.vocab_size <= 65536 else "join"
+        enc = encode_tokens(
+            routed, vocab, id_col="__docid", method=method, unk_id=-1
+        ).withColumn("n_ids", F.size("token_ids"))
+        enc.select(
+            "url", "warc_ts", F.col("__docid").alias("doc_id"),
+            "lang", "token_ids", "n_ids",
+        ).write.mode("overwrite").parquet(f"{args.output}/tokens")
+        enc_stored = spark.read.parquet(f"{args.output}/tokens")
+        layout = pack_sequences(
+            enc_stored, seq_len=args.seq_len, id_col="doc_id",
+            n_shards=args.n_shards, tokens_col="n_ids",
+        )
+        layout.write.mode("overwrite").parquet(f"{args.output}/layout")
+        stats = packing_stats(
+            spark.read.parquet(f"{args.output}/layout"),
+            seq_len=args.seq_len,
+        ).collect()
+        n_seqs = sum(int(r["n_sequences"]) for r in stats)
+        print(json.dumps({
+            "job": "pretrain", "rows_in": before,
+            "rows_routed": sum(per_lang.values()), "per_lang": per_lang,
+            "vocab_size": vocab.count(), "seq_len": args.seq_len,
+            "sequences": n_seqs, "shards": len(stats),
+            "sec": round(time.time() - t0, 3),
         }))
         return 0
 
