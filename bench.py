@@ -272,6 +272,21 @@ def wordlm_pipeline(spark, n_pages: int) -> int:
     return pages.select(lp.alias("lp")).filter(F.col("lp") > -400.0).count()
 
 
+def wordlm_arrow_pipeline(spark, n_pages: int) -> int:
+    """wordlm_pipeline on the PRODUCTION Arrow engine (round 5):
+    functions/wordlm.word_logprob_udf replays the fold's serial order in
+    batched Python behind Arrow, so it is BIT-identical to the Catalyst
+    literal-fold oracle (pinned in tests/test_wordlm.py) — same LM, same
+    threshold gate."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.functions.wordlm import ENGLISH_WORD_LM, word_logprob_udf
+
+    pages = spark.read.parquet(pages_parquet(spark, n_pages))
+    lp = word_logprob_udf(ENGLISH_WORD_LM, "text")
+    return pages.select(lp.alias("lp")).filter(F.col("lp") > -400.0).count()
+
+
 def dsir_arrow_pipeline(spark, n_pages: int) -> int:
     """The PRODUCTION engine for dsir_pipeline's projection (round 5,
     VERDICT r4 #7): the shared vectorized hashed-bucket Arrow kernel
@@ -350,6 +365,30 @@ def kmeans_bench(spark) -> int:
         ).alias("embedding"),
     )
     _, model = kmeans_fit(df, k=8, iterations=3)
+    return sum(model.sizes)
+
+
+def kmeans_arrow_bench(spark) -> int:
+    """kmeans_200k on the PRODUCTION Arrow engine (``engine="arrow"``:
+    vectorized-NumPy assignment, BIT-identical to the Catalyst argmin
+    fold — pinned in tests/test_clustering.py).  The Catalyst engine
+    stays the registry/oracle path; same 200k×16-dim input, k=8,
+    3 Lloyd iterations."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.operators.clustering import kmeans_fit
+
+    df = spark.range(200_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda j: (
+                (F.xxhash64(F.col("id"), j).cast("double") / F.lit(float(1 << 64)))
+                + F.lit(0.5)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    _, model = kmeans_fit(df, k=8, iterations=3, engine="arrow")
     return sum(model.sizes)
 
 
@@ -769,6 +808,13 @@ def main():
         wordlm_pipeline(spark, N_PAGES)
         t_wl = min(t_wl, time.time() - t0)
     qtimes["wordlm_score"] = round(t_wl, 3)
+    wordlm_arrow_pipeline(spark, max(N_PAGES // 20, 10_000))  # warm
+    t_wa = float("inf")
+    for _rep in range(3):
+        t0 = time.time()
+        wordlm_arrow_pipeline(spark, N_PAGES)
+        t_wa = min(t_wa, time.time() - t0)
+    qtimes["wordlm_arrow"] = round(t_wa, 3)
     tfidf_pipeline(spark, max(N_PAGES // 20, 10_000))  # warm
     t_tf = float("inf")
     for _rep in range(3):
@@ -783,6 +829,13 @@ def main():
         kmeans_bench(spark)
         t_km = min(t_km, time.time() - t0)
     qtimes["kmeans_200k"] = round(t_km, 3)
+    kmeans_arrow_bench(spark)  # warm
+    t_ka = float("inf")
+    for _rep in range(3):
+        t0 = time.time()
+        kmeans_arrow_bench(spark)
+        t_ka = min(t_ka, time.time() - t0)
+    qtimes["kmeans_arrow"] = round(t_ka, 3)
     qtimes.update(bench_queries(spark))
     result["reference_head_to_head"] = reference_head_to_head(spark)
     spark.stop()
@@ -797,6 +850,7 @@ def main():
     result["dsir_arrow_pages_per_sec"] = round(n_pts / qtimes["dsir_arrow"], 1)
     result["langid_arrow_pages_per_sec"] = round(n_la / qtimes["langid_arrow"], 1)
     result["wordlm_scored_pages_per_sec"] = round(n_pts / qtimes["wordlm_score"], 1)
+    result["wordlm_arrow_pages_per_sec"] = round(n_pts / qtimes["wordlm_arrow"], 1)
     result["tfidf_scored_pages_per_sec"] = round(n_pts / qtimes["tfidf_score"], 1)
     result["flagship_input_points"] = n_pts
     result["flagship_grid_nodes"] = n_nodes

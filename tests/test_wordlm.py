@@ -88,6 +88,29 @@ def test_logprob_bit_identical_three_engines(spark):
         assert duck[i] == ref, (i, s)  # DuckDB == Python, bitwise
 
 
+def test_logprob_udf_bit_identical_to_fold(spark):
+    # the Arrow fast path replays the SAME serial left-fold (same
+    # tokenization, same dict-else-backoff lookup, same float64 addition
+    # order), so unlike charlm's histogram·dot path it must be
+    # BIT-identical to the Catalyst fold — on the fuzz corpus, on real
+    # document text, and under a corpus-trained model
+    from verde_spark.functions.wordlm import word_logprob_udf
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(FUZZ)], "i int, text string"
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        (F.col("doc_id") + 1000).cast("int").alias("i"), "text"
+    )
+    both = df.union(docs)
+    for lm in (ENGLISH_WORD_LM, train_word_lm(docs, vocab_size=128)):
+        out = both.select(
+            word_logprob_expr(lm, "text").alias("fold"),
+            word_logprob_udf(lm, "text").alias("arrow"),
+        ).collect()
+        assert out and all(r["fold"] == r["arrow"] for r in out)
+
+
 def test_counts_match_duckdb_on_documents(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     got = sorted(

@@ -55,6 +55,7 @@ __all__ = [
     "words_expr",
     "word_gram_keys_expr",
     "word_logprob_expr",
+    "word_logprob_udf",
     "word_bigram_counts",
     "word_bigram_counts_sql",
     "word_norm_sql",
@@ -237,6 +238,51 @@ def word_logprob_expr(
         ).otherwise(F.lit(None).cast("double"))
 
     return F.element_at(F.transform(F.array(keys), fold), 1)
+
+
+def word_logprob_udf(
+    lm: WordLM | None = None, text_col: Column | str = "text"
+) -> Column:
+    """Arrow fast path for :func:`word_logprob_expr` — BIT-identical.
+
+    The Catalyst fold looks every pair key up in an interpreted
+    ``create_map`` of up to |observed bigrams| literals per element, so
+    scoring a crawl-sized corpus pays interpreter cost per word pair.
+    This path replays the IDENTICAL serial left-fold (same tokenization,
+    same ``dict`` lookup-else-backoff, same float64 addition order) in
+    batched Python behind Arrow — so unlike :func:`charlm_logprob_udf`
+    (histogram·dot, ulp-level reordering) the result is bit-for-bit the
+    fold's.  Keep :func:`word_logprob_expr` as the cross-engine oracle;
+    use this in hot pipelines.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    model = lm if lm is not None else ENGLISH_WORD_LM
+    wid = {w: i + 1 for i, w in enumerate(model.vocab)}
+    bi = model.bi_map
+    backoff = [float(v) for v in model.backoff_logp]
+    dim = model.dim
+
+    @pandas_udf("double")
+    def score(texts):  # (pd.Series) -> pd.Series; stringified hints from
+        # `from __future__ import annotations` confuse the udf inspector
+        out = [None] * len(texts)
+        for i, s in enumerate(texts):
+            if s is None or isinstance(s, float):
+                continue
+            ids = [wid.get(w, 0) for w in _words(s)]
+            if len(ids) < 2:
+                continue
+            acc = 0.0
+            prev = ids[0]
+            for b in ids[1:]:
+                acc = acc + bi.get(prev * dim + b, backoff[b])
+                prev = b
+            out[i] = acc
+        return pd.Series(out, dtype="float64")
+
+    return score(F.col(text_col) if isinstance(text_col, str) else text_col)
 
 
 # -- distributed training --------------------------------------------------
