@@ -1110,6 +1110,57 @@ def _write_bench_md(result):
             ]
         except Exception:  # noqa: BLE001 - sweep artifact is advisory
             pass
+    asweep_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SWEEP_ANN.json"
+    )
+    if os.path.exists(asweep_path):
+        try:
+            adata = json.load(open(asweep_path))
+            asweep = adata["ann_sweep"]
+            lines += [
+                "",
+                "## ANN path data-size scaling (cosine_topk vs ivf_topk)",
+                "",
+                f"Exact brute-force top-{adata['k']} vs IVF probing "
+                f"({adata['n_centroids']} cells trained once on a "
+                f"bounded sample, n_probe={adata['n_probe']}, layout = "
+                f"build_ivf_index parquet partitioned by cluster, probe "
+                f"engine = arrow — pinned identical to the Catalyst "
+                f"oracle path in pytest) over deterministic clustered "
+                f"embeddings ({adata['dim']} dims) with a SELECTIVE "
+                f"{adata['n_queries']}-query batch probing ≤ "
+                f"{adata['n_queries'] * adata['n_probe']}/"
+                f"{adata['n_centroids']} of the partitions.  recall@10 "
+                "is IVF's overlap with the exact answer (produced by "
+                "tools/scale_sweep_ann.py, persisted in SWEEP_ANN.json):",
+                "",
+                "| docs | brute sec | ivf sec | ivf speedup | recall@10 | ivf docs/sec |",
+                "|---|---|---|---|---|---|",
+            ]
+            for r in asweep:
+                lines.append(
+                    f"| {r['docs']:,} | {r['brute_sec']} | {r['ivf_sec']} "
+                    f"| {r['ivf_speedup']}× | {r['recall_at_10']} "
+                    f"| {r['ivf_docs_per_sec']:,} |"
+                )
+            lines += [
+                "",
+                "IVF time stays nearly FLAT as the corpus grows 16× "
+                "(it reads only the probed partitions — statically "
+                "pruned, plan-asserted) while brute-force grows with the "
+                "full scan, so the speedup crosses 1 and keeps growing "
+                "toward the probed-fraction bound — extrapolate to "
+                "100 TB and brute scans everything while IVF scans the "
+                "probed quarter (or less, with more cells).  Recall "
+                "holds ≥ 0.99 throughout.  At the smallest sizes fixed "
+                "probe overhead dominates and brute wins: a batch "
+                "probing EVERY cell reduces IVF to a full scan, which "
+                "is brute's regime by design — the similarity-search "
+                "scale path is selective probing over a partitioned "
+                "layout.",
+            ]
+        except Exception:  # noqa: BLE001 - sweep artifact is advisory
+            pass
     ratios = [r for r in sc.get("per_round_1_to_4", []) if r]
     if ratios and (max(ratios) > 1.0 or max(ratios) / min(ratios) > 1.4):
         lines += [

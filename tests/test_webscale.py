@@ -535,6 +535,35 @@ def test_ivf_topk_matches_bruteforce_on_clustered_data(spark):
     assert key(part) == key(exact)
 
 
+def test_ivf_topk_arrow_engine_matches_catalyst(spark):
+    # the PRODUCTION probe engine (mapInPandas matmul + in-udf partial
+    # top-k) must reproduce the Catalyst oracle path exactly: same
+    # candidate set, same (cosine DESC, id ASC) tiebreak; cosines differ
+    # only in float64 summation order, so agreement is pinned at 1e-9
+    # after rounding and the (query, rank, neighbor) triples must be
+    # IDENTICAL
+    from verde_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    corpus = _planted_embeddings(spark)
+    queries = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = train_ivf_centroids(corpus, n_centroids=8, sample_size=300, seed=17)
+    for n_probe in (2, 8):
+        cat = ivf_topk(corpus, queries, k=5, centroids=cents, n_probe=n_probe)
+        arw = ivf_topk(
+            corpus, queries, k=5, centroids=cents, n_probe=n_probe,
+            engine="arrow",
+        )
+        key = lambda df: sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], round(r["cosine"], 9))
+            for r in df.collect()
+        )
+        assert key(cat) == key(arw) and cat.count() == 40
+    with pytest.raises(ValueError, match="unknown engine"):
+        ivf_topk(corpus, queries, k=5, centroids=cents, engine="numba")
+
+
 def test_ivf_index_partition_pruning(spark, tmp_path):
     from verde_spark.operators.similarity import build_ivf_index, ivf_topk, train_ivf_centroids
 
@@ -554,6 +583,19 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     got = ivf_topk(back, queries, k=3, centroids=cents, n_probe=4, assigned=True).toPandas()
     assert sorted(got["query_id"].unique()) == [0, 1, 2, 3]
     assert (got.groupby("query_id").size() == 3).all()
+    # r5: ivf_topk injects the probed-cluster IN-filter itself, so a
+    # narrow probe over the layout STATICALLY prunes unprobed partitions
+    # (both engines; the arrow path shown here)
+    one = queries.filter(F.col("query_id") == 0)
+    res = ivf_topk(
+        back, one, k=3, centroids=cents, n_probe=1, assigned=True,
+        engine="arrow",
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # a single probed cluster folds isin -> equality:
+    #   PartitionFilters: [isnotnull(cluster#..), (cluster#.. = N)]
+    assert "PartitionFilters: [isnotnull(cluster" in plan
+    assert res.count() == 3
 
 
 def test_datasets_standins_feed_the_pipeline(spark):
