@@ -222,7 +222,7 @@ def test_cosine_topk_exact(spark):
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     got = cosine_topk(emb, queries, k=3).toPandas()
-    #每 query has exactly 3 neighbors, self is rank 1 with cosine ~1
+    # every query has exactly 3 neighbors, self is rank 1 with cosine ~1
     assert len(got) == 15
     top1 = got[got["rank"] == 1]
     npt.assert_array_equal(np.sort(top1["neighbor_id"]), np.sort(top1["query_id"]))
@@ -562,6 +562,33 @@ def test_ivf_topk_arrow_engine_matches_catalyst(spark):
         assert key(cat) == key(arw) and cat.count() == 40
     with pytest.raises(ValueError, match="unknown engine"):
         ivf_topk(corpus, queries, k=5, centroids=cents, engine="numba")
+
+
+def test_topk_tie_break_is_id_ascending(spark):
+    # 20 ids share ONE identical embedding, so cosine ties saturate the
+    # k boundary; the Arrow partial top-k must keep the SMALLEST ids —
+    # the (cosine DESC, id ASC) contract — not an argpartition-arbitrary
+    # tied subset.  Multiple input partitions exercise the cross-batch
+    # union + final-window path too.
+    from verde_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    dup = [1.0, 0.0, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    rows = [(i, dup) for i in range(20)] + [(100 + i, far) for i in range(10)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(7)
+    queries = spark.createDataFrame(
+        [(0, dup)], "query_id long, embedding array<double>"
+    )
+    got = cosine_topk(corpus, queries, k=5).toPandas()
+    assert sorted(got["neighbor_id"]) == [0, 1, 2, 3, 4]
+    # same law through the IVF arrow probe engine (all ties co-cluster)
+    cents = train_ivf_centroids(corpus, n_centroids=2, sample_size=30, seed=17)
+    ivf = ivf_topk(
+        corpus, queries, k=5, centroids=cents, n_probe=2, engine="arrow"
+    ).toPandas()
+    assert sorted(ivf["neighbor_id"]) == [0, 1, 2, 3, 4]
 
 
 def test_ivf_index_partition_pruning(spark, tmp_path):

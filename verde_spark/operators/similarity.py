@@ -80,11 +80,19 @@ def cosine_topk(
                 continue
             ids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            # id-ascending candidate order + STABLE argsort makes the
+            # per-batch selection exactly (cosine DESC, id ASC) even on
+            # exact cosine ties (duplicate embeddings) — the same total
+            # order the final window applies, so the partial top-k is
+            # tie-exact, not just tie-arbitrary argpartition
+            by_id = np.argsort(ids, kind="stable")
+            ids = ids[by_id]
+            mat = mat[by_id]
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
             sims = qmat @ (mat / norms[:, None]).T  # (n_queries, batch)
             top = min(kk, sims.shape[1])
-            part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            part = np.argsort(-sims, axis=1, kind="stable")[:, :top]
             out_q = np.repeat(qids, top)
             out_n = ids[part.ravel()]
             out_s = np.take_along_axis(sims, part, axis=1).ravel()
@@ -400,11 +408,17 @@ def ivf_topk(
                     qids, Q = qb
                     ids = grp[id_col].to_numpy()
                     M = np.stack(grp[vec_col].to_numpy()).astype("float64")
+                    # id-ascending order + stable argsort: the per-batch
+                    # selection is exactly (cosine DESC, id ASC) even on
+                    # exact cosine ties — see cosine_topk's scan
+                    by_id = np.argsort(ids, kind="stable")
+                    ids = ids[by_id]
+                    M = M[by_id]
                     nrm = np.linalg.norm(M, axis=1)
                     nrm[nrm == 0] = 1.0
                     sims = Q @ (M / nrm[:, None]).T  # (q_block, batch)
                     top = min(kk, sims.shape[1])
-                    part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+                    part = np.argsort(-sims, axis=1, kind="stable")[:, :top]
                     yield pd.DataFrame({
                         "query_id": np.repeat(qids, top),
                         "neighbor_id": ids[part.ravel()],
