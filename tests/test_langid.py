@@ -75,6 +75,11 @@ def test_min_grams_boundary():
     assert reference_lang_id("wasserw") == "und"    # 7 letters
     assert len(_gram_ids(_norm("12345 67890 !!!"))) > 8  # grams exist...
     assert reference_lang_id("12345 67890 !!!") == "und"  # ...letters don't
+    # a permissive guard letting a gram-free doc through must still
+    # return 'und' (the Catalyst twin coalesces the all-NULL scores) —
+    # not crash on max() over all-None profile scores
+    assert reference_lang_id("a", min_grams=1) == "und"
+    assert reference_lang_id("", min_grams=0) == "und"
 
 
 def test_corpus_training_matches_embedded(spark):

@@ -1661,6 +1661,44 @@ def test_main_entrypoint_encode_job(spark, tmp_path, capsys):
     assert off == 0
 
 
+def test_encode_job_redact_pii_scrubs_training_tokens(spark, tmp_path, capsys):
+    """--redact-pii on the encode job must make the REDACTED text the
+    training text: the vocab/token tables a model trains on may not
+    contain fragments of the raw email — carrying a text_clean column
+    along while packing raw text would silently break the flag."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from verde_spark.__main__ import main
+
+    rows = [
+        (
+            f"http://ex.com/{i}",
+            "write to alice.secretperson77@corp.example.com for the "
+            "quarterly report and the full minutes of the meeting "
+            f"number {i}",
+        )
+        for i in range(30)
+    ]
+    src = str(tmp_path / "pii_pages")
+    spark.createDataFrame(rows, "url string, text string").withColumn(
+        "warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    ).write.parquet(src)
+
+    out = str(tmp_path / "enc_redacted")
+    assert main([
+        "--input", src, "--job", "encode", "--output", out,
+        "--redact-pii", "--vocab-size", "100", "--seq-len", "32",
+        "--n-shards", "2", "--min-tokens", "3",
+    ]) == 0
+    capsys.readouterr()
+    vocab = spark.read.parquet(f"{out}/vocab").toPandas()
+    leaked = [t for t in vocab["token"] if "secretperson77" in t]
+    assert leaked == [], f"raw email fragments reached the vocab: {leaked}"
+    assert "email" in set(vocab["token"])  # the <EMAIL> token's word form
+
+
 def test_main_entrypoint_pretrain_job(spark, tmp_path, capsys):
     """--job pretrain: clean → Arrow char-n-gram language routing →
     α-temperature rebalance → vocab → token ids → packed layout.  The

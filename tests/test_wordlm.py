@@ -63,6 +63,21 @@ def test_word_ids_and_keys_match_python(spark):
         assert got[i][1] == want_keys, (i, s)
 
 
+def test_gram_keys_are_long(spark):
+    """Key dtype regression pin: ``a*dim + b`` tops out near dim², which
+    overflows 32-bit int for vocabularies beyond ~46k words — the key
+    array (and the multiply feeding it) must be LONG so large-vocab
+    models can't silently wrap to wrong gram keys / backoff indices."""
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame([("the cat sat",)], "text string")
+    field = df.select(
+        word_gram_keys_expr(ENGLISH_WORD_LM, "text").alias("k")
+    ).schema["k"]
+    assert isinstance(field.dataType, T.ArrayType)
+    assert isinstance(field.dataType.elementType, T.LongType)
+
+
 def test_logprob_bit_identical_three_engines(spark):
     rows = [(i, s) for i, s in enumerate(FUZZ)]
     df = spark.createDataFrame(rows, "i int, text string")

@@ -28,6 +28,56 @@ import sys
 import time
 
 
+def _fold_redacted(df, redact: bool, text_col: str = "text"):
+    """Make the redacted text THE text: downstream vocab/token/layout
+    stages (and language routing) must train on the scrubbed column, not
+    just carry it along — a ``--redact-pii`` run that still packs raw
+    emails/IPs into the training shards would silently break the flag's
+    promise."""
+    from pyspark.sql import functions as F
+
+    clean = f"{text_col}_clean"
+    if redact and clean in df.columns:
+        df = df.withColumn(text_col, F.col(clean)).drop(clean)
+    return df
+
+
+def _vocab_tokens_layout(spark, df, args, extra_cols=()):
+    """Shared tail of the encode/pretrain jobs: frequency vocab →
+    token-id arrays → packed fixed-length layout, written as three
+    parquet tables under ``--output`` (vocab/, tokens/, layout/).
+    Returns ``(vocab_count, enc_stored, n_sequences, n_shards)``."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.functions.vocab import build_vocab, encode_tokens
+    from verde_spark.operators.packing import pack_sequences, packing_stats
+
+    vocab = build_vocab(df, size=args.vocab_size)
+    vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
+    vocab = spark.read.parquet(f"{args.output}/vocab")  # re-read: one vocab job
+    # literal-map engine inlines comfortably to ~64k entries; beyond
+    # that the broadcast-join engine keeps the plan size bounded
+    method = "map" if args.vocab_size <= 65536 else "join"
+    enc = encode_tokens(
+        df, vocab, id_col="__docid", method=method, unk_id=-1
+    ).withColumn("n_ids", F.size("token_ids"))
+    enc.select(
+        "url", "warc_ts", F.col("__docid").alias("doc_id"),
+        *extra_cols, "token_ids", "n_ids",
+    ).write.mode("overwrite").parquet(f"{args.output}/tokens")
+    enc_stored = spark.read.parquet(f"{args.output}/tokens")
+    layout = pack_sequences(
+        enc_stored, seq_len=args.seq_len, id_col="doc_id",
+        n_shards=args.n_shards, tokens_col="n_ids",
+    )
+    layout.write.mode("overwrite").parquet(f"{args.output}/layout")
+    stats = packing_stats(
+        spark.read.parquet(f"{args.output}/layout"), seq_len=args.seq_len
+    ).collect()
+    n_seqs = sum(int(r["n_sequences"]) for r in stats)
+    return vocab.count(), enc_stored, n_seqs, len(stats)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="verde_spark")
     src = ap.add_mutually_exclusive_group(required=True)
@@ -67,7 +117,7 @@ def main(argv=None) -> int:
     ap.add_argument("--min-tokens", type=int, default=5, help="clean job: minimum token count gate")
     ap.add_argument("--max-repetition", type=float, default=0.5, help="clean job: maximum duplicated-bigram fraction")
     ap.add_argument("--benchmark", default=None, help="clean job: parquet dir of an eval set; docs sharing a 13-gram with it are dropped (decontamination)")
-    ap.add_argument("--redact-pii", action="store_true", help="clean job: write a text_clean column with emails/IPs/phones replaced by tokens")
+    ap.add_argument("--redact-pii", action="store_true", help="clean job: write a text_clean column with emails/IPs/phones replaced by tokens; encode/pretrain jobs: the redacted text REPLACES text before vocab/token/layout, so the training shards are scrubbed")
     ap.add_argument("--max-per-domain", type=int, default=None, help="clean job: cap pages per domain (corpus balance)")
     ap.add_argument(
         "--snapshot-store", action="store_true",
@@ -94,6 +144,7 @@ def main(argv=None) -> int:
     ap.add_argument("--robots", default=None, help="frontier job: parquet dir of a per-host robots dim (host, robots_txt)")
     ap.add_argument("--blocklist-file", default=None, help="frontier job: text file of blocked domains, one per line")
     ap.add_argument("--seen", default=None, help="frontier job: parquet dir of previously fetched pages; their urls are dropped via a Bloom-prefiltered anti-join")
+    ap.add_argument("--bloom-bits", type=int, default=None, help="frontier job: Bloom prefilter size in bits (default: auto — ~16 bits per seen url, floor 2^20, cap 2^34)")
     ap.add_argument("--max-per-host", type=int, default=None, help="frontier job: cap queued urls per host (politeness bound)")
     ap.add_argument("--agent", default="*", help="frontier job: user-agent token for robots.txt groups")
     ap.add_argument("--default-delay", type=float, default=1.0, help="frontier job: crawl delay (sec) for hosts without a Crawl-delay rule")
@@ -198,23 +249,21 @@ def main(argv=None) -> int:
         # beyond the stages' own (the dedup/cap/mix windows, the
         # bounded vocab agg, the per-shard packing cumsum).
         from verde_spark.functions.langid import lang_id_ngram_udf
-        from verde_spark.functions.vocab import build_vocab, encode_tokens
-        from verde_spark.operators.packing import (
-            pack_sequences,
-            packing_stats,
-        )
         from verde_spark.pipelines import clean_corpus
 
         before = pages.count()
         bench = (
             spark.read.parquet(args.benchmark) if args.benchmark else None
         )
-        cleaned = clean_corpus(
-            pages, min_tokens=args.min_tokens,
-            max_repetition=args.max_repetition,
-            benchmark=bench, redact=args.redact_pii,
-            max_per_domain=args.max_per_domain,
-            max_perplexity=args.max_perplexity,
+        cleaned = _fold_redacted(
+            clean_corpus(
+                pages, min_tokens=args.min_tokens,
+                max_repetition=args.max_repetition,
+                benchmark=bench, redact=args.redact_pii,
+                max_per_domain=args.max_per_domain,
+                max_perplexity=args.max_perplexity,
+            ),
+            args.redact_pii,
         )
         langs = [s.strip() for s in args.langs.split(",") if s.strip()]
         routed = (
@@ -237,77 +286,40 @@ def main(argv=None) -> int:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        vocab = build_vocab(routed, size=args.vocab_size)
-        vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
-        vocab = spark.read.parquet(f"{args.output}/vocab")
-        method = "map" if args.vocab_size <= 65536 else "join"
-        enc = encode_tokens(
-            routed, vocab, id_col="__docid", method=method, unk_id=-1
-        ).withColumn("n_ids", F.size("token_ids"))
-        enc.select(
-            "url", "warc_ts", F.col("__docid").alias("doc_id"),
-            "lang", "token_ids", "n_ids",
-        ).write.mode("overwrite").parquet(f"{args.output}/tokens")
-        enc_stored = spark.read.parquet(f"{args.output}/tokens")
-        layout = pack_sequences(
-            enc_stored, seq_len=args.seq_len, id_col="doc_id",
-            n_shards=args.n_shards, tokens_col="n_ids",
+        n_vocab, _enc, n_seqs, n_shards = _vocab_tokens_layout(
+            spark, routed, args, extra_cols=("lang",)
         )
-        layout.write.mode("overwrite").parquet(f"{args.output}/layout")
-        stats = packing_stats(
-            spark.read.parquet(f"{args.output}/layout"),
-            seq_len=args.seq_len,
-        ).collect()
-        n_seqs = sum(int(r["n_sequences"]) for r in stats)
         print(json.dumps({
             "job": "pretrain", "rows_in": before,
             "rows_routed": sum(per_lang.values()), "per_lang": per_lang,
-            "vocab_size": vocab.count(), "seq_len": args.seq_len,
-            "sequences": n_seqs, "shards": len(stats),
+            "vocab_size": n_vocab, "seq_len": args.seq_len,
+            "sequences": n_seqs, "shards": n_shards,
             "sec": round(time.time() - t0, 3),
         }))
         return 0
 
     if args.job == "encode":
         # the full text→training-shards path: clean → vocab → ids → layout
-        from verde_spark.functions.vocab import build_vocab, encode_tokens
-        from verde_spark.operators.packing import pack_sequences, packing_stats
         from verde_spark.pipelines import clean_corpus
 
         before = pages.count()
-        cleaned = clean_corpus(
-            pages, min_tokens=args.min_tokens,
-            max_repetition=args.max_repetition,
-            max_perplexity=args.max_perplexity,
+        cleaned = _fold_redacted(
+            clean_corpus(
+                pages, min_tokens=args.min_tokens,
+                max_repetition=args.max_repetition,
+                max_perplexity=args.max_perplexity,
+                redact=args.redact_pii,
+            ),
+            args.redact_pii,
         ).withColumn("__docid", F.xxhash64("url", "warc_ts"))
-        vocab = build_vocab(cleaned, size=args.vocab_size)
-        vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
-        vocab = spark.read.parquet(f"{args.output}/vocab")  # re-read: one vocab job
-        # literal-map engine inlines comfortably to ~64k entries; beyond
-        # that the broadcast-join engine keeps the plan size bounded
-        method = "map" if args.vocab_size <= 65536 else "join"
-        enc = encode_tokens(
-            cleaned, vocab, id_col="__docid", method=method, unk_id=-1
-        ).withColumn("n_ids", F.size("token_ids"))
-        enc.select(
-            "url", "warc_ts", F.col("__docid").alias("doc_id"),
-            "token_ids", "n_ids",
-        ).write.mode("overwrite").parquet(f"{args.output}/tokens")
-        enc_stored = spark.read.parquet(f"{args.output}/tokens")
-        layout = pack_sequences(
-            enc_stored, seq_len=args.seq_len, id_col="doc_id",
-            n_shards=args.n_shards, tokens_col="n_ids",
+        n_vocab, enc_stored, n_seqs, n_shards = _vocab_tokens_layout(
+            spark, cleaned, args
         )
-        layout.write.mode("overwrite").parquet(f"{args.output}/layout")
-        stats = packing_stats(
-            spark.read.parquet(f"{args.output}/layout"), seq_len=args.seq_len
-        ).collect()
-        n_seqs = sum(int(r["n_sequences"]) for r in stats)
         print(json.dumps({
             "job": "encode", "rows_in": before,
             "rows_kept": enc_stored.count(),
-            "vocab_size": vocab.count(), "seq_len": args.seq_len,
-            "sequences": n_seqs, "shards": len(stats),
+            "vocab_size": n_vocab, "seq_len": args.seq_len,
+            "sequences": n_seqs, "shards": n_shards,
             "sec": round(time.time() - t0, 3),
         }))
         return 0
@@ -345,12 +357,18 @@ def main(argv=None) -> int:
             if doms:
                 frontier = filter_blocklist(frontier, doms, url_col="url")
         if args.seen:
-            seen = seen_hashes(
-                spark.read.parquet(args.seen), text_col="url"
+            seen_pages = spark.read.parquet(args.seen)
+            seen = seen_hashes(seen_pages, text_col="url")
+            # size the Bloom prefilter to the seen set: a fixed 2^20
+            # bits saturates (FPR → 1) beyond ~10^5 seen urls, turning
+            # the prefilter into pure overhead; ~16 bits/key keeps FPR
+            # well under 1% at the default hash count
+            bits = args.bloom_bits or max(
+                1 << 20, 1 << (16 * seen_pages.count()).bit_length()
             )
             frontier = novel_docs(
                 frontier, seen, text_col="url",
-                bloom_num_bits=1 << 20,
+                bloom_num_bits=min(bits, 1 << 34),
             )
         sched = crawl_schedule(
             frontier.select("url"), delays,

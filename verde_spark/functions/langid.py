@@ -400,6 +400,11 @@ def reference_lang_id(
     scores = {
         lang: reference_logprob(lm, t) for lang, lm in sorted(profs.items())
     }
+    # a gram-free doc that still passes a permissive min_grams guard
+    # (min_grams <= 1 with a one-letter doc) scores None under every
+    # profile — the Catalyst twin coalesces that to 'und', so must we
+    if all(v is None for v in scores.values()):
+        return "und"
     best = max(scores.values())
     for lang in sorted(scores):
         if scores[lang] == best:

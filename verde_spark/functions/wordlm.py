@@ -185,7 +185,10 @@ def word_gram_keys_expr(
     lm: WordLM, text: Column | str = "text"
 ) -> Column:
     """Adjacent-pair key array ``a*dim + b`` over the doc's word ids —
-    empty array when the doc has fewer than two words."""
+    empty array when the doc has fewer than two words.  Keys are LONG:
+    ``a*dim + b`` tops out near ``dim²``, which overflows 32-bit int for
+    vocabularies beyond ~46k words (the silent-wraparound would corrupt
+    gram keys AND the pmod backoff index)."""
     ids = _word_ids(lm, words_expr(text))
     dim = F.lit(lm.dim)
 
@@ -196,10 +199,11 @@ def word_gram_keys_expr(
             F.transform(
                 F.sequence(F.lit(1), n),
                 lambda i: (
-                    F.element_at(v, i) * dim + F.element_at(v, i + F.lit(1))
-                ).cast("int"),
+                    F.element_at(v, i).cast("long") * dim
+                    + F.element_at(v, i + F.lit(1))
+                ),
             ),
-        ).otherwise(F.array().cast("array<int>"))
+        ).otherwise(F.array().cast("array<long>"))
 
     # let-bind the id array (element_at(transform(array(x), f), 1) = let)
     return F.element_at(F.transform(F.array(ids), pairs), 1)
@@ -219,16 +223,18 @@ def word_logprob_expr(
     if lm.bi_logp:
         pairs: list[Column] = []
         for k, v in lm.bi_logp:
-            pairs.append(F.lit(int(k)).cast("int"))
+            pairs.append(F.lit(int(k)).cast("long"))
             pairs.append(F.lit(float(v)))
         bi = F.create_map(*pairs)
         step = lambda g: F.coalesce(  # noqa: E731
             F.element_at(bi, g),
-            F.element_at(backoff, F.pmod(g, F.lit(lm.dim)) + 1),
+            F.element_at(
+                backoff, (F.pmod(g, F.lit(lm.dim)) + 1).cast("int")
+            ),
         )
     else:
         step = lambda g: F.element_at(  # noqa: E731
-            backoff, F.pmod(g, F.lit(lm.dim)) + 1
+            backoff, (F.pmod(g, F.lit(lm.dim)) + 1).cast("int")
         )
 
     def fold(g: Column) -> Column:
@@ -374,7 +380,7 @@ def _ids_sql(lm: WordLM, words: str) -> str:
 def _keys_sql(lm: WordLM, ids: str) -> str:
     return (
         f"list_transform(range(1, length({ids})), i -> "
-        f"CAST({ids}[i] * {lm.dim} + {ids}[i+1] AS INT))"
+        f"CAST({ids}[i] AS BIGINT) * {lm.dim} + {ids}[i+1])"
     )
 
 
@@ -389,7 +395,7 @@ def word_bigram_counts_sql(
           SELECT unnest({_keys_sql(lm, 'ids')}) AS gram
           FROM w WHERE length(ids) >= 2
         )
-        SELECT CAST(gram AS int) AS gram, CAST(count(*) AS bigint) AS count
+        SELECT CAST(gram AS bigint) AS gram, CAST(count(*) AS bigint) AS count
         FROM g GROUP BY gram
     """
 

@@ -461,6 +461,9 @@ def perplexity_buckets_sql(
     cols = select_cols or (f"{id_col}, {lang_col}" if lang_col else id_col)
     names = _bucket_names(n_buckets)
     when = " ".join(f"WHEN {i} THEN '{nm}'" for i, nm in enumerate(names, 1))
+    # only the scored CTE differs per scorer family; the ntile tail is
+    # shared so the bucket-window semantics (DESC NULLS LAST, id ASC
+    # tiebreak) cannot drift between the engine twins
     if scorer == "word":
         from ..functions.wordlm import (
             ENGLISH_WORD_LM,
@@ -471,7 +474,7 @@ def perplexity_buckets_sql(
 
         model = lm if lm is not None else ENGLISH_WORD_LM
         n_pairs = f"length({_words_sql(word_norm_sql(text_col))}) - 1"
-        scored_cte = f"""
+        ctes = f"""
         scored AS (
           SELECT *, CASE WHEN {n_pairs} >= 1 THEN
                    ({word_logprob_sql(model, text_col)})
@@ -479,22 +482,9 @@ def perplexity_buckets_sql(
                  ELSE NULL END AS {score_col}
           FROM src
         )"""
-        return f"""
-        WITH src AS ({src_sql}),{scored_cte}
-        SELECT {cols}, {score_col},
-               ntile({n_buckets}) OVER (
-                 {part}ORDER BY {score_col} DESC NULLS LAST, {id_col} ASC
-               ) AS bucket,
-               CASE ntile({n_buckets}) OVER (
-                 {part}ORDER BY {score_col} DESC NULLS LAST, {id_col} ASC
-               ) {when} END AS bucket_name
-        FROM scored
-    """
-    if scorer != "char":
-        raise ValueError(f"unknown scorer: {scorer!r}")
-    model = lm if lm is not None else ENGLISH_LM
-    return f"""
-        WITH src AS ({src_sql}),
+    elif scorer == "char":
+        model = lm if lm is not None else ENGLISH_LM
+        ctes = f"""
         norm AS (
           SELECT *, {charlm_norm_sql(text_col)} AS __t FROM src
         ),
@@ -504,7 +494,11 @@ def perplexity_buckets_sql(
                      / CAST(length(__t) - 1 AS DOUBLE)
                  ELSE NULL END AS {score_col}
           FROM norm
-        )
+        )"""
+    else:
+        raise ValueError(f"unknown scorer: {scorer!r}")
+    return f"""
+        WITH src AS ({src_sql}),{ctes}
         SELECT {cols}, {score_col},
                ntile({n_buckets}) OVER (
                  {part}ORDER BY {score_col} DESC NULLS LAST, {id_col} ASC

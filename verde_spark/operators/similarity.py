@@ -65,10 +65,15 @@ def cosine_topk(
     b_q = spark.sparkContext.broadcast((qids, qmat / qnorm[:, None]))
     kk = int(k)
 
+    # id dtypes follow the inputs (string/int/long ids all valid keys —
+    # a hardcoded LongType would crash the Arrow conversion on non-long
+    # id columns the expression engines accept)
     schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField(
+                "query_id", queries.schema[query_id_col].dataType
+            ),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
@@ -334,8 +339,12 @@ def ivf_topk(
     same (cosine DESC, id ASC) tiebreak; cosines differ from the fold
     only in float64 summation order (NumPy dot), and a zero-norm vector
     scores 0-ish (norm clamped to 1, the :func:`cosine_topk`
-    convention) where the fold yields NaN/NULL.  Neighbor-set agreement
-    is pinned in pytest.
+    convention) where the fold yields NaN/NULL.  A vector CONTAINING
+    NaN diverges the other way: Spark's descending sort ranks NaN above
+    every real cosine (catalyst path returns it first) while NumPy's
+    argsort places NaN last (arrow path drops it) — garbage embeddings
+    must be filtered upstream, the engines agree only on finite input.
+    Neighbor-set agreement is pinned in pytest.
     """
     if engine not in ("catalyst", "arrow"):
         raise ValueError(f"unknown engine: {engine!r}")
@@ -391,8 +400,10 @@ def ivf_topk(
         kk = int(k)
 
         schema = T.StructType([
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField(
+                "query_id", queries.schema[query_id_col].dataType
+            ),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
             T.StructField("cosine", T.DoubleType()),
         ])
 
