@@ -37,6 +37,11 @@ _HTML_CASES = [
     '<meta content="noindex" name="viewport">',
     "plain text no tags",
     '<meta name="robots" content="noarchive,noindex ,max-snippet:-1">',
+    # EMPTY content in the name→content tag must not short-circuit the
+    # content→name pattern (review r5: the Python twin's `search(NC) or
+    # search(CN)` stopped at the empty match; the engines coalesce
+    # nullif-empty and fall through)
+    '<meta name="robots" content=""><meta content="noindex" name="robots">',
     "",
 ]
 
@@ -121,6 +126,39 @@ def test_filter_blocklist_dataframe_paths_agree(spark):
     )
     assert got_small == expect and got_join == expect
     assert len(expect) == 20  # only site1.com survives
+
+
+def test_filter_blocklist_dot_prefix_and_null_urls_agree(spark):
+    """'.example.com' entries and NULL urls behave identically on both
+    sides of driver_threshold (review r5: the join path skipped
+    _normalized_domains' dot-strip and kept NULL-url rows)."""
+    pages = spark.createDataFrame(
+        [("https://ads.example.com/x",), ("https://keep.com/y",), (None,)],
+        "url string",
+    )
+    bdf = spark.createDataFrame(
+        [(".example.com",), ("   ",)], "domain string"
+    )
+    small = sorted(
+        r["url"] for r in filter_blocklist(pages, bdf).collect()
+    )
+    join = sorted(
+        r["url"]
+        for r in filter_blocklist(pages, bdf, driver_threshold=0).collect()
+    )
+    assert small == join == ["https://keep.com/y"]
+
+
+def test_blocklist_gate_catches_whitespace_padded_urls(spark):
+    """host_of trims before the anchored match (review r5: a padded url
+    resolved to host '' and bypassed the gate while crawl_schedule still
+    scheduled the page)."""
+    pages = spark.createDataFrame(
+        [("  https://ads.example.com/x ",), ("https://keep.com/y",)],
+        "url string",
+    )
+    out = [r["url"] for r in filter_blocklist(pages, ["example.com"]).collect()]
+    assert out == ["https://keep.com/y"]
 
 
 def test_anchor_texts_and_topk_vs_duckdb(spark):
@@ -362,6 +400,11 @@ def test_robots_txt_filter_broadcasts_and_keeps_unlisted_hosts(spark):
     assert out.columns == ["url", "id"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    # duplicate host rows in the robots dim must not MULTIPLY pages
+    # through the left join (review r5) — same verdicts, same row count
+    robots_dup = robots.unionByName(robots)
+    out_dup = robots_txt_filter(pages, robots_dup)
+    assert sorted(r["id"] for r in out_dup.collect()) == [1, 3, 4]
 
 
 # --- sitemaps + robots.txt discovery fields (late r4) ----------------------

@@ -159,6 +159,11 @@ def test_stream_to_tile_store_upsert_and_resume(spark, tmp_path):
     assert any(d.startswith("win_start=") for d in os.listdir(store))
     with pytest.raises(ValueError, match="partition_cols"):
         stream_to_tile_store(agg2, store, ckpt, partition_cols=("nope",))
+    # a windowed aggregate partitioned only by cell would let dynamic
+    # overwrite DELETE sibling-window rows of every updated cell — the
+    # writer must refuse rather than lose data silently (review r5)
+    with pytest.raises(ValueError, match="sibling-window"):
+        stream_to_tile_store(agg2, store, ckpt, partition_cols=("cell",))
 
 
 def test_streaming_dedup_url(spark, tmp_path):

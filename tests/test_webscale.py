@@ -206,6 +206,32 @@ def test_simhash(spark):
     assert pairs.set_index(["id_a", "id_b"]).loc[(0, 1), "hamming"] == 0
 
 
+def test_simhash_block_split_recall_is_exact(spark):
+    """The m+1-block pigeonhole split must find EVERY pair within the
+    radius — cross-checked against brute-force all-pairs hamming over
+    the same signatures (review r5: a fixed 4-block split silently lost
+    recall past distance 3)."""
+    from verde_spark.operators.dedup import simhash_signatures
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    sigs = simhash_signatures(docs).toPandas()
+    for m in (3, 6):
+        want = set()
+        rows = list(zip(sigs["doc_id"], sigs["simhash"]))
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                (ia, sa), (ib, sb) = rows[i], rows[j]
+                if bin((sa ^ sb) & (2**64 - 1)).count("1") <= m:
+                    want.add((min(ia, ib), max(ia, ib)))
+        pairs = simhash_near_duplicates(docs, max_hamming=m).toPandas()
+        got = set(zip(pairs["id_a"], pairs["id_b"]))
+        assert got == want, (m, got ^ want)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_duplicates(docs, max_hamming=16)
+
+
 def test_dedup_on_documents_table(spark):
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     kept = dedup_exact(docs, id_col="doc_id", text_col="text")
@@ -430,6 +456,21 @@ def test_embedding_near_dup_empty_input(spark):
     out = embedding_near_duplicate_pairs(empty)
     assert out.columns == ["id_a", "id_b", "cosine"]
     assert out.count() == 0
+
+
+def test_embedding_near_dup_null_first_row_still_finds_pairs(spark):
+    """The dim probe must skip NULL embeddings: a nullable FIRST row is
+    not an empty corpus (review r5: first() hitting a NULL returned zero
+    pairs for the whole table)."""
+    from verde_spark.operators.dedup import embedding_near_duplicate_pairs
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    rows = [(0, None), (1, v), (2, v)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, embedding array<double>"
+    ).coalesce(1)  # one partition: the NULL row is scanned first
+    out = embedding_near_duplicate_pairs(df, threshold=0.99).toPandas()
+    assert set(zip(out["id_a"], out["id_b"])) == {(1, 2)}
 
 
 def test_sample_frames_preserves_id_dtype(spark):

@@ -113,8 +113,15 @@ def reference_meta_robots(html: bytes | str | None) -> tuple[bool, bool]:
         return (False, False)
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
-    m = re.search(_ROBOTS_NC_RE, html) or re.search(_ROBOTS_CN_RE, html)
-    content = m.group(1) if m and m.group(1) else ""
+    # fall-through must mirror the engines' coalesce(nullif(NC, ''),
+    # nullif(CN, '')): a name→content tag with EMPTY content does not
+    # stop the content→name pattern from being consulted (a bare
+    # `search(NC) or search(CN)` short-circuits on the empty match)
+    m_nc = re.search(_ROBOTS_NC_RE, html)
+    content = m_nc.group(1) if m_nc and m_nc.group(1) else ""
+    if not content:
+        m_cn = re.search(_ROBOTS_CN_RE, html)
+        content = m_cn.group(1) if m_cn and m_cn.group(1) else ""
     d = "," + re.sub(r"\s+", "", content.lower()) + ","
     none = ",none," in d
     return (",noindex," in d or none, ",nofollow," in d or none)
@@ -146,7 +153,11 @@ def host_of(url: Column | str = "url") -> Column:
     same normalization as ``urls.domain_of``, exposed here for suffix
     matching)."""
     u = F.col(url) if isinstance(url, str) else url
-    auth = F.regexp_extract(u, _URL_RE, 2)
+    # trim BEFORE the anchored match — urls.domain_of does; without it a
+    # whitespace-padded url resolves to host '' here and silently
+    # bypasses the robots/blocklist gates while crawl_schedule (via
+    # domain_of) still schedules the page
+    auth = F.regexp_extract(F.trim(u), _URL_RE, 2)
     return F.lower(
         F.regexp_replace(F.regexp_replace(auth, "^.*@", ""), ":[0-9]*$", "")
     )
@@ -231,9 +242,19 @@ def filter_blocklist(
     if n <= driver_threshold:
         doms = [r[0] for r in blocked.select(domain_col).collect()]
         return pages.filter(~blocked_expr(url_col, doms))
-    norm = blocked.select(
-        F.lower(F.trim(F.col(domain_col))).alias("__dom")
-    ).distinct()
+    # the join path must apply the SAME normalization as the literal
+    # path's _normalized_domains (lower, trim, strip leading dots, drop
+    # empties) — without the lstrip a '.example.com' blocklist entry
+    # silently stops blocking the moment the list crosses the threshold
+    norm = (
+        blocked.select(
+            F.regexp_replace(
+                F.lower(F.trim(F.col(domain_col))), r"^\.+", ""
+            ).alias("__dom")
+        )
+        .filter(F.col("__dom") != "")
+        .distinct()
+    )
     matched = (
         pages.select(
             F.col(url_col).alias("__url"),
@@ -243,8 +264,12 @@ def filter_blocklist(
         .select("__url")
         .distinct()
     )
-    return pages.join(
-        matched, pages[url_col] == matched["__url"], "left_anti"
+    # NULL urls: the literal path's ~blocked_expr predicate is NULL for
+    # them (row dropped); an anti-join would keep them — filter
+    # explicitly so the outcome doesn't depend on blocklist size
+    kept = pages.filter(F.col(url_col).isNotNull())
+    return kept.join(
+        matched, kept[url_col] == matched["__url"], "left_anti"
     )
 
 
@@ -469,7 +494,16 @@ def robots_txt_filter(
     host, evaluate the verdict as one projection.  The corpus side never
     shuffles; hosts with no robots.txt row keep all their pages.
     """
-    rules = robots_rules(robots, host_col, txt_col, agent).select(
+    # one rules row per host: a robots dim with duplicate host rows
+    # (e.g. a recrawled robots.txt appended rather than replaced) would
+    # otherwise MULTIPLY every page of that host through the left join —
+    # a "filter" that increases row count.  max(robots_txt) is a
+    # deterministic winner; feed a properly versioned dim for real
+    # latest-wins semantics.
+    robots_one = robots.groupBy(host_col).agg(
+        F.max(F.col(txt_col)).alias(txt_col)
+    )
+    rules = robots_rules(robots_one, host_col, txt_col, agent).select(
         F.col("host").alias("__rb_host"), F.col("rules").alias("__rb_rules")
     )
     joined = pages.join(

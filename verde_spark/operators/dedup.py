@@ -780,7 +780,13 @@ def _cc_driver(spark, edge_rows) -> DataFrame:
         m = comp_min.get(r)
         if m is None or node < m:
             comp_min[r] = node
-    rows = [(node, comp_min[find(node)]) for node in parent]
+    # int() normalizes Decimal ids (the caller's type guard admits
+    # decimal columns; createDataFrame's bigint verifier rejects raw
+    # Decimal objects, so the driver path would crash where the
+    # distributed loop succeeds)
+    rows = [
+        (int(node), int(comp_min[find(node)])) for node in parent
+    ]
     return spark.createDataFrame(rows, "id bigint, comp bigint")
 
 
@@ -926,11 +932,37 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     engine: str = "catalyst",
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) ≤ max_hamming via 4-block table split:
-    if two 64-bit signatures differ in ≤ 3 bits, at least one of the four
-    16-bit blocks matches exactly → equi-join per block, verify with
-    bit_count (pigeonhole; no cartesian)."""
+    """Pairs with Hamming(simhash) ≤ max_hamming via the
+    ``max_hamming + 1``-block table split: two 64-bit signatures
+    differing in ≤ m bits must agree exactly on at least one of m+1
+    disjoint blocks (pigeonhole), so an equi-join per block finds every
+    qualifying pair — verify with bit_count, no cartesian.  The default
+    m=3 gives the classic 4×16-bit split; a fixed block count for any
+    radius would SILENTLY lose recall past its design distance (every
+    returned pair valid, missing pairs invisible).
+
+    ``max_hamming`` is capped at 15: 17+ blocks mean sub-4-bit keys,
+    and a ≤8-value block key degenerates the self-join toward cartesian.
+    """
+    m = int(max_hamming)
+    if not 0 <= m <= 15:
+        raise ValueError(
+            f"max_hamming must be in [0, 15] (m+1 blocks need ≥ 4-bit "
+            f"keys to keep the per-block self-join selective), got "
+            f"{max_hamming!r}"
+        )
+    n_blocks = m + 1
+    bounds = [64 * i // n_blocks for i in range(n_blocks + 1)]
     sigs = simhash_signatures(df, id_col, text_col, engine=engine)
+
+    def _key(b: int):
+        start, width = bounds[b], bounds[b + 1] - bounds[b]
+        if width >= 64:  # m=0: one block, the full signature
+            return F.col("simhash")
+        return F.shiftright("simhash", start).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
     blocks = sigs.select(
         id_col,
         "simhash",
@@ -938,10 +970,9 @@ def simhash_near_duplicates(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("blk"),
-                        F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.lit(b).alias("blk"), _key(b).alias("key")
                     )
-                    for b in range(4)
+                    for b in range(n_blocks)
                 ]
             )
         ).alias("bb"),
@@ -992,10 +1023,11 @@ def embedding_near_duplicate_pairs(
     from .similarity import cosine_expr, hyperplane_signature
 
     if dim is None:
-        # one row probes the vector length; empty input → empty pair table
-        # (first() returns None and would otherwise TypeError). Pass dim
-        # explicitly to skip this probe job entirely.
-        head = df.select(vec_col).first()
+        # one row probes the vector length; the probe must skip NULL
+        # embeddings (a nullable first ROW is not an empty CORPUS — an
+        # unfiltered first() would silently return zero pairs for the
+        # whole table).  Pass dim explicitly to skip this probe job.
+        head = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
         if head is None or head[0] is None:
             from pyspark.sql import types as T
 
@@ -1265,7 +1297,12 @@ def semantic_dedup(
     else:
         # per-row distance to the OWN cluster's centroid, as one literal
         # projection; _component_drops keeps the member MAXIMIZING the
-        # keep column, i.e. the farthest-from-centroid "edge" example
+        # keep column, i.e. the farthest-from-centroid "edge" example.
+        # the own-cluster distance IS the minimum of the distance table
+        # (the assignment is the argmin over the same centroids), so one
+        # array_min replaces an element_at(·, argmin+1) that would
+        # re-expand all k d-dimensional folds a second time under
+        # interpreted Catalyst (no CSE)
         qv = F.col(vec_col).cast("array<double>")
         dist_table = F.array(
             *[
@@ -1273,9 +1310,6 @@ def semantic_dedup(
                 for c in centroids
             ]
         )
-        own = F.element_at(
-            dist_table, semantic_cluster_expr(vec_col, centroids) + F.lit(1)
-        )
-        aug = df.withColumn("__edge_dist", own)
+        aug = df.withColumn("__edge_dist", F.array_min(dist_table))
         to_drop = _component_drops(aug, comp, id_col, "__edge_dist")
     return df.join(to_drop, id_col, "left_anti")

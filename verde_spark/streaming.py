@@ -328,7 +328,13 @@ def streaming_cell_reservoir(
     from .functions.text import geotag_lat, geotag_lon, quality_score
 
     tagged = pages.withColumn("lon", geotag_lon("text")).withColumn("lat", geotag_lat("text"))
-    cells = tagged.filter(F.col("lon").isNotNull()).select(
+    # url null-guard: xxhash64(NULL) = NULL would reach the state fn as
+    # NaN and crash the whole query at to_numpy("int64"); a page with no
+    # url has no deterministic replacement hash, so it cannot enter the
+    # reservoir
+    cells = tagged.filter(
+        F.col("lon").isNotNull() & F.col("url").isNotNull()
+    ).select(
         cell_encode("lon", "lat", resolution).alias("cell"),
         (F.abs(F.xxhash64("url")) % F.lit(2**62)).alias("h"),
         F.col("lon"),
@@ -418,6 +424,21 @@ def stream_to_tile_store(
     missing = [c for c in partition_cols if c not in stream_df.columns]
     if missing:
         raise ValueError(f"partition_cols not in stream schema: {missing}")
+    # guard the module's own flagship shape: a windowed aggregate
+    # (streaming_cell_blockmean emits `win`; flattened forms emit
+    # `win_start`) partitioned only by cell would let dynamic overwrite
+    # DELETE a cell's sibling-window rows on every update — flatten the
+    # window start to a column and include it in partition_cols
+    window_like = [c for c in ("win", "win_start") if c in stream_df.columns]
+    uncovered = [c for c in window_like if c not in partition_cols]
+    if uncovered:
+        raise ValueError(
+            f"stream has window column(s) {uncovered} not covered by "
+            f"partition_cols={partition_cols}: dynamic partition "
+            "overwrite would silently drop sibling-window rows of a "
+            "replaced group; partition by the FULL grouping key (e.g. "
+            "('win_start', 'cell') after flattening win.start)"
+        )
 
     def write_batch(batch_df: DataFrame, _batch_id: int):
         # DataFrame-native emptiness probe: .rdd.isEmpty() would rebuild the
