@@ -2479,8 +2479,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      (doc_id * 7919) % 9973 AS rank,
                      CAST(((doc_id * 7919) % 9973) % 8 AS INTEGER) AS shard,
-                     CAST(CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                     CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
                           AS BIGINT) AS toks
               FROM documents
             ),
@@ -2629,14 +2628,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": r"""
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tokens
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) AS tokens
             FROM documents ORDER BY doc_id
         """,
         "lang_stats": r"""
             SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens
+                   CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                            x -> x <> ''))) AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "lang_id": r"""
@@ -2651,7 +2650,12 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             padded AS (
-              SELECT doc_id, ' ' || lower(ptext) || ' ' AS p FROM planted
+              -- whitespace doubled, matching lang_id_expr: adjacent
+              -- stopwords must not compete for one shared gap
+              SELECT doc_id,
+                     ' ' || regexp_replace(lower(ptext), '\s', '  ', 'g')
+                         || ' ' AS p
+              FROM planted
             ),
             scores AS (
               SELECT doc_id,
@@ -2688,8 +2692,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text,
                      CAST(len(text) AS DOUBLE) AS n,
                      greatest(CAST(len(text) AS DOUBLE), 1.0) AS safe_n,
-                     CAST(CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE)
+                     CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE)
                        AS words
               FROM documents
             ),
@@ -2736,7 +2739,11 @@ def oracle_sql() -> dict[str, str]:
               FROM unioned
             ),
             padded AS (
-              SELECT ptext, ' ' || lower(ptext) || ' ' AS p FROM planted
+              -- whitespace doubled, matching lang_id_expr (see lang_id)
+              SELECT ptext,
+                     ' ' || regexp_replace(lower(ptext), '\s', '  ', 'g')
+                         || ' ' AS p
+              FROM planted
             ),
             scores AS (
               SELECT ptext,
@@ -2771,20 +2778,17 @@ def oracle_sql() -> dict[str, str]:
             ),
             feats AS (
               SELECT lang, ptext,
-                CAST(CASE WHEN trim(ptext) = '' THEN 0
-                     ELSE len(regexp_split_to_array(trim(ptext), '\s+')) END
+                CAST(len(list_filter(regexp_split_to_array(ptext, '\s+'), x -> x <> ''))
                      AS BIGINT) AS tokens,
                 CAST(len(ptext) AS BIGINT) AS chars,
                 (0.3 * least(CAST(len(ptext) AS DOUBLE) / 500.0, 1.0)
                  + 0.3 * (CAST(len(regexp_extract_all(ptext, '[A-Za-z]')) AS DOUBLE)
                           / greatest(CAST(len(ptext) AS DOUBLE), 1.0))
                  + 0.2 * (CASE WHEN CAST(len(ptext) AS DOUBLE)
-                                    / greatest(CAST(CASE WHEN trim(ptext) = '' THEN 0
-                                          ELSE len(regexp_split_to_array(trim(ptext), '\s+')) END
+                                    / greatest(CAST(len(list_filter(regexp_split_to_array(ptext, '\s+'), x -> x <> ''))
                                           AS DOUBLE), 1.0) >= 3
                                 AND CAST(len(ptext) AS DOUBLE)
-                                    / greatest(CAST(CASE WHEN trim(ptext) = '' THEN 0
-                                          ELSE len(regexp_split_to_array(trim(ptext), '\s+')) END
+                                    / greatest(CAST(len(list_filter(regexp_split_to_array(ptext, '\s+'), x -> x <> ''))
                                           AS DOUBLE), 1.0) <= 10
                                THEN 1.0 ELSE 0.3 END)
                  + 0.2 * (CASE WHEN CAST(len(regexp_extract_all(ptext, '[^\w\s]')) AS DOUBLE)
@@ -3023,12 +3027,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             gated AS (
               SELECT url, text,
-                     CAST(CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+                     CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT)
                        AS n_tokens
               FROM latest
-              WHERE CAST(CASE WHEN trim(text) = '' THEN 0
-                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) >= 5
+              WHERE CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) >= 5
                 AND {_stopword_sql("text")} >= 0.2
                 AND {_repetition_sql("text")} <= 0.5
             )

@@ -155,6 +155,99 @@ def test_text_functions(spark):
     assert got["fp"].nunique() == 4
 
 
+def test_token_count_whitespace_edges(spark):
+    """\\S+-run semantics (review r5): trim() strips only SPACES, so the
+    old trim+split counted phantom edge tokens on tab/newline-padded
+    text — +1 token on every newline-terminated document, corrupting
+    pack_sequences offsets and the quality words denominator."""
+    import duckdb
+
+    cases = [
+        ("hello world\n", 2),
+        ("\thello", 1),
+        ("\n", 0),
+        ("", 0),
+        ("  a  b  ", 2),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", token_count("t").alias("n")).collect()
+    }
+    for i, (t, want) in enumerate(cases):
+        assert got[i] == want, (t, got[i], want)
+    # the driver-oracle DuckDB form agrees
+    con = duckdb.connect()
+    for t, want in cases:
+        if t is None:
+            continue
+        (n,) = con.execute(
+            r"SELECT len(list_filter(regexp_split_to_array(?, '\s+'),"
+            " x -> x <> ''))",
+            [t],
+        ).fetchone()
+        assert n == want, (t, n, want)
+
+
+def test_pack_sequences_null_text_zero_span(spark):
+    """A NULL-text doc packs as a zero-token span (review r5: a NULL
+    span vanished from the window sum while the doc still got an end
+    offset overlapping its neighbor's)."""
+    from verde_spark.operators.packing import pack_sequences
+
+    rows = [(1, "a b c"), (2, None), (3, "d e"), (4, "x y z w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(
+        df, seq_len=4, n_shards=1, hash_expr=F.col("doc_id")
+    ).toPandas().set_index("doc_id")
+    assert out.loc[2, "n_tokens"] == 0
+    assert out.loc[2, "start_tok"] == out.loc[2, "end_tok"]
+    # spans tile the shard stream with one separator between docs
+    ordered = out.sort_values("start_tok")
+    starts, ends = ordered["start_tok"].tolist(), ordered["end_tok"].tolist()
+    assert all(s2 == e1 + 1 for e1, s2 in zip(ends, starts[1:]))
+
+
+def test_encode_tokens_null_text_map_join_parity(spark):
+    """NULL text → NULL token_ids in BOTH engines (review r5: the join
+    engine coalesced null docs to [] while the map engine kept NULL)."""
+    from verde_spark.functions.vocab import build_vocab, encode_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    vocab = build_vocab(df, size=10)
+    for method in ("map", "join"):
+        got = {
+            r["doc_id"]: r["token_ids"]
+            for r in encode_tokens(df, vocab, method=method).collect()
+        }
+        assert got[2] is None, method
+        assert got[3] == [], method
+        assert len(got[1]) == 3, method
+
+
+def test_bm25_rejects_unnormalized_terms(spark):
+    """Terms the tokenizer could never emit must raise, not silently
+    score 0 everywhere (review r5) — and validation keeps quotes out of
+    the generated DuckDB twin SQL."""
+    from verde_spark.operators.search import bm25_scores, bm25_sql
+
+    docs = spark.createDataFrame([(1, "the cat")], "doc_id long, text string")
+    for bad in (["don't"], ["two words"], [""]):
+        with pytest.raises(ValueError, match="normalized"):
+            bm25_scores(docs, bad)
+        with pytest.raises(ValueError, match="normalized"):
+            bm25_sql(bad)
+    # case is normalized, not rejected: "The" must score like "the"
+    a = bm25_scores(docs, ["The"]).collect()[0]["bm25"]
+    b = bm25_scores(docs, ["the"]).collect()[0]["bm25"]
+    assert a == b and a > 0
+
+
 def test_shingles(spark):
     df = spark.createDataFrame(pd.DataFrame({"text": ["a b c d", "a b", ""]}))
     got = df.select(F.size(shingles("text", 3)).alias("n")).toPandas()
@@ -1415,6 +1508,10 @@ _GOPHER_TEXTS = [
     "buy ### now # cheap ### deals #",
     "12345 67890 11 22 33 44 55 66 77 88 99 00",
     "\tword1  word2\nword3\t",
+    # CRLF + trailing newline (review r5): \r must not become a phantom
+    # word, and the ellipsis rule must fire on a \r-terminated line in
+    # all three engines
+    "this line trails off...\r\nand a second real line here\r\n",
 ]
 
 
@@ -1508,6 +1605,13 @@ _C4_TEXTS = [
     "A config block { key: value } appears here.\nPlain prose elsewhere.",
     "short.\nalso no.\nThis one carries enough words to stay.",
     "Trailing blanks still count here.   \nTab\tseparated words end fine.\t.",
+    # CRLF page (review r5): Java's $ matches before a trailing \r (a
+    # line terminator there), Python/RE2 do not — the shared patterns
+    # must consume the \r explicitly or the engines disagree on every
+    # CRLF document
+    "This is a proper sentence ending well.\r\n"
+    "Another good line follows here too.\r\n"
+    "A third one makes the count grow.\r\n",
 ]
 
 

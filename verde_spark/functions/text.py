@@ -37,12 +37,14 @@ def geotag_sql(col: str, group: int) -> str:
 
 
 def token_count(text: Column | str = "text") -> Column:
-    """Whitespace token count (0 for empty/blank strings)."""
+    """Whitespace token count — the number of ``\\S+`` runs (0 for
+    empty/blank strings, NULL for NULL).  ``regexp_count`` instead of a
+    trim+split: ``trim()`` strips only SPACES, so a tab/newline-
+    terminated document (the normal crawl case) counted phantom edge
+    tokens — and unlike a higher-order ``filter``, ``regexp_count``
+    stays inside whole-stage codegen (plan-shape-pinned)."""
     text = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(text)
-    return F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
-    )
+    return F.regexp_count(text, F.lit(r"\S+"))
 
 
 def bpe_ish_token_count(text: Column | str = "text") -> Column:
@@ -72,7 +74,17 @@ def lang_id_expr(text: Column | str = "text") -> Column:
     ``greatest``-based argmax); returns 'und' when nothing matches.
     """
     text = F.col(text) if isinstance(text, str) else text
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    # double every whitespace char before counting: the \sword\s marker
+    # patterns are non-overlapping, so on single-spaced text the match
+    # for one stopword CONSUMES the gap the next one needs ("of the"
+    # scored 1, not 2).  With every gap ≥ 2 spaces adjacent markers
+    # never compete — and unlike a lookahead, this stays inside the
+    # Java ∩ RE2 ∩ Python regex subset the DuckDB twin needs
+    padded = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(text), r"\s", "  "),
+        F.lit(" "),
+    )
     scores = {
         lang: sum(
             (F.regexp_count(padded, F.lit(m.replace(" ", r"\s"))) for m in markers),
@@ -227,7 +239,11 @@ GOPHER_DEFAULTS = {
 #: engine-portable pattern constants shared by the Catalyst / Python /
 #: DuckDB gopher_signals engines
 _BULLET_RE = r"^[ \t]*[-*•]"          # line starts with a bullet mark
-_ELLIPSIS_RE = r"(\.\.\.|…)[ \t]*$"   # line trails off with …
+# trailing class includes \r: lines come from split('\n'), so a CRLF
+# document leaves \r on every line — Java's $ matches before that final
+# \r (it is a line terminator there) while Python/RE2 do not, so an
+# unhandled \r silently breaks the three-engine parity on CRLF pages
+_ELLIPSIS_RE = r"(\.\.\.|…)[ \t\r]*$"  # line trails off with …
 _SYMBOL_RE = r"#|\.\.\.|…"            # Gopher's symbol list: # and …
 
 
@@ -246,14 +262,17 @@ def gopher_signals(text: Column | str = "text") -> Column:
     :func:`gopher_signals_sql` replays the struct bit-for-bit.
     """
     text = F.col(text) if isinstance(text, str) else text
-    split_words = F.split(F.trim(text), "[ \t\r\n\f]+")
+    # empty fragments filtered, not trimmed: trim() strips only SPACES,
+    # so tab/newline-padded documents (the normal crawl case) would
+    # otherwise count phantom edge words and dilute every ratio
+    split_words = F.filter(
+        F.split(text, "[ \t\r\n\f]+"), lambda w: w != F.lit("")
+    )
     split_lines = F.split(text, "\n")
 
     def _build(e: Column) -> Column:
         words, lines = e["w"], e["l"]
-        n_words = F.when(
-            (F.size(words) == 1) & (F.element_at(words, 1) == ""), F.lit(0)
-        ).otherwise(F.size(words))
+        n_words = F.size(words)
         safe_w = F.greatest(n_words, F.lit(1)).cast("double")
         n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
         total_chars = F.aggregate(
@@ -330,10 +349,10 @@ def reference_gopher_signals(text: str | None) -> dict | None:
 
     if text is None:
         return None
-    # strip SPACES only: Spark trim() and DuckDB trim() are space-only,
-    # while Python str.strip() would also eat tabs/newlines
-    words = _re.split(r"[ \t\r\n\f]+", text.strip(" "))
-    n_words = 0 if words == [""] else len(words)
+    # empty fragments filtered (same rule as the Catalyst/DuckDB
+    # engines): no trim-based edge-token quirks
+    words = [w for w in _re.split(r"[ \t\r\n\f]+", text) if w != ""]
+    n_words = len(words)
     lines = text.split("\n")
     safe_w = max(n_words, 1)
     return {
@@ -349,11 +368,12 @@ def reference_gopher_signals(text: str | None) -> dict | None:
 def gopher_signals_sql(col: str) -> dict[str, str]:
     """DuckDB twins of each :func:`gopher_signals` field (driver-oracle
     parity) — same pattern constants, same exact-int divisions."""
-    ws = f"string_split_regex(trim({col}), '[ \\t\\r\\n\\f]+')"
-    ls = f"string_split({col}, chr(10))"
-    n_words = (
-        f"(CASE WHEN len({ws}) = 1 AND {ws}[1] = '' THEN 0 ELSE len({ws}) END)"
+    ws = (
+        f"list_filter(string_split_regex({col}, '[ \\t\\r\\n\\f]+'), "
+        "x -> x <> '')"
     )
+    ls = f"string_split({col}, chr(10))"
+    n_words = f"len({ws})"
     safe_w = f"greatest({n_words}, 1)"
     n_lines = f"greatest(len({ls}), 1)"
     # DuckDB standard string literals pass backslashes through verbatim,
@@ -365,8 +385,10 @@ def gopher_signals_sql(col: str) -> dict[str, str]:
     return {
         "n_words": n_words,
         "mean_word_len": (
-            f"(CAST(list_sum(list_transform({ws}, w -> len(w))) AS DOUBLE)"
-            f" / {safe_w})"
+            # coalesce: DuckDB list_sum of an EMPTY list is NULL, the
+            # Catalyst fold's init value makes it 0
+            f"(CAST(coalesce(list_sum(list_transform({ws}, w -> len(w))), 0)"
+            f" AS DOUBLE) / {safe_w})"
         ),
         "symbol_word_ratio": (
             "(CAST(" + count_w.format(arr=ws, pat=symbol) + f" AS DOUBLE) / {safe_w})"
@@ -394,7 +416,8 @@ C4_DEFAULTS = {
 #: engine-portable pattern constants shared by the Catalyst / Python /
 #: DuckDB C4 engines (Java-regex ∩ RE2 ∩ Python subset: explicit
 #: whitespace classes, \b word boundaries, inline (?i))
-_C4_TERMINAL_RE = r'[.!?"][ \t]*$'   # line ends in terminal punctuation
+_C4_TERMINAL_RE = r'[.!?"][ \t\r]*$'  # line ends in terminal punctuation
+# (trailing \r allowed: see _ELLIPSIS_RE — CRLF engine-parity)
 _C4_WORD_RE = r"[^ \t]+"             # a line-level word (no \n in a line)
 _C4_JS_RE = r"(?i)\bjavascript\b"    # paper: drop any line with "Javascript"
 _C4_LOREM_RE = r"(?i)lorem ipsum"    # paper: drop pages mentioning it

@@ -153,9 +153,18 @@ def encode_tokens(
             F.transform(F.col("__pv"), lambda s: s["v"]).alias(out_col),
         )
     )
+    # engine parity with method="map": NULL text stays NULL (transform
+    # over a null array propagates); only docs WITH text coalesce their
+    # missing regroup row (zero tokens) to an empty array
     return df.join(regrouped, df[id_col] == regrouped["__did"], "left").drop(
         "__did"
-    ).withColumn(out_col, F.coalesce(F.col(out_col), F.array().cast("array<int>")))
+    ).withColumn(
+        out_col,
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.coalesce(F.col(out_col), F.array().cast("array<int>")),
+        ),
+    )
 
 
 def encode_tokens_sql(

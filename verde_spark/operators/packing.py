@@ -66,9 +66,18 @@ def pack_sequences(
     from ..functions.text import token_count
 
     key = F.xxhash64(F.col(id_col)) if hash_expr is None else hash_expr
-    toks = (
-        F.col(tokens_col) if tokens_col is not None else token_count(text_col)
-    ).cast("long")
+    # NULL text / NULL token count → 0 tokens, NOT a NULL span: a NULL
+    # _span would vanish from the window sum while the doc still gets a
+    # non-null end offset, silently overlapping its neighbor's token
+    # span in the shard stream
+    toks = F.coalesce(
+        (
+            F.col(tokens_col)
+            if tokens_col is not None
+            else token_count(text_col)
+        ).cast("long"),
+        F.lit(0),
+    )
     base = df.select(
         F.col(id_col),
         F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),

@@ -184,14 +184,27 @@ def fit_quality_classifier(
         resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)) - F.col("__y")
         q = F.round(resid * F.lit(float(_SCALE))).cast("long")
         scored = lab.select(F.col("__ids"), q.alias("__q"))
+        # the bias gradient is just Σ __q — fold it into the SAME
+        # bounded-key aggregate via a sentinel bucket id (= num_buckets,
+        # outside the feature range) instead of a second full pass that
+        # recomputes every per-doc logit/sigmoid/quantize (one Spark job
+        # per iteration, not two; integer sums unchanged → identical
+        # trajectory)
         grad_rows = (
-            scored.select(F.explode("__ids").alias("bucket"), "__q")
+            scored.select(
+                F.explode(
+                    F.concat(
+                        F.col("__ids"), F.array(F.lit(int(num_buckets)))
+                    )
+                ).alias("bucket"),
+                "__q",
+            )
             .groupBy("bucket")
             .agg(F.sum("__q").alias("g"))
             .collect()
         )
-        bias_sum = scored.agg(F.sum("__q").alias("g")).collect()[0]["g"]
         g = {r["bucket"]: r["g"] for r in grad_rows}
+        bias_sum = g.pop(num_buckets, 0)
         w = [
             wi - lr * ((g.get(i, 0) / _SCALE) / n + l2 * wi)
             for i, wi in enumerate(w)

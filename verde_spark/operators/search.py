@@ -26,6 +26,7 @@ DuckDB twin (:func:`bm25_sql`) is bit-comparable after fixed rounding.
 from __future__ import annotations
 
 import math
+import re
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -33,6 +34,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["tokens_expr", "bm25_scores", "bm25_topk", "bm25_sql"]
+
+
+def _normalize_terms(terms: list[str]) -> list[str]:
+    """Lowercase query terms and require each to be a single token of the
+    corpus tokenizer's alphabet.  A term the tokenizer could never emit
+    ("The" before lowercasing, "don't" with punctuation) would otherwise
+    SILENTLY score 0 in every document — and raw interpolation of such a
+    term into the DuckDB twin would break/inject the generated SQL."""
+    out = []
+    for t in terms:
+        nt = (t or "").lower()
+        if not re.fullmatch(r"[a-z0-9]+", nt):
+            raise ValueError(
+                f"query term {t!r} is not a single [a-z0-9]+ token after "
+                "lowercasing; pass tokenizer-normalized terms (split "
+                "punctuated words the way tokens_expr would, e.g. "
+                "\"don't\" -> ['don', 't'])"
+            )
+        out.append(nt)
+    return out
 
 
 def tokens_expr(text: Column | str = "text") -> Column:
@@ -63,6 +84,7 @@ def bm25_scores(
     """
     if not terms:
         raise ValueError("terms must be non-empty")
+    terms = _normalize_terms(terms)
     toks = tokens_expr(text_col)
     stats_row = docs.agg(
         F.count(F.lit(1)).alias("n"),
@@ -146,7 +168,10 @@ def bm25_sql(
     round_digits: int = 6,
 ) -> str:
     """DuckDB twin of :func:`bm25_topk` — same tokenizer, same literal
-    fold order, same rounded ordering key."""
+    fold order, same rounded ordering key.  Terms are validated through
+    the same normalization as :func:`bm25_scores`, which also means the
+    interpolated literals can never contain a quote."""
+    terms = _normalize_terms(terms)
     toks = (
         f"list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),"
         f" x -> x <> '')"
