@@ -156,3 +156,28 @@ def test_counts_shuffle_is_partial_agged(spark):
     # per task, not one row per character
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_avg_logprob_let_bound_fold_is_bit_identical(spark):
+    """avg_logprob_expr (ONE let-bound gram array) must equal
+    logprob_expr / n_grams bitwise — the perplexity_buckets char scorer
+    rides on it (review r5 CSE fix)."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.functions.charlm import (
+        ENGLISH_LM,
+        avg_logprob_expr,
+        gram_ids_expr,
+        logprob_expr,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("text")
+    naive = logprob_expr(ENGLISH_LM, "text") / F.size(
+        gram_ids_expr("text")
+    ).cast("double")
+    rows = docs.select(
+        avg_logprob_expr(ENGLISH_LM, "text").alias("a"), naive.alias("b")
+    ).collect()
+    assert rows and all(r["a"] == r["b"] for r in rows)

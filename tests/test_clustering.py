@@ -118,3 +118,22 @@ def test_kmeans_arrow_engine_bit_identical(spark, emb):
 def test_kmeans_small_k_raises(spark, emb):
     with pytest.raises(ValueError):
         kmeans_fit(emb.limit(3), k=10, iterations=1)
+
+
+def test_kmeans_empty_corpus_clear_error(spark):
+    """An empty (or all-null-vector) corpus raises a clear ValueError,
+    not 'NoneType is not subscriptable' from the dim probe (review r5)."""
+    import pytest
+
+    from verde_spark.operators.clustering import kmeans_fit
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        kmeans_fit(empty, k=2, iterations=1)
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        kmeans_fit(nulls, k=2, iterations=1)

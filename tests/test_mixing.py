@@ -79,7 +79,13 @@ def test_repeat_weighted_counts_and_determinism(spark, docs):
     for r in docs.collect():
         e = epochs.get(r["lang"], 1.0)
         base, frac = int(e), e - int(e)
-        want = base + (1 if _h(r["doc_id"]) / _HASH_MOD < frac else 0)
+        # INDEPENDENT second-multiplier hash — not the rank hash
+        # sample_to_mix/temperature_mix select on (review r5)
+        from verde_spark.operators.mixing import _HASH_MULT2
+
+        h2 = (((r["doc_id"] % _HASH_MOD) + _HASH_MOD) % _HASH_MOD
+              * _HASH_MULT2) % _HASH_MOD
+        want = base + (1 if h2 / _HASH_MOD < frac else 0)
         assert copies.get((r["doc_id"], r["lang"]), 0) == want
     # epoch indices are 1..n
     assert all(r["epoch"] >= 1 for r in rows)
@@ -105,6 +111,27 @@ def test_repeat_weighted_matches_duckdb(spark, docs):
     )
     want = sorted((r[0], r[1]) for r in con.execute(sql).fetchall())
     assert got == want
+
+
+def test_repeat_after_mix_extra_copy_share_is_frac(spark, docs):
+    """temperature_mix keeps the q smallest-RANK-hash ids per group, so
+    the repeat decision must use an INDEPENDENT hash (review r5: reusing
+    the rank hash gave tight-quota survivors a ~100% extra-copy share
+    instead of frac(epochs))."""
+    from verde_spark.operators.mixing import temperature_mix
+
+    survivors = temperature_mix(
+        docs, "lang", 80, alpha=1.0, id_col="doc_id"
+    )
+    n = survivors.count()
+    assert 0 < n <= 80
+    out = repeat_weighted(
+        survivors, "lang", {}, id_col="doc_id", default_epochs=1.5
+    )
+    share = (out.count() - n) / n
+    # frac = 0.5; the old reused hash put every survivor under the
+    # threshold (share 1.0)
+    assert 0.25 <= share <= 0.75, share
 
 
 def test_mix_validation(spark, docs):

@@ -60,6 +60,16 @@ def test_commit_is_atomic_and_guarded(spark, tmp_path):
     with pytest.raises(RuntimeError, match="concurrent commit"):
         store._commit({"operation": "append", "files": []}, expected_parent=0)
     assert store.current_version() == 1  # nothing half-committed
+    # check-then-act race (review r5): a second writer that passed the
+    # CURRENT probe before the first swung it must LOSE on the exclusive
+    # snapshot-file create, not truncate the winner's snapshot
+    with open(os.path.join(store.snap_path, "v00000002.json"), "x") as fh:
+        fh.write('{"winner": true}')
+    with pytest.raises(RuntimeError, match="already written"):
+        store._commit({"operation": "append", "files": []}, expected_parent=1)
+    with open(os.path.join(store.snap_path, "v00000002.json")) as fh:
+        assert fh.read() == '{"winner": true}'  # loser never clobbered it
+    os.remove(os.path.join(store.snap_path, "v00000002.json"))
 
 
 def test_stats_pruning_skips_files(spark, tmp_path):

@@ -858,6 +858,15 @@ def test_resize_raw_images_exact_values(spark):
     npt.assert_array_equal(got, want)
     assert out["pixels"][1] is None and out["pixels"][2] is None
     assert out["out_width"][0] == 4 and pd.isna(out["out_width"][1])
+    # smaller than the output grid → null, not a reshape task failure
+    # (review r5: the contract is nulls, never task-killing exceptions)
+    tiny = np.zeros((4, 16, 3), dtype=np.uint8)
+    small_df = spark.createDataFrame(
+        [(9, tiny.tobytes(), 16, 4, 3)],
+        "id long, payload binary, width int, height int, channels int",
+    )
+    got2 = resize_raw_images(small_df, out_width=8, out_height=8).toPandas()
+    assert got2["pixels"][0] is None
 
 
 def test_pcm_band_energies_pure_tone(spark):

@@ -103,6 +103,25 @@ def test_logprob_bit_identical_three_engines(spark):
         assert duck[i] == ref, (i, s)  # DuckDB == Python, bitwise
 
 
+def test_avg_logprob_let_bound_fold_is_bit_identical(spark):
+    """word_avg_logprob_expr (ONE let-bound key array) must equal
+    word_logprob_expr / n_pairs bitwise — the perplexity_buckets scorer
+    rides on it (review r5 CSE fix)."""
+    from verde_spark.functions.wordlm import word_avg_logprob_expr
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(FUZZ)], "i int, text string"
+    )
+    lm = ENGLISH_WORD_LM
+    naive = word_logprob_expr(lm, "text") / F.size(
+        word_gram_keys_expr(lm, "text")
+    ).cast("double")
+    rows = df.select(
+        word_avg_logprob_expr(lm, "text").alias("a"), naive.alias("b")
+    ).collect()
+    assert rows and all(r["a"] == r["b"] for r in rows)
+
+
 def test_logprob_udf_bit_identical_to_fold(spark):
     # the Arrow fast path replays the SAME serial left-fold (same
     # tokenization, same dict-else-backoff lookup, same float64 addition

@@ -48,6 +48,7 @@ __all__ = [
     "train_char_lm",
     "gram_ids_expr",
     "logprob_expr",
+    "avg_logprob_expr",
     "perplexity_expr",
     "charlm_norm_sql",
     "charlm_logprob_sql",
@@ -235,6 +236,30 @@ def logprob_expr(
 
     # let-bind the gram array (referenced by both the guard and the fold)
     return F.element_at(F.transform(F.array(grams), fold), 1)
+
+
+def avg_logprob_expr(lm: CharLM, text_col: Column | str = "text") -> Column:
+    """``logprob / n_grams`` in ONE let-bound projection — the gram
+    array is computed once and feeds both the fold and the size (two
+    independent ``gram_ids_expr`` trees would normalize + split +
+    per-char transform every document twice; interpreted Catalyst has
+    no CSE).  NULL when the text has no grams.  Same fold order and one
+    IEEE division → bit-identical to ``logprob_expr(...) / n_grams``.
+    """
+    grams = gram_ids_expr(text_col)
+    table = F.array(*[F.lit(float(v)) for v in lm.logp])
+
+    def avg(g: Column) -> Column:
+        lp = F.aggregate(
+            g,
+            F.lit(0.0),
+            lambda acc, gid: acc + F.element_at(table, gid + F.lit(1)),
+        )
+        return F.when(
+            F.size(g) > 0, lp / F.size(g).cast("double")
+        ).otherwise(F.lit(None).cast("double"))
+
+    return F.element_at(F.transform(F.array(grams), avg), 1)
 
 
 def perplexity_expr(lm: CharLM, text_col: Column | str = "text") -> Column:

@@ -55,6 +55,7 @@ __all__ = [
     "words_expr",
     "word_gram_keys_expr",
     "word_logprob_expr",
+    "word_avg_logprob_expr",
     "word_logprob_udf",
     "word_bigram_counts",
     "word_bigram_counts_sql",
@@ -209,6 +210,27 @@ def word_gram_keys_expr(
     return F.element_at(F.transform(F.array(ids), pairs), 1)
 
 
+def _step_expr(lm: WordLM):
+    """Per-pair-key literal lookup: observed-bigram map value, else the
+    pre-added backoff literal (shared by the total and averaged folds)."""
+    backoff = F.array(*[F.lit(float(v)) for v in lm.backoff_logp])
+    if lm.bi_logp:
+        pairs: list[Column] = []
+        for k, v in lm.bi_logp:
+            pairs.append(F.lit(int(k)).cast("long"))
+            pairs.append(F.lit(float(v)))
+        bi = F.create_map(*pairs)
+        return lambda g: F.coalesce(
+            F.element_at(bi, g),
+            F.element_at(
+                backoff, (F.pmod(g, F.lit(lm.dim)) + 1).cast("int")
+            ),
+        )
+    return lambda g: F.element_at(
+        backoff, (F.pmod(g, F.lit(lm.dim)) + 1).cast("int")
+    )
+
+
 def word_logprob_expr(
     lm: WordLM, text_col: Column | str = "text"
 ) -> Column:
@@ -219,23 +241,7 @@ def word_logprob_expr(
     document order: bit-reproducible by any engine replaying the order.
     """
     keys = word_gram_keys_expr(lm, text_col)
-    backoff = F.array(*[F.lit(float(v)) for v in lm.backoff_logp])
-    if lm.bi_logp:
-        pairs: list[Column] = []
-        for k, v in lm.bi_logp:
-            pairs.append(F.lit(int(k)).cast("long"))
-            pairs.append(F.lit(float(v)))
-        bi = F.create_map(*pairs)
-        step = lambda g: F.coalesce(  # noqa: E731
-            F.element_at(bi, g),
-            F.element_at(
-                backoff, (F.pmod(g, F.lit(lm.dim)) + 1).cast("int")
-            ),
-        )
-    else:
-        step = lambda g: F.element_at(  # noqa: E731
-            backoff, (F.pmod(g, F.lit(lm.dim)) + 1).cast("int")
-        )
+    step = _step_expr(lm)
 
     def fold(g: Column) -> Column:
         return F.when(
@@ -244,6 +250,26 @@ def word_logprob_expr(
         ).otherwise(F.lit(None).cast("double"))
 
     return F.element_at(F.transform(F.array(keys), fold), 1)
+
+
+def word_avg_logprob_expr(
+    lm: WordLM, text_col: Column | str = "text"
+) -> Column:
+    """``logprob / n_pairs`` with the pair-key array computed ONCE (the
+    charlm ``avg_logprob_expr`` shape — two independent key-array trees
+    would tokenize and id-map every document twice under interpreted
+    Catalyst).  Bit-identical to ``word_logprob_expr(...) / n_pairs``.
+    """
+    keys = word_gram_keys_expr(lm, text_col)
+    step = _step_expr(lm)
+
+    def avg(g: Column) -> Column:
+        lp = F.aggregate(g, F.lit(0.0), lambda acc, gid: acc + step(gid))
+        return F.when(
+            F.size(g) > 0, lp / F.size(g).cast("double")
+        ).otherwise(F.lit(None).cast("double"))
+
+    return F.element_at(F.transform(F.array(keys), avg), 1)
 
 
 def word_logprob_udf(

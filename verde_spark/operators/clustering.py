@@ -54,9 +54,10 @@ __all__ = [
     "kmeans_sql",
 ]
 
-#: Knuth multiplicative hash modulus/multiplier (portable to any SQL engine)
-_HASH_MULT = 2654435761
-_HASH_MOD = 2**31
+# ONE definition of the Knuth multiplicative hash across the repo: the
+# seeding here must stay in lockstep with mixing's rank hash and both
+# DuckDB twins — a local copy would silently desynchronize on a tweak
+from .mixing import _HASH_MOD, _HASH_MULT, _hash_sql, mix_hash_expr
 
 
 @dataclass(frozen=True)
@@ -96,14 +97,11 @@ def kmeans_init(
             F.col(id_col).alias("__id"), F.col(qvec_col).alias("__qv")
         )
         .orderBy(
-            # reduce the id mod 2^31 BEFORE multiplying: 2^31 · 2654435761
-            # < 2^63, while a raw 64-bit (hash) id would overflow the
-            # ANSI-checked long multiply (caught by dogfood_r4)
-            F.pmod(
-                F.pmod(F.col("__id").cast("long"), F.lit(_HASH_MOD))
-                * F.lit(_HASH_MULT),
-                F.lit(_HASH_MOD),
-            ),
+            # mixing's shared hash reduces the id mod 2^31 BEFORE
+            # multiplying: 2^31 · 2654435761 < 2^63, while a raw 64-bit
+            # (hash) id would overflow the ANSI-checked long multiply
+            # (caught by dogfood_r4)
+            mix_hash_expr(F.col("__id")),
             F.col("__id"),
         )
         .limit(k)
@@ -206,7 +204,13 @@ def kmeans_fit(
     q = df.select(
         F.col(id_col), quantize_expr(vec_col, quantize_bits).alias("__qv")
     )
-    dim = int(q.select(F.size("__qv")).head()[0])
+    # the dim probe must skip NULL vectors and fail loud on an empty
+    # corpus (head() returning None would otherwise raise an opaque
+    # 'NoneType is not subscriptable' before kmeans_init's clear error)
+    head = q.filter(F.col("__qv").isNotNull()).select(F.size("__qv")).head()
+    if head is None:
+        raise ValueError("kmeans_fit: corpus has no non-null vectors")
+    dim = int(head[0])
     init = kmeans_init(q, k, id_col=id_col, qvec_col="__qv")
     centroids: list[list[float]] = [[float(x) for x in c] for c in init]
     sizes = [0] * k
@@ -244,8 +248,18 @@ def kmeans_fit(
                 new_sizes.append(0)
             else:
                 n = int(r["__n"])
+                # round the exact integer sum to double FIRST, then one
+                # IEEE division — the semantics every twin can replay
+                # (DuckDB casts the HUGEINT sum to DOUBLE before
+                # dividing; Python's exact int/n true division is
+                # correctly-rounded in ONE step and diverges by 1 ulp
+                # once a sum exceeds 2^53, which can flip a near-tie
+                # argmin next iteration)
                 new_centroids.append(
-                    [float(int(r[f"__s{d}"]) / n) for d in range(dim)]
+                    [
+                        float(int(r[f"__s{d}"])) / float(n)
+                        for d in range(dim)
+                    ]
                 )
                 new_sizes.append(n)
         centroids, sizes = new_centroids, new_sizes
@@ -271,8 +285,15 @@ def reference_kmeans(
     scale = float(1 << quantize_bits)
 
     def quant(x: float) -> int:
+        from decimal import ROUND_HALF_UP, Decimal
+
         v = float(x) * scale  # float32 → float64 exact, same as Spark
-        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+        # HALF_UP on the EXACT decimal expansion of the double — what
+        # Spark's BigDecimal round and DuckDB's std::round both do.  The
+        # old floor(abs(v)+0.5) re-rounds in floating point, so a value
+        # just UNDER a halfway point (e.g. 0.49999999999999994 + 0.5 ==
+        # 1.0 exactly) quantized one unit high
+        return int(Decimal(v).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
     qvs = {i: [quant(x) for x in v] for i, v in zip(ids, vecs)}
     order = sorted(ids, key=lambda i: (((i % _HASH_MOD) * _HASH_MULT) % _HASH_MOD, i))
@@ -298,7 +319,12 @@ def reference_kmeans(
             for d, x in enumerate(qvs[i]):
                 s[d] += x
         centroids = [
-            [float(sums[c][d] / counts[c]) for d in range(len(centroids[c]))]
+            # float(sum) / float(n): double-then-divide, matching
+            # kmeans_fit and the DuckDB twin (see kmeans_fit's note)
+            [
+                float(sums[c][d]) / float(counts[c])
+                for d in range(len(centroids[c]))
+            ]
             if c in counts
             else centroids[c]
             for c in range(k)
@@ -336,11 +362,11 @@ def kmeans_sql(
         ),
         c0 AS (
           SELECT CAST(row_number() OVER (
-                   ORDER BY (((({id_col} % {_HASH_MOD}) + {_HASH_MOD}) % {_HASH_MOD}) * {_HASH_MULT}) % {_HASH_MOD}, {id_col}
+                   ORDER BY {_hash_sql(id_col)}, {id_col}
                  ) - 1 AS INT) AS c,
                  list_transform(qv, v -> CAST(v AS DOUBLE)) AS cv
           FROM q
-          ORDER BY (((({id_col} % {_HASH_MOD}) + {_HASH_MOD}) % {_HASH_MOD}) * {_HASH_MULT}) % {_HASH_MOD}, {id_col}
+          ORDER BY {_hash_sql(id_col)}, {id_col}
           LIMIT {k}
         )"""
     ]

@@ -63,6 +63,34 @@ def _hash_sql(id_col: str) -> str:
     )
 
 
+#: second multiplier (xxhash PRIME32_2) for decisions that must be
+#: INDEPENDENT of the rank hash above.  NOT the rank hash applied twice:
+#: i·A² mod 2^31 is itself a linear-congruential hash whose small-value
+#: prefix (exactly what quota ranking selects) maps to a badly-skewed
+#: subset — measured 1.3% instead of 50% threshold share.  A distinct
+#: odd multiplier over the ORIGINAL id is empirically uniform on ranked
+#: prefixes (verified over seq/random ids at quota fractions 2%-80%).
+_HASH_MULT2 = 2246822519
+
+
+def repeat_hash_expr(id_col: Column | str) -> Column:
+    """Deterministic pseudo-uniform int in [0, 2^31), independent of
+    :func:`mix_hash_expr` — for per-id decisions (fractional-epoch
+    repeats) that compose with quota ranking."""
+    i = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(
+        F.pmod(i.cast("long"), F.lit(_HASH_MOD)) * F.lit(_HASH_MULT2),
+        F.lit(_HASH_MOD),
+    )
+
+
+def _hash2_sql(id_col: str) -> str:
+    return (
+        f"(((({id_col} % {_HASH_MOD}) + {_HASH_MOD}) % {_HASH_MOD})"
+        f" * {_HASH_MULT2}) % {_HASH_MOD}"
+    )
+
+
 def sample_to_mix(
     df: DataFrame,
     group_col: str,
@@ -268,12 +296,19 @@ def repeat_weighted(
     ``frac(epochs[g])`` share of ids (hash-thresholded — the SAME ids
     every run).  Adds an ``epoch`` column (1-based copy index).
 
+    The threshold hash (:func:`repeat_hash_expr`, a second multiplier)
+    is INDEPENDENT of the hash :func:`sample_to_mix` /
+    ``temperature_mix`` RANK on.  Those keep the q smallest-hash ids
+    per group, so reusing the rank hash here would give survivors of a
+    tight quota a ~100% extra-copy share instead of ``frac`` — the
+    exact composition the docstrings recommend.
+
     A pure projection (``explode(sequence(...))``) — zero shuffles at any
     corpus size; downstream packing/shuffling treats copies as rows.
     """
     if any(e < 0 for e in epochs.values()) or default_epochs < 0:
         raise ValueError("epochs must be >= 0")
-    h = mix_hash_expr(id_col).cast("double") / F.lit(float(_HASH_MOD))
+    h = repeat_hash_expr(id_col).cast("double") / F.lit(float(_HASH_MOD))
 
     n_copies = None
     for g, e in epochs.items():
@@ -302,8 +337,9 @@ def repeat_weighted_sql(
     select_cols: str,
     default_epochs: float = 1.0,
 ) -> str:
-    """DuckDB twin of :func:`repeat_weighted`."""
-    h = f"(CAST(({_hash_sql(id_col)}) AS DOUBLE) / {float(_HASH_MOD)!r})"
+    """DuckDB twin of :func:`repeat_weighted` (independent second-
+    multiplier hash — see the Spark docstring)."""
+    h = f"(CAST(({_hash2_sql(id_col)}) AS DOUBLE) / {float(_HASH_MOD)!r})"
 
     def copies(e: float) -> str:
         base, frac = int(e), e - int(e)
@@ -374,22 +410,20 @@ def perplexity_buckets(
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets!r}")
+    # one let-bound projection per scorer: the gram/key array feeds both
+    # the fold and the divisor (two independent expression trees would
+    # normalize + tokenize every document twice in the hot scoring
+    # projection — interpreted Catalyst has no CSE)
     if scorer == "char":
-        from ..functions.charlm import ENGLISH_LM, gram_ids_expr, logprob_expr
+        from ..functions.charlm import ENGLISH_LM, avg_logprob_expr
 
         model = lm if lm is not None else ENGLISH_LM
-        n_grams = F.size(gram_ids_expr(text_col))
-        score = logprob_expr(model, text_col) / n_grams.cast("double")
+        score = avg_logprob_expr(model, text_col)
     elif scorer == "word":
-        from ..functions.wordlm import (
-            ENGLISH_WORD_LM,
-            word_gram_keys_expr,
-            word_logprob_expr,
-        )
+        from ..functions.wordlm import ENGLISH_WORD_LM, word_avg_logprob_expr
 
         model = lm if lm is not None else ENGLISH_WORD_LM
-        n_grams = F.size(word_gram_keys_expr(model, text_col))
-        score = word_logprob_expr(model, text_col) / n_grams.cast("double")
+        score = word_avg_logprob_expr(model, text_col)
     else:
         raise ValueError(f"unknown scorer: {scorer!r}")
     scored = df.withColumn(score_col, score)

@@ -86,7 +86,6 @@ def payload_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
     """Typed metadata for a binary column without decoding it: byte length,
     content hash, magic-byte sniff — all JVM-side expressions."""
     payload = F.col(payload_col)
-    magic = F.substring(payload, 1, 8)
     kind = (
         F.when(F.startswith(payload, F.lit(b"\x89PNG")), "png")
         .when(F.startswith(payload, F.lit(b"\xff\xd8\xff")), "jpeg")
@@ -254,6 +253,11 @@ def resize_raw_images(
                 if (
                     payload is None or pd.isna(w) or pd.isna(h) or pd.isna(c)
                     or len(payload) != int(w) * int(h) * int(c)
+                    # smaller than the output grid: the block-mean
+                    # reshape below would raise and fail the whole task;
+                    # the contract is nulls, not failures (same guard as
+                    # resize_png_images)
+                    or int(h) < out_height or int(w) < out_width
                 ):
                     pixels.append(None)
                     continue

@@ -52,11 +52,6 @@ from pyspark.sql import DataFrame, SparkSession
 SNAP_DIR = "_snapshots"
 CURRENT = "CURRENT"
 
-# columns whose parquet footer min/max are harvested into the manifest;
-# None = every primitive column (string stats truncated like Iceberg's)
-_STAT_TYPES = {"int32", "int64", "float", "double", "string", "timestamp"}
-
-
 def _file_stats(path: str, stat_cols: Optional[Sequence[str]]) -> dict:
     """Row count + per-column min/max from the parquet footer only."""
     import pyarrow.parquet as pq
@@ -127,7 +122,12 @@ class SnapshotStore:
 
         Optimistic concurrency: if another writer committed since we
         planned (CURRENT moved past ``expected_parent``), raise instead
-        of silently dropping their snapshot from history.
+        of silently dropping their snapshot from history.  The snapshot
+        file itself is the commit arbiter: it is opened with exclusive
+        create ('x'), so two writers racing past the CURRENT check can
+        never both claim the same version — the loser raises instead of
+        truncating the winner's snapshot (a check-then-act CURRENT probe
+        alone would let the second open('w') silently clobber the first).
         """
         if self.current_version() != expected_parent:
             raise RuntimeError(
@@ -136,7 +136,16 @@ class SnapshotStore:
             )
         version = expected_parent + 1
         snap = {**snap, "version": version, "parent": expected_parent}
-        with open(os.path.join(self.snap_path, f"v{version:08d}.json"), "w") as fh:
+        try:
+            fh = open(
+                os.path.join(self.snap_path, f"v{version:08d}.json"), "x"
+            )
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit: snapshot v{version} already written "
+                "by another committer"
+            ) from None
+        with fh:
             json.dump(snap, fh)
         tmp = os.path.join(self.snap_path, f".{CURRENT}.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
