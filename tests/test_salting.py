@@ -53,3 +53,19 @@ def test_with_salt_spreads(spark, skewed):
     assert len(dist) == 8  # hot key spread over all salts
     counts = [r["count"] for r in dist]
     assert max(counts) < 3 * min(counts)
+
+
+def test_salted_median_all_null_hot_key_returns_null(spark):
+    """A hot key whose values are all NULL returns NULL like the cold
+    F.median path — not an element_at(·, 0) crash (review r5)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"key": [1] * 50 + [2] * 3, "value": [None] * 50 + [1.0, 2.0, 3.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["key"]: r["median"]
+        for r in salted_median(df, "key", "value", hot_threshold=10).collect()
+    }
+    assert got[1] is None and got[2] == 2.0

@@ -360,3 +360,45 @@ def test_scipygridder_full_basegridder_surface(spark):
                        ("nearest", ScipyGridder("nearest"))])
         chain.fit(df)
         assert chain.grid(spark, spacing=2.0).count() > 0
+
+
+def test_checkpoint_empty_stage_output_tile_completes(spark, tmp_path):
+    """A tile whose stage output is EMPTY still earns an ok manifest row
+    (rows_out = 0) when input_counts drive the todo set — otherwise
+    resume recomputes it on every run forever (review r5)."""
+    path = str(tmp_path / "ckpt")
+    calls = {"n": 0}
+
+    def stage(df):
+        calls["n"] += 1
+        return df.filter(F.col("x") > 100.0)  # drops EVERYTHING
+
+    inputs = spark.createDataFrame(
+        pd.DataFrame({"tile": [0, 0, 1], "x": [1.0, 2.0, 3.0]})
+    )
+    out1 = run_resumable(spark, inputs, stage, path)
+    assert out1.count() == 0 and calls["n"] == 1
+    # both tiles are complete; a second run must NOT re-run the stage
+    out2 = run_resumable(spark, inputs, stage, path)
+    assert out2.count() == 0 and calls["n"] == 1
+    ckpt = TileCheckpoint(path)
+    man = ckpt.manifest(spark).toPandas()
+    assert sorted(man["tile"]) == [0, 1]
+    assert (man["rows_out"] == 0).all()
+
+
+def test_checkpoint_load_without_manifest_is_empty(spark, tmp_path):
+    """Orphan-attempt-only checkpoint (crash before the FIRST manifest
+    append): load() returns zero committed rows, not an AttributeError
+    (review r5)."""
+    import os
+
+    path = str(tmp_path / "ckpt")
+    ckpt = TileCheckpoint(path)
+    spark.createDataFrame(
+        pd.DataFrame({"tile": [0], "x": [1.0]})
+    ).write.partitionBy("tile").mode("append").parquet(
+        os.path.join(ckpt.data_path, "attempt=deadbeef")
+    )
+    got = ckpt.load(spark)
+    assert got.count() == 0 and "attempt" not in got.columns

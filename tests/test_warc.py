@@ -135,3 +135,27 @@ def test_split_is_shuffle_free(spark, tmp_path):
     )
     plan = read_warc(spark, str(tmp_path))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_parse_negative_content_length_terminates():
+    """A corrupt/adversarial negative Content-Length must resync forward
+    (review r5: pos moved BACKWARDS past the record's own marker and the
+    parser re-parsed the same record forever)."""
+    good = warc_bytes([("https://a.com/x", "2021-02-03T04:05:06Z", b"BODY")])
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://evil.com/\r\n"
+        b"WARC-Date: 2020-01-01T00:00:00Z\r\nContent-Length: -300\r\n\r\n"
+    )
+    parsed = list(parse_warc(bad + good))
+    assert len(parsed) == 1 and parsed[0]["url"] == "https://a.com/x"
+
+
+def test_warc_table_rejects_string_ids(spark):
+    """Non-integral doc ids fail at validation time with a clear message,
+    not with an int() ValueError inside the applyInPandas task."""
+    docs = spark.createDataFrame(
+        [("doc-001", "text")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        warc_table_from_documents(docs, files=1)

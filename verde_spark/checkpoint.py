@@ -15,6 +15,7 @@ tile over time") are just Spark SQL.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import time
@@ -23,6 +24,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 MANIFEST_DIR = "_manifest"
 DATA_DIR = "data"
@@ -78,8 +80,22 @@ class TileCheckpoint:
         resume cannot surface duplicated rows (ADVICE r2).  ``attempt`` is
         a hive partition column, so the exclusion prunes whole directories.
         """
-        out = spark.read.parquet(self.data_path)
+        try:
+            out = spark.read.parquet(self.data_path)
+        except Exception:
+            # an all-empty-output run writes manifest rows but no
+            # parquet files (zero rows emit no schema) — fall back to
+            # the schema snapshot every write() persists
+            schema_file = os.path.join(self.path, "_schema.json")
+            with open(schema_file) as fh:
+                schema = T.StructType.fromJson(json.load(fh))
+            return spark.createDataFrame([], schema)
         man = self.manifest(spark)
+        if man is None:
+            # orphan-attempt-only checkpoint: data was appended but the
+            # crash hit before the FIRST manifest append — zero committed
+            # rows, not an AttributeError
+            return out.filter(F.lit(False)).drop("attempt")
         committed = man.filter(F.col("status") == "ok").select(
             F.col("tile").alias(self.tile_col), "attempt"
         ).distinct()
@@ -118,6 +134,11 @@ class TileCheckpoint:
                 .mode("append")
                 .parquet(os.path.join(self.data_path, f"attempt={attempt}"))
             )
+            # schema snapshot: an all-empty result writes no parquet
+            # files, so load() needs this to build the zero-row frame
+            os.makedirs(self.path, exist_ok=True)
+            with open(os.path.join(self.path, "_schema.json"), "w") as fh:
+                json.dump(json.loads(result.schema.json()), fh)
             duration = time.time() - t0
             hash_cols = [c for c in result.columns if c != self.tile_col]
             stats = result.groupBy(F.col(self.tile_col).alias("tile")).agg(
@@ -126,30 +147,53 @@ class TileCheckpoint:
                 F.sum(F.xxhash64(*hash_cols) % F.lit(1 << 31)).alias("checksum"),
             )
             if input_counts is not None:
-                stats = stats.join(
-                    input_counts.select(
-                        F.col(self.tile_col).alias("tile"), F.col("rows_in")
-                    ),
+                # the manifest is driven by the TODO TILE SET, not just
+                # the stage output: a tile whose stage output is empty
+                # (a filter legitimately dropping every row) must still
+                # earn an ok row with rows_out = 0, or resume recomputes
+                # it on every run forever
+                base = input_counts.select(
+                    F.col(self.tile_col).alias("tile"), F.col("rows_in")
+                )
+                stats = base.join(stats, "tile", "full").select(
                     "tile",
-                    "left",
+                    "rows_in",
+                    F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
+                    F.coalesce("checksum", F.lit(0)).alias("checksum"),
                 )
             else:
                 stats = stats.withColumn("rows_in", F.lit(None).cast("long"))
-            manifest = stats.select(
-                "tile",
-                "rows_in",
-                "rows_out",
-                "checksum",
-                F.lit(round(duration, 3)).alias("stage_seconds"),
-                F.current_timestamp().alias("completed_at"),
-                F.lit("ok").alias("status"),
-                F.lit(attempt).alias("attempt"),
+            stats = stats.select("tile", "rows_in", "rows_out", "checksum")
+            # ONE stats computation: collect the tiny per-tile rows,
+            # stamp the timestamp driver-side, and write the SAME rows
+            # that are returned (two actions over the stats plan would
+            # recompute it and carry different current_timestamp values
+            # in the stored vs returned manifests)
+            stat_rows = stats.select(
+                "tile", "rows_in", "rows_out", "checksum"
+            ).collect()
+            ts = datetime.datetime.now(datetime.timezone.utc)
+            manifest = spark.createDataFrame(
+                [
+                    (
+                        r["tile"], r["rows_in"], r["rows_out"],
+                        r["checksum"], round(duration, 3), ts, "ok",
+                        attempt,
+                    )
+                    for r in stat_rows
+                ],
+                T.StructType(
+                    list(stats.schema.fields)
+                    + [
+                        T.StructField("stage_seconds", T.DoubleType()),
+                        T.StructField("completed_at", T.TimestampType()),
+                        T.StructField("status", T.StringType()),
+                        T.StructField("attempt", T.StringType()),
+                    ]
+                ),
             )
             manifest.write.mode("append").parquet(self.manifest_path)
-            # the returned rows must survive the unpersist below without
-            # re-running the stage lineage: hand back the tiny collected set
-            rows = manifest.collect()
-            return spark.createDataFrame(rows, manifest.schema)
+            return manifest
         finally:
             result.unpersist()
 

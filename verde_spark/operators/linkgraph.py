@@ -33,15 +33,23 @@ from pyspark.sql import functions as F
 from ..functions.urls import _URL_RE, domain_of
 
 #: href of an <a> tag; the lazy [^>]*? and the quote classes are in the
-#: common Java-regex / RE2 / Python subset (same discipline as extract.py)
-_HREF_RE = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"'<>]*)["']"""
+#: common Java-regex / RE2 / Python subset (same discipline as
+#: extract.py — including the EXPLICIT whitespace class: Java's \s has
+#: \x0B, RE2's does not, so a bare \s silently breaks DuckDB parity)
+_WS = r"[ \t\r\n\f]"
+_HREF_RE = (
+    r"""(?is)<a\b[^>]*?href""" + _WS + "*=" + _WS + r"""*["']([^"'<>]*)["']"""
+)
 
 #: href + plain inner text of an <a> tag.  The text class is [^<]* — an
 #: anchor whose inner text nests further markup is skipped (the standard
 #: simplification; nested-markup anchors carry images/widgets, not the
 #: descriptive text anchor aggregation wants) — which keeps the pattern
 #: in the shared Java-regex / RE2 subset so DuckDB replays it verbatim.
-_ANCHOR_RE = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"'<>]*)["'][^>]*>([^<]*)</a>"""
+_ANCHOR_RE = (
+    r"""(?is)<a\b[^>]*?href""" + _WS + "*=" + _WS
+    + r"""*["']([^"'<>]*)["'][^>]*>([^<]*)</a>"""
+)
 
 
 def _resolve_link(link: Column, src_url: Column) -> Column:
@@ -107,7 +115,7 @@ def extract_anchor_texts(
         )
     ).alias("a")
     out = pages.select(F.col(url_col).alias("src_url"), pair)
-    anchor = F.trim(F.regexp_replace(F.col("a.raw"), r"\s+", " "))
+    anchor = F.trim(F.regexp_replace(F.col("a.raw"), _WS + "+", " "))
     return out.select(
         F.col("src_url"),
         _resolve_link(F.col("a.href"), F.col("src_url")).alias("link"),
@@ -176,7 +184,7 @@ def top_anchor_texts_sql(pages_sql: str, k: int = 5) -> str:
         ),
         raw AS (
           SELECT src_url, hrefs[i] AS href,
-                 trim(regexp_replace(raws[i], '\\s+', ' ', 'g')) AS anchor
+                 trim(regexp_replace(raws[i], '[ \t\r\n\f]+', ' ', 'g')) AS anchor
           FROM zipped, unnest(range(1, len(hrefs) + 1)) AS t(i)
         ),
         resolved AS (
@@ -294,10 +302,14 @@ def pagerank(
         stats["rounds"] = 0
     src, dst = F.col(src_col), F.col(dst_col)
     e = edges.select(src.alias("src"), dst.alias("dst"))
+    # materialized once: `nodes` feeds EVERY round's teleport join (and
+    # the count below) — without the checkpoint each iteration re-runs
+    # the union+distinct over the full edge list
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:

@@ -27,11 +27,21 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int = 16, salt_col: str = "salt") -> DataFrame:
-    """Uniform random salt in [0, n_salts) — spreads a hot key over
-    n_salts shuffle partitions. Deterministic per row via xxhash64 of the
-    monotonically increasing id is NOT used: the salt doesn't need to be
-    reproducible, only uniform, so ``rand`` is cheapest."""
-    return df.withColumn(salt_col, (F.rand(seed=0) * n_salts).cast("int"))
+    """Uniform DETERMINISTIC salt in [0, n_salts) — spreads a hot key
+    over n_salts shuffle partitions.
+
+    The salt is ``xxhash64`` over the row's full column set, NOT
+    ``rand()``: a seeded ``rand`` is only reproducible for a fixed
+    row-order-per-partition, which upstream shuffles do not guarantee —
+    on a task retry after executor loss the recomputed rows can draw
+    DIFFERENT salts than the first attempt, and reducers that fetched a
+    mix of attempt outputs silently double-count or drop rows (the
+    SPARK-23207 failure class).  Content-hashing keeps retries
+    bit-identical; fully duplicate rows sharing a salt only concentrates
+    load in the degenerate all-identical-values case and never affects
+    correctness."""
+    h = F.xxhash64(*[F.col(c) for c in df.columns])
+    return df.withColumn(salt_col, F.pmod(h, F.lit(n_salts)).cast("int"))
 
 
 def salted_mean(
@@ -93,6 +103,12 @@ def salted_median(
     hi = F.element_at("__all", (n / 2 + 1).cast("int"))
     hot_out = merged.select(
         F.col(key),
-        F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0).alias("median"),
+        # n = 0 (a hot key whose values are all NULL — collect_list
+        # drops them): the cold path's F.median would return NULL; the
+        # index arithmetic would instead crash on element_at(·, 0)
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, lo)
+        .otherwise((lo + hi) / 2.0)
+        .alias("median"),
     )
     return cold_out.unionByName(hot_out)

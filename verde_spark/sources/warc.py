@@ -134,8 +134,17 @@ def parse_warc(blob: bytes) -> Iterator[dict]:
             # unrecoverable framing: resync on the next record marker
             pos = marker + 5
             continue
+        if length < 0:
+            # a negative Content-Length (corrupt/adversarial) would move
+            # pos BACKWARDS past this record's own marker, and the next
+            # find(b"WARC/") would re-parse the same record forever —
+            # treat it like unparseable framing and resync forward
+            pos = marker + 5
+            continue
         block = blob[body_start : body_start + length]
-        pos = body_start + length
+        # pos must strictly advance past this record's marker no matter
+        # what the headers claimed (second backstop against loops)
+        pos = max(body_start + length, marker + 5)
         if headers.get("warc-type", "").lower() == "response":
             status = None
             body = block
@@ -226,6 +235,15 @@ def warc_table_from_documents(
     back via :func:`split_warc_records` must reproduce the documents.
     Output: ``(path string, content binary)`` — the binaryFile shape.
     """
+    # ids must be integral: the synthesized url/timestamp embed int(id),
+    # so a string id would crash int() inside the applyInPandas task —
+    # fail at validation time with a clear message instead
+    id_type = docs.schema[id_col].dataType.typeName()
+    if id_type not in ("long", "integer", "short", "byte"):
+        raise ValueError(
+            f"warc_table_from_documents needs an integral {id_col!r} "
+            f"(got {id_type}); hash string ids first (e.g. xxhash64)"
+        )
     bucketed = docs.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
     ).withColumn("__bucket", F.pmod(F.xxhash64(F.col("__id")), F.lit(files)))
