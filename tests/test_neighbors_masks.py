@@ -285,3 +285,59 @@ def test_basegridder_default_filter_residuals(spark):
     resid = KNeighbors(k=1).filter(df).toPandas()
     assert set(resid.columns) == {"easting", "northing", "scalars"}
     npt.assert_allclose(resid["scalars"], 0.0, atol=1e-12)
+
+
+def test_knn_join_refuses_reserved_query_columns(spark):
+    """A query frame already carrying distance/rank would be silently
+    overwritten mid-join (review r5) — knn_join must refuse loudly."""
+    import pytest
+
+    from verde_spark.operators.neighbors import knn_join
+
+    data = spark.createDataFrame(
+        [(0.0, 0.0)], "easting double, northing double"
+    )
+    q = spark.createDataFrame(
+        [(1.0, 1.0, 99.0)], "easting double, northing double, distance double"
+    )
+    with pytest.raises(ValueError, match="reserved output column"):
+        knn_join(data, q)
+
+
+def test_median_distance_and_mask_preserve_caller_distance_column(spark):
+    """median_distance / distance_mask namespace their query side, so a
+    caller frame with its own 'distance' column (BaseGridder.profile
+    output) passes through byte-identical (review r5: it was replaced by
+    neighbor distances)."""
+    import pandas as pd
+
+    from verde_spark.operators.neighbors import median_distance
+
+    pdf = pd.DataFrame(
+        {
+            "easting": [0.0, 1.0, 2.0, 5.0],
+            "northing": [0.0, 0.0, 0.0, 0.0],
+            "distance": [111.0, 222.0, 333.0, 444.0],  # caller's own
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = median_distance(df, k=1).toPandas().sort_values("easting")
+    assert got["distance"].tolist() == [111.0, 222.0, 333.0, 444.0]
+    assert got["median_distance"].tolist() == [1.0, 1.0, 1.0, 3.0]
+
+    big = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "easting": [float(i) for i in range(200)],
+                "northing": [0.0] * 200,
+            }
+        )
+    )
+    targets = df
+    out = (
+        distance_mask(big, targets, maxdist=0.5, broadcast_threshold=10)
+        .toPandas()
+        .sort_values("easting")
+    )
+    assert out["distance"].tolist() == [111.0, 222.0, 333.0, 444.0]
+    assert out["in_range"].tolist() == [True, True, True, True]

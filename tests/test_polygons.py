@@ -386,3 +386,31 @@ def test_rasterize_broadcast_null_burn_value(spark):
     inside = got["value"].notna()
     assert inside.any()
     assert (got.loc[inside, "value"] == 3.0).all()  # only the non-null burns
+
+
+def test_degenerate_empty_polygon_contains_nothing(spark):
+    """An empty vertex array (upstream geometry-cleaning artifact) is
+    not-inside for every point — not a negative-length slice crash that
+    fails the whole join (review r5)."""
+    from verde_spark.operators.polygons import point_in_polygon_expr
+
+    polys = spark.createDataFrame(
+        [
+            (1, [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]),
+            (2, []),
+        ],
+        "poly_id long, vertices array<struct<x double, y double>>",
+    )
+    pts = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+    got = (
+        pts.crossJoin(polys)
+        .select(
+            "poly_id",
+            point_in_polygon_expr(
+                F.col("x"), F.col("y"), F.col("vertices")
+            ).alias("inside"),
+        )
+        .collect()
+    )
+    by_id = {r["poly_id"]: r["inside"] for r in got}
+    assert by_id[1] is True and by_id[2] is False

@@ -143,3 +143,40 @@ def test_spline_resumable_covers_point_free_tiles(spark, tmp_path):
     assert plain["pred"].isna().sum() > 0  # the sparse layout really has empty tiles
     ok = ~plain["pred"].isna()
     npt.assert_allclose(got["pred"][ok], plain["pred"][ok], rtol=1e-12)
+
+
+def test_spline_solve_grid_custom_coordinate_names(spark):
+    """easting=/northing= must be forwarded to the node table (review
+    r5: defaults-only nodes crashed on UNRESOLVED_COLUMN) and give the
+    same grid as default names on the same data."""
+    from pyspark.sql import functions as F
+
+    from verde_spark.operators.spline import spline_solve_grid
+
+    region = (100, 500, -800, -700)
+    synth = CheckerBoard(region=region)
+    data = synth.scatter(spark, size=400, random_state=5).cache()
+    want = (
+        spline_solve_grid(
+            data, region=region, shape=(8, 8), tile_spacing=200.0,
+            halo=100.0, damping=1e-8, output_col="pred",
+        )
+        .orderBy("iy", "ix")
+        .toPandas()
+    )
+    renamed = data.select(
+        F.col("easting").alias("lon"),
+        F.col("northing").alias("lat"),
+        "scalars",
+    )
+    got = (
+        spline_solve_grid(
+            renamed, region=region, shape=(8, 8), tile_spacing=200.0,
+            halo=100.0, damping=1e-8, easting="lon", northing="lat",
+            output_col="pred",
+        )
+        .orderBy("iy", "ix")
+        .toPandas()
+    )
+    assert list(got.columns) == ["iy", "ix", "lat", "lon", "pred"]
+    npt.assert_allclose(got["pred"], want["pred"], rtol=1e-12)

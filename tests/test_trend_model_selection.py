@@ -224,3 +224,54 @@ def test_cross_val_score_scoring_param(spark):
     scores = cross_val_score(Trend(degree=1), df,
                              scoring="neg_mean_squared_error")
     npt.assert_allclose(scores, 0.0, atol=1e-12)
+
+
+def test_kfold_rows_contiguous_scale_path_matches_exact(spark):
+    """KFoldRows(shuffle=False) beyond exact_threshold must keep
+    sklearn's contiguous order-preserving folds (review r5: the hash
+    fallback silently randomized membership) — the chunked two-level
+    rank path must reproduce the exact driver path fold-for-fold."""
+    from verde_spark.model_selection import KFoldRows
+
+    df = spark.createDataFrame(
+        [(int(i), float(i)) for i in range(97)], "id long, x double"
+    ).repartition(7)
+
+    def folds(cv):
+        return [
+            sorted(r["id"] for r in test.collect())
+            for _, test in cv.split(df)
+        ]
+
+    exact = folds(KFoldRows(n_splits=5, shuffle=False, index_col="id"))
+    chunked = folds(
+        KFoldRows(
+            n_splits=5, shuffle=False, index_col="id", exact_threshold=10
+        )
+    )
+    assert chunked == exact
+    # contiguity + sklearn sizes: 97 = 20+20+19+19+19
+    assert [len(f) for f in exact] == [20, 20, 19, 19, 19]
+    assert exact[0] == list(range(20))
+    with pytest.raises(ValueError, match="numeric"):
+        sdf = spark.createDataFrame([("a", 1.0)], "id string, x double")
+        next(
+            KFoldRows(
+                n_splits=2, shuffle=False, index_col="id",
+                exact_threshold=0,
+            ).split(sdf)
+        )
+
+
+def test_train_test_split_partial_fractions_discard_remainder(spark):
+    """train_size + test_size < 1 discards the remainder (review r5:
+    randomSplit normalizes weights, silently inflating both splits)."""
+    from verde_spark.model_selection import train_test_split
+
+    df = spark.range(20_000)
+    train, test = train_test_split(
+        df, test_size=0.25, train_size=0.25, random_state=7
+    )
+    n_train, n_test = train.count(), test.count()
+    assert abs(n_train - 5000) < 600 and abs(n_test - 5000) < 600
+    assert n_train + n_test < 14_000  # remainder really discarded

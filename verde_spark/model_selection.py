@@ -256,9 +256,14 @@ class KFoldRows:
     returns to the cluster as a broadcast (row index → fold) mapping
     join — bit-identical fold membership to the reference on the same
     row order.  Beyond the threshold a driver-side permutation of every
-    row is no longer viable, so fold = ``pmod(xxhash64(index, seed),
-    k)`` — deterministic, uniform, fully distributed (a documented
-    approximation with the same statistical contract).
+    row is no longer viable: ``shuffle=True`` uses fold =
+    ``pmod(xxhash64(index, seed), k)`` — deterministic, uniform, fully
+    distributed (a documented approximation with the same statistical
+    contract) — while ``shuffle=False`` keeps sklearn's CONTIGUOUS
+    order-preserving folds exactly via a two-level rank (range-chunked
+    ``percentile_approx`` sketch + per-chunk ``row_number`` + bounded
+    cross-chunk offsets; no single-partition sort, numeric/temporal
+    ``index_col`` required).
 
     Row identity: ``index_col`` names a stable unique row id (the scale
     path — no global sort needed in hash mode).  Without it a synthetic
@@ -310,11 +315,78 @@ class KFoldRows:
                 pd.DataFrame({idx: ids, "__fold": fold_of})
             )
             labeled = df.join(F.broadcast(mapping), idx)
-        else:
+        elif self.shuffle:
             seed = self.random_state if isinstance(self.random_state, int) else 0
             labeled = df.withColumn(
                 "__fold",
                 F.pmod(F.xxhash64(F.col(idx), F.lit(seed)), F.lit(self.n_splits)),
+            )
+        else:
+            # shuffle=False asked for sklearn's CONTIGUOUS order-
+            # preserving folds — the hash fallback would silently
+            # randomize membership.  Exact global positions without a
+            # single-partition sort (the chunked roc_auc shape): a
+            # percentile_approx sketch range-chunks the index, the
+            # within-chunk rank is hash-partitioned, and cross-chunk
+            # offsets come from a tiny counts aggregate; sketch quality
+            # only balances chunks, never touches exactness.
+            if df.schema[idx].dataType.typeName() not in (
+                "long", "integer", "short", "byte", "double", "float",
+                "decimal", "date", "timestamp",
+            ):
+                raise ValueError(
+                    f"KFoldRows(shuffle=False) beyond exact_threshold "
+                    f"needs a numeric/temporal index_col for range "
+                    f"chunking; got {df.schema[idx].dataType.simpleString()}"
+                )
+            k = self.n_splits
+            nb = 64
+            probs = [i / nb for i in range(1, nb)]
+            qdf = df.agg(F.percentile_approx(idx, probs).alias("__qs"))
+            chunk = F.aggregate(
+                F.col("__qs"),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(idx) >= b, 1).otherwise(0),
+            )
+            t = (
+                df.crossJoin(F.broadcast(qdf))
+                .withColumn("__ck", chunk)
+                .drop("__qs")
+            )
+            w_in = Window.partitionBy("__ck").orderBy(idx)
+            w_ck = Window.orderBy("__ck").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            offs = (
+                t.groupBy("__ck")
+                .agg(F.count(F.lit(1)).alias("__cn"))
+                .select(
+                    "__ck",
+                    F.coalesce(F.sum("__cn").over(w_ck), F.lit(0)).alias(
+                        "__off"
+                    ),
+                )
+            )
+            pos = (
+                F.row_number().over(w_in) - F.lit(1) + F.col("__off")
+            ).cast("long")
+            base, rem = n // k, n % k
+            # sklearn fold sizes: the first n%k folds take one extra row
+            fold = F.when(
+                pos < F.lit((base + 1) * rem),
+                F.floor(pos / F.lit(float(base + 1))),
+            ).otherwise(
+                F.lit(rem)
+                + F.floor(
+                    (pos - F.lit((base + 1) * rem))
+                    / F.lit(float(base if base else 1))
+                )
+            )
+            labeled = (
+                t.join(F.broadcast(offs), "__ck")
+                .withColumn("__fold", fold.cast("int"))
+                .drop("__ck", "__off")
             )
         drop = ["__fold", "__ridx"] if synthetic else ["__fold"]
         for i in range(self.n_splits):
@@ -350,11 +422,20 @@ class BlockShuffleSplit(BaseBlockCrossValidator):
         self.balancing = balancing
 
     def split_blocks(
-        self, df: DataFrame, easting: str = "easting", northing: str = "northing"
+        self,
+        df: DataFrame,
+        easting: str = "easting",
+        northing: str = "northing",
+        grid: Optional[BlockGrid] = None,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yield (train_block_ids, test_block_ids) per split."""
-        region = get_region(df, easting, northing)
-        grid = BlockGrid.from_region(region, spacing=self.spacing, shape=self.shape)
+        """Yield (train_block_ids, test_block_ids) per split.  Pass the
+        *grid* when the caller already derived it (``split`` does) —
+        ``get_region`` is a full min/max table scan."""
+        if grid is None:
+            region = get_region(df, easting, northing)
+            grid = BlockGrid.from_region(
+                region, spacing=self.spacing, shape=self.shape
+            )
         block_ids, counts = _block_counts(df, grid, easting, northing)
         count_of = dict(zip(block_ids.tolist(), counts.tolist()))
         shuffle = shuffle_split_indices(
@@ -382,7 +463,11 @@ class BlockShuffleSplit(BaseBlockCrossValidator):
         region = get_region(df, easting, northing)
         grid = BlockGrid.from_region(region, spacing=self.spacing, shape=self.shape)
         labeled = df.withColumn("__block", grid.label_expr(easting, northing))
-        for train_blocks, test_blocks in self.split_blocks(df, easting, northing):
+        # forward the grid: split_blocks would otherwise re-run the
+        # get_region min/max scan the line above just paid for
+        for train_blocks, test_blocks in self.split_blocks(
+            df, easting, northing, grid=grid
+        ):
             test_set = [int(b) for b in test_blocks]
             yield (
                 labeled.filter(~F.col("__block").isin(test_set)).drop("__block"),
@@ -414,11 +499,19 @@ class BlockKFold(BaseBlockCrossValidator):
         self.balance = balance
 
     def fold_blocks(
-        self, df: DataFrame, easting: str = "easting", northing: str = "northing"
+        self,
+        df: DataFrame,
+        easting: str = "easting",
+        northing: str = "northing",
+        grid: Optional[BlockGrid] = None,
     ) -> List[np.ndarray]:
-        """List of test-block-id arrays, one per fold."""
-        region = get_region(df, easting, northing)
-        grid = BlockGrid.from_region(region, spacing=self.spacing, shape=self.shape)
+        """List of test-block-id arrays, one per fold.  Pass the *grid*
+        when the caller already derived it (``split`` does)."""
+        if grid is None:
+            region = get_region(df, easting, northing)
+            grid = BlockGrid.from_region(
+                region, spacing=self.spacing, shape=self.shape
+            )
         block_ids, counts = _block_counts(df, grid, easting, northing)
         if self.n_splits > block_ids.size:
             raise ValueError(
@@ -457,7 +550,8 @@ class BlockKFold(BaseBlockCrossValidator):
         region = get_region(df, easting, northing)
         grid = BlockGrid.from_region(region, spacing=self.spacing, shape=self.shape)
         labeled = df.withColumn("__block", grid.label_expr(easting, northing))
-        for test_blocks in self.fold_blocks(df, easting, northing):
+        # forward the grid (see BlockShuffleSplit.split)
+        for test_blocks in self.fold_blocks(df, easting, northing, grid=grid):
             test_set = [int(b) for b in test_blocks]
             yield (
                 labeled.filter(~F.col("__block").isin(test_set)).drop("__block"),
@@ -486,8 +580,19 @@ def train_test_split(
             train_frac = train_size
         # distributed row split: seeded hash split (sklearn's exact row
         # permutation is not reproducible distributively; decisions on rows,
-        # unlike blocks, can't go driver-side at scale).
-        train, test = df.randomSplit([train_frac, frac_test], seed=random_state or 0)
+        # unlike blocks, can't go driver-side at scale).  randomSplit
+        # NORMALIZES its weights, so train+test < 1 (sklearn semantics:
+        # discard the remainder) needs an explicit discard bucket or both
+        # splits silently inflate to fill the table
+        rest = 1.0 - train_frac - frac_test
+        if rest > 1e-12:
+            train, test, _discard = df.randomSplit(
+                [train_frac, frac_test, rest], seed=random_state or 0
+            )
+        else:
+            train, test = df.randomSplit(
+                [train_frac, frac_test], seed=random_state or 0
+            )
         return train, test
     splitter = BlockShuffleSplit(
         spacing=spacing,

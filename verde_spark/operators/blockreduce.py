@@ -330,7 +330,11 @@ def block_mean(
         for col, wcol in zip(data_cols, weight_cols):
             mean_aggs.append((F.sum(F.col(wcol) * F.col(col)) / F.sum(wcol)).alias(f"__mean_{col}"))
         means = labeled.groupBy("block").agg(*mean_aggs)
-        joined = labeled.join(F.broadcast(means), "block")
+        # no broadcast HINT: the means table is one row per non-empty
+        # block, which at fine spacings over a 10^12-row region exceeds
+        # the broadcast hard limit — AQE converts the join to broadcast
+        # at runtime whenever the side actually is small
+        joined = labeled.join(means, "block")
         for col, wcol in zip(data_cols, weight_cols):
             mu = F.col(f"__mean_{col}")
             aggs.append(F.first(mu).alias(col))

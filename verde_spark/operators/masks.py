@@ -214,9 +214,15 @@ def distance_mask(
     from .neighbors import knn_join
 
     qid = "__qid"
-    targets_id = targets.withColumn(qid, F.monotonically_increasing_id())
+    # target columns move to a private namespace around the join (the
+    # KNeighbors.predict pattern): knn_join refuses query frames whose
+    # own distance/rank columns its output would overwrite
+    safe = {c: f"__q{i}" for i, c in enumerate(targets.columns)}
+    targets_id = targets.select(
+        *[F.col(c).alias(safe[c]) for c in targets.columns]
+    ).withColumn(qid, F.monotonically_increasing_id())
     data_pts = data.select(data_easting, data_northing)
-    q_easting, q_northing = easting, northing
+    q_easting, q_northing = safe[easting], safe[northing]
     if projection is not None:
         from .projections import project_points
 
@@ -224,7 +230,8 @@ def distance_mask(
             data_pts, projection, easting=data_easting, northing=data_northing
         )
         targets_id = project_points(
-            targets_id, projection, easting=easting, northing=northing,
+            targets_id, projection,
+            easting=safe[easting], northing=safe[northing],
             out_easting="__pe", out_northing="__pn",
         )
         q_easting, q_northing = "__pe", "__pn"
@@ -238,7 +245,7 @@ def distance_mask(
         query_northing=q_northing,
         query_id=qid,
     )
-    aggs = [F.first(F.col(c)).alias(c) for c in targets.columns] + [
+    aggs = [F.first(F.col(safe[c])).alias(c) for c in targets.columns] + [
         (F.min("distance") <= F.lit(float(maxdist))).alias(mask_col)
     ]
     return joined.groupBy(qid).agg(*aggs).drop(qid)

@@ -62,6 +62,19 @@ def knn_join(
     Supply a stable ``query_id`` column when one exists; otherwise a
     monotonic id is generated (deterministic for deterministic sources).
     """
+    # the output appends its OWN distance/rank columns; a query frame
+    # already carrying either (e.g. BaseGridder.profile output) would be
+    # silently overwritten mid-join and the final aggregation would read
+    # neighbor distances where the caller's values were expected —
+    # refuse loudly (KNeighbors.predict shows the namespacing pattern)
+    clash = {"distance", "rank"} & set(queries.columns)
+    if clash:
+        raise ValueError(
+            f"queries already carry reserved output column(s) "
+            f"{sorted(clash)}; rename or project them away before "
+            "knn_join (see KNeighbors.predict for the namespacing "
+            "pattern)"
+        )
     if query_id not in queries.columns:
         queries = queries.withColumn(query_id, F.monotonically_increasing_id())
     data = data.withColumn("__did", F.xxhash64(*[F.col(c) for c in data.columns]))
@@ -259,19 +272,25 @@ def median_distance(
 ) -> DataFrame:
     """Per-point median distance to its k nearest neighbors, excluding self
     (verde distances.py:16-111: queries k+1 and drops the zero self-hit)."""
-    pts = df.withColumn("__qid", F.monotonically_increasing_id())
+    # query columns move to a private namespace around the join (the
+    # KNeighbors.predict pattern): knn_join refuses query frames whose
+    # own distance/rank columns its output would overwrite
+    safe = {c: f"__q{i}" for i, c in enumerate(df.columns)}
+    pts = df.select(
+        *[F.col(c).alias(safe[c]) for c in df.columns]
+    ).withColumn("__qid", F.monotonically_increasing_id())
     joined = knn_join(
-        pts.select(easting, northing),
+        df.select(easting, northing),
         pts,
         k=k + 1,
         data_easting=easting,
         data_northing=northing,
-        query_easting=easting,
-        query_northing=northing,
+        query_easting=safe[easting],
+        query_northing=safe[northing],
         query_id="__qid",
     )
     no_self = joined.filter(F.col("rank") > 1)
-    aggs = [F.first(F.col(c)).alias(c) for c in df.columns] + [
+    aggs = [F.first(F.col(safe[c])).alias(c) for c in df.columns] + [
         F.median("distance").alias("median_distance")
     ]
     return no_self.groupBy("__qid").agg(*aggs).drop("__qid")

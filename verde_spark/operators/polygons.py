@@ -47,10 +47,20 @@ def polygon_literal(vertices: Sequence[Tuple[float, float]]) -> Column:
 
 
 def _edges(verts: Column) -> Column:
-    """array of (a, b) vertex pairs for each polygon edge (closing wrap)."""
+    """array of (a, b) vertex pairs for each polygon edge (closing wrap).
+
+    Degenerate polygons (< 2 vertices — e.g. an empty vertex array from
+    upstream geometry cleaning) yield an EMPTY edge list: the membership
+    fold then evaluates to not-inside instead of ``slice`` crashing the
+    whole join on a negative length."""
     n = F.size(verts)
     rotated = F.concat(F.slice(verts, 2, n - 1), F.slice(verts, 1, 1))
-    return F.arrays_zip(verts.alias("a"), rotated.alias("b"))
+    empty = F.array().cast(
+        "array<struct<a:struct<x:double,y:double>,b:struct<x:double,y:double>>>"
+    )
+    return F.when(
+        n >= 2, F.arrays_zip(verts.alias("a"), rotated.alias("b"))
+    ).otherwise(empty)
 
 
 def point_in_polygon_expr(x: Column, y: Column, verts: Column) -> Column:

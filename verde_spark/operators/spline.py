@@ -55,14 +55,6 @@ def greens_function(east: np.ndarray, north: np.ndarray, mindist: float = 0.0) -
     return result
 
 
-def greens_expr(deast: Column, dnorth: Column, mindist: float = 0.0) -> Column:
-    """The same Green's function as a Catalyst expression (join-based predict)."""
-    d = F.sqrt(deast * deast + dnorth * dnorth) + F.lit(float(mindist))
-    small = d * (F.log(F.pow(d, d)) - d)
-    big = d * d * (F.log(d) - F.lit(1.0))
-    return F.when(d < 1, small).otherwise(big)
-
-
 def spline_jacobian(
     east: np.ndarray,
     north: np.ndarray,
@@ -123,15 +115,11 @@ def _halo_explode(
     ix_max = idx(e + F.lit(pad), ex, e_edge)
     iy_min = idx(n - F.lit(pad), nx, n_edge)
     iy_max = idx(n + F.lit(pad), nx, n_edge)
-    own_ix = idx(e, ex, e_edge)
-    own_iy = idx(n, nx, n_edge)
     out = (
-        df.withColumn("__own", own_iy * F.lit(grid.n_east) + own_ix)
-        .withColumn("__ix", F.explode(F.sequence(ix_min, ix_max)))
+        df.withColumn("__ix", F.explode(F.sequence(ix_min, ix_max)))
         .withColumn("__iy", F.explode(F.sequence(iy_min, iy_max)))
         .withColumn("tile", F.col("__iy") * F.lit(grid.n_east) + F.col("__ix"))
-        .withColumn("in_tile", F.col("tile") == F.col("__own"))
-        .drop("__ix", "__iy", "__own")
+        .drop("__ix", "__iy")
     )
     return out
 
@@ -366,9 +354,13 @@ def _solve_grid_parts(
     exploded = _halo_explode(pts, grid, pad, "easting", "northing").select(
         "tile", "easting", "northing", "data", "weight"
     )
-    nodes = grid_coordinates(spark, region, shape=shape).withColumn(
-        "tile", grid.label_expr(easting, northing)
-    )
+    # forward the caller's coordinate names: the node table, the tile
+    # label and solve_and_eval's nds[easting]/nds[northing] reads all
+    # use them (defaults-only nodes made the easting=/northing=
+    # parameters crash on UNRESOLVED_COLUMN)
+    nodes = grid_coordinates(
+        spark, region, shape=shape, easting=easting, northing=northing
+    ).withColumn("tile", grid.label_expr(easting, northing))
     fields = [
         T.StructField("iy", T.LongType()),
         T.StructField("ix", T.LongType()),
