@@ -56,8 +56,13 @@ def rolling_window(
     def rng(coord, axis):
         # candidate center indices with |coord - center| <= half:
         # ceil((coord - half - start)/step) .. floor((coord + half - start)/step)
-        lo = F.ceil((coord - F.lit(half) - F.lit(axis.start)) / F.lit(axis.step)).cast("long")
-        hi = F.floor((coord + F.lit(half) - F.lit(axis.start)) / F.lit(axis.step)).cast("long")
+        # — widened by ONE index each side because this arithmetic uses
+        # start + i*step while the axis pins its last center to the
+        # exact region edge (forced_stop, line_coordinates semantics);
+        # the 1-ulp disagreement is settled by the EXACT membership
+        # filter below against the centers actually emitted
+        lo = F.ceil((coord - F.lit(half) - F.lit(axis.start)) / F.lit(axis.step)).cast("long") - F.lit(1)
+        hi = F.floor((coord + F.lit(half) - F.lit(axis.start)) / F.lit(axis.step)).cast("long") + F.lit(1)
         return (
             F.greatest(F.lit(0), lo),
             F.least(F.lit(axis.size - 1), hi),
@@ -72,6 +77,15 @@ def rolling_window(
         .withColumn("window", F.col("__wiy") * F.lit(east_ax.size) + F.col("__wix"))
         .withColumn("center_easting", east_ax.expr(F.col("__wix")))
         .withColumn("center_northing", north_ax.expr(F.col("__wiy")))
+        # membership decided against the EMITTED centers (incl. the
+        # forced-stop last one) — the index range is only a candidate
+        # superset, so assignments always agree with the returned
+        # center_easting/center_northing columns (verde query_ball_point
+        # over the actual centers)
+        .filter(
+            (F.abs(e_col - F.col("center_easting")) <= F.lit(half))
+            & (F.abs(n_col - F.col("center_northing")) <= F.lit(half))
+        )
         .drop("__wix", "__wiy")
     )
     grid = BlockGrid(region=(w, e, s, n), east=east_ax, north=north_ax)
